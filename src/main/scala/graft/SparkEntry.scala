@@ -1,13 +1,571 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MaskAlgebra, Relational}
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver contract — named queries + DuckDB oracle SQL (SURVEY.md §5/§7).
+  *
+  * Conventions that keep the driver's hash-compare green:
+  *  - every query ends in an explicit ORDER BY with full tie-breaks;
+  *  - aggregate/computed columns are aliased identically in the Spark code
+  *    and the SQL;
+  *  - double-typed outputs are rounded to 6 decimals on BOTH sides (raw
+  *    double aggregates can differ at ~1e-12 relative between engines from
+  *    accumulation order);
+  *  - `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads it via
+  *    nanosAsLong + µs truncation (Tables.events), DuckDB via
+  *    CAST(ts AS TIMESTAMP) — both truncate identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the README's
+    * analytic shape (`/root/reference/README.md:167-172`) — per-group mean
+    * intensity stand-in, top-50. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q("h1_topk_avg")(spark, "/root/testdata/sf0.001")
+
+  private def q(name: String): (SparkSession, String) => DataFrame = queries(name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------------------
+    // E1/E2/E4 + H1 — pricing-summary aggregate over lineitem:
+    // mean (E1), population stddev (E2, np.std ddof=0), counts (E4).
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,4)"), 2).cast("double").as("revenue"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(stddev_pop(col("l_quantity")), 6).as("std_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---------------------------------------------------------------
+    // H1 — top-k by aggregate (README flagship shape).
+    "h1_topk_avg" -> ((s, dir) => {
+      Relational.topKByAvg(Tables.events(s, dir), col("user_id"), col("value"), 50, "avg_value")
+        .withColumn("avg_value", round(col("avg_value"), 6))
+    }),
+
+    // ---------------------------------------------------------------
+    // H2 — latest-n by timestamp.
+    "h2_latest_events" -> ((s, dir) => {
+      Relational.latestN(
+        Tables.events(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("value")),
+        col("ts"), col("event_id"), 20)
+    }),
+
+    // ---------------------------------------------------------------
+    // A5/C2/C6/H3 — listing with suffix filter + limit.
+    "h3_listing" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(lower(col("source")).endsWith("1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .limit(50)
+    }),
+
+    // ---------------------------------------------------------------
+    // C1/D6/D9 — the DoFn's metadata projection over events:
+    // ''→NULL coercion, sha256[0:16] identity hash, derived output URI.
+    "c1_metadata_projection" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        concat(lit("evt_"), col("event_id"), lit(".dcm")).as("file_name"),
+        Relational.patientIdHash(col("user_id").cast("string")).as("patient_id_hash"),
+        Relational.nullifEmpty(col("props")).as("props_nn"),
+        Relational.nullifEmpty(col("event_type")).as("event_type_nn"),
+        Relational.derivedUri("out/processed",
+          concat(lit("evt_"), col("event_id"), lit(".dcm"))).as("gcs_uri_processed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D1 + D5/E8 — intensity windowing with literal wc/ww, plus the
+    // min-max-normalize fallback computed per event_type group.
+    "d1_windowing" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("value"),
+        Relational.windowIntensity(col("value"), lit(100.0), lit(80.0)).as("v_windowed"),
+        Relational.minMaxNormalize(col("value"), col("event_type")).as("v_normalized"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // E3 — 50-bin histogram (numpy semantics: last bin closed).
+    "e3_histogram" -> ((s, dir) => {
+      Relational.histogramAuto(Tables.lineitem(s, dir), col("l_extendedprice"), 50)
+    }),
+
+    // ---------------------------------------------------------------
+    // E5/H4 — argmax with row-major first-occurrence tie-break, on a
+    // deterministic synthetic image (range-generated, same in DuckDB).
+    "e5_argmax" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64)
+      Relational.argmaxPixel(img, col("v"), col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
+    // E6/E7/E9 + F1-F3 — full confusion metrics in one aggregate pass,
+    // masks as indicator columns derived from lineitem predicates.
+    "mask_confusion_lineitem" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          (col("l_discount") > 0.05).as("p"), (col("l_tax") > 0.03).as("g"))
+      MaskAlgebra.confusionMetrics(li, Seq(col("l_returnflag")), col("p"), col("g"))
+        .select(col("l_returnflag"), col("tp"), col("fn"), col("fp"), col("tn"),
+          col("area_p"), col("area_g"),
+          round(col("dice"), 6).as("dice"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("sensitivity"), 6).as("sensitivity"),
+          round(col("specificity"), 6).as("specificity"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---------------------------------------------------------------
+    // F1 — mask intersection as an inner equi-join of coordinate sets.
+    "f1_intersect_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pred = li.filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val gt = li.filter(col("l_tax") > 0.03)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      pred.join(gt, Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_intersect"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---------------------------------------------------------------
+    // F3 — mask difference (pred ∖ gt) as an anti-join.
+    "f3_diff_antijoin" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pred = li.filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val gt = li.filter(col("l_tax") > 0.03)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      pred.join(gt, Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_only_pred"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---------------------------------------------------------------
+    // E15(relational)/E16 — boundary-pixel perimeter measure + circularity
+    // on synthetic masks, one mask per group row-band.
+    "e15_boundary_circularity" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64)
+        .withColumn("image_id", expr("y div 16"))
+      val mask = img.filter(col("v") >= 128)
+        .select(col("image_id"), col("y"), col("x"))
+      val area = mask.groupBy(col("image_id")).agg(count(lit(1)).as("area"))
+      val boundary = MaskAlgebra.boundaryPixels(mask, "image_id", "y", "x")
+        .groupBy(col("image_id")).agg(count(lit(1)).as("perimeter_px"))
+      area.join(boundary, Seq("image_id"), "left")
+        .na.fill(0L, Seq("perimeter_px"))
+        .withColumn("circularity",
+          round(MaskAlgebra.circularity(col("area"), col("perimeter_px")), 6))
+        .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // E10/E11 — masked means + tumor-probability score; perimeter from the
+    // boundary-pixel measure (documented relational stand-in for E15).
+    "e11_tumor_probability" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64)
+        .withColumn("image_id", expr("y div 16"))
+        .withColumn("in_mask", col("v") >= 200)
+      val mask = img.filter(col("in_mask")).select(col("image_id"), col("y"), col("x"))
+      val perim = MaskAlgebra.boundaryPixels(mask, "image_id", "y", "x")
+        .groupBy(col("image_id")).agg(count(lit(1)).cast("double").as("perimeter"))
+      val withPerim = img.join(broadcast(perim), Seq("image_id"), "left")
+        .na.fill(0.0, Seq("perimeter"))
+      MaskAlgebra.tumorProbability(withPerim, Seq(col("image_id")), col("v"),
+          col("in_mask"), col("perimeter"))
+        .select(col("image_id"), col("tumor_area"), col("n_pixels"),
+          round(col("tumor_mean"), 6).as("tumor_mean"),
+          round(col("non_tumor_mean"), 6).as("non_tumor_mean"),
+          round(col("contrast_ratio"), 6).as("contrast_ratio"),
+          round(col("size_ratio"), 6).as("size_ratio"),
+          round(col("compactness"), 6).as("compactness"),
+          round(col("probability"), 6).as("probability"))
+        .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // E14 — moments-based region properties (eccentricity, axes).
+    "e14_region_ellipse" -> ((s, dir) => {
+      val mask = Relational.syntheticImage(s, 64, 64)
+        .withColumn("image_id", expr("y div 16"))
+        .filter(col("v") >= 128)
+      MaskAlgebra.regionEllipse(mask, Seq(col("image_id")), col("y"), col("x"))
+        .select(col("image_id"), col("area"),
+          round(col("cy"), 6).as("cy"), round(col("cx"), 6).as("cx"),
+          round(col("l1"), 6).as("l1"), round(col("l2"), 6).as("l2"),
+          round(col("major_axis_length"), 6).as("major_axis_length"),
+          round(col("minor_axis_length"), 6).as("minor_axis_length"),
+          round(col("eccentricity"), 6).as("eccentricity"))
+        .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D4 — RGB→grayscale weighted channel sum on synthetic RGB.
+    "d4_grayscale" -> ((s, dir) => {
+      s.range(4096).select(
+        col("id"),
+        (col("id") % 256).as("r"),
+        ((col("id") * 3) % 256).as("g"),
+        ((col("id") * 5) % 256).as("b"))
+        .withColumn("gray", Relational.grayscale(col("r"), col("g"), col("b")))
+        .orderBy(col("id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D10/D13 — overlay blend (additive saturating) via left join with a
+    // mask coordinate set + binarize.
+    "d10_overlay" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64)
+      val mask = img.filter(col("v") >= 220).select(col("y"), col("x"), lit(1).as("m"))
+      img.join(broadcast(mask), Seq("y", "x"), "left")
+        .withColumn("in_mask", col("m").isNotNull)
+        .select(col("y"), col("x"), col("v"),
+          Relational.overlayChannel(col("v"), col("in_mask"), 255.0, 0.5).as("v_overlay"),
+          Relational.binarize255(when(col("in_mask"), 1).otherwise(0)).as("mask255"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: exact dedup on normalized-text fingerprint.
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: per-document text analysis (token counts, quality).
+    "text_analysis" -> ((s, dir) => {
+      TextAnalysis.analyze(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .drop("lang_pred") // lang id is its own (non-oracle) query
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: language ID heuristic (stopword-profile voting).
+    "lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: brute-force cosine top-k ANN (query side broadcast).
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.cosineTopK(queries, emb, 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: MinHash + LSH near-duplicate pairs (rows-only check —
+    // engine-specific hash functions have no SQL oracle).
+    "minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minHashDedupPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: SimHash near-dup pairs (rows-only).
+    "simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(
+          Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
+          maxHamming = 10)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: LSH-bucketed ANN (rows-only; scale path for huge query sets).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.lshTopK(queries, emb, 5, nPlanes = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Streaming-shape (batch form): tumbling 1-hour window aggregate over
+    // events — the §2.J "roadmap realized" demo's batch-equivalent query.
+    "w1_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    })
+  )
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same tables; the driver
+    * sorts columns by name then hash-compares values). Omitted for ops with
+    * engine-specific hashing (minhash/simhash/LSH) — rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(ROUND(CAST(SUM(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+        |  ROUND(STDDEV_POP(l_quantity), 6) AS std_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h1_topk_avg" ->
+      """SELECT user_id, ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY AVG(value) DESC, user_id LIMIT 50""".stripMargin,
+
+    "h2_latest_events" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    "h3_listing" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lower(source) LIKE '%1'
+        |ORDER BY doc_id LIMIT 50""".stripMargin,
+
+    "c1_metadata_projection" ->
+      """SELECT event_id,
+        |  'evt_' || event_id || '.dcm' AS file_name,
+        |  CASE WHEN CAST(user_id AS VARCHAR) = '' THEN NULL
+        |       ELSE substr(sha256(CAST(user_id AS VARCHAR)), 1, 16) END AS patient_id_hash,
+        |  NULLIF(props, '') AS props_nn,
+        |  NULLIF(event_type, '') AS event_type_nn,
+        |  'out/processed/' || 'evt_' || event_id || '.png' AS gcs_uri_processed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "d1_windowing" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(FLOOR((LEAST(GREATEST(value, 100.0 - 80.0/2), 100.0 + 80.0/2) - (100.0 - 80.0/2))
+        |       / GREATEST(80.0, 1e-6) * 255.0) AS BIGINT) AS v_windowed,
+        |  CAST(FLOOR((value - MIN(value) OVER (PARTITION BY event_type))
+        |       / GREATEST(MAX(value) OVER (PARTITION BY event_type)
+        |                  - MIN(value) OVER (PARTITION BY event_type), 1e-6) * 255.0) AS BIGINT)
+        |    AS v_normalized
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "e3_histogram" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+        |SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 50.0)) AS BIGINT), 49) AS bin,
+        |       COUNT(*) AS n
+        |FROM lineitem, b
+        |WHERE l_extendedprice BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "e5_argmax" ->
+      """SELECT CAST(range AS BIGINT) // 64 AS y, range % 64 AS x, (range * 2654435761) % 256 AS v
+        |FROM range(4096)
+        |ORDER BY v DESC, y, x LIMIT 1""".stripMargin,
+
+    "mask_confusion_lineitem" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(l_discount > 0.05 AS BIGINT) AS p, CAST(l_tax > 0.03 AS BIGINT) AS g
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  SUM(p*g) AS tp, SUM((1-p)*g) AS fn, SUM(p*(1-g)) AS fp, SUM((1-p)*(1-g)) AS tn,
+        |  SUM(p) AS area_p, SUM(g) AS area_g,
+        |  ROUND(CASE WHEN SUM(p)+SUM(g) = 0 THEN 1.0 ELSE 2.0*SUM(p*g)/(SUM(p)+SUM(g)) END, 6) AS dice,
+        |  ROUND(CASE WHEN SUM(p*g)+SUM((1-p)*g)+SUM(p*(1-g)) = 0 THEN 1.0
+        |        ELSE SUM(p*g)*1.0/(SUM(p*g)+SUM((1-p)*g)+SUM(p*(1-g))) END, 6) AS jaccard,
+        |  ROUND(COALESCE(SUM(p*g)*1.0/NULLIF(SUM(p*g)+SUM((1-p)*g), 0), 0.0), 6) AS sensitivity,
+        |  ROUND(COALESCE(SUM((1-p)*(1-g))*1.0/NULLIF(SUM((1-p)*(1-g))+SUM(p*(1-g)), 0), 0.0), 6) AS specificity
+        |FROM m GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f1_intersect_join" ->
+      """SELECT p.l_returnflag, COUNT(*) AS n_intersect
+        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_discount > 0.05) p
+        |JOIN (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_tax > 0.03) g
+        |  USING (l_orderkey, l_linenumber)
+        |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin,
+
+    "f3_diff_antijoin" ->
+      """SELECT p.l_returnflag, COUNT(*) AS n_only_pred
+        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_discount > 0.05) p
+        |ANTI JOIN (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_tax > 0.03) g
+        |  USING (l_orderkey, l_linenumber)
+        |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin,
+
+    "e15_boundary_circularity" ->
+      """WITH img AS (
+        |  SELECT (CAST(range AS BIGINT) // 64) // 16 AS image_id,
+        |         CAST(range AS BIGINT) // 64 AS y, range % 64 AS x,
+        |         (range * 2654435761) % 256 AS v
+        |  FROM range(4096)),
+        |mask AS (SELECT image_id, y, x FROM img WHERE v >= 128),
+        |area AS (SELECT image_id, COUNT(*) AS area FROM mask GROUP BY image_id),
+        |nbrs AS (
+        |  SELECT m.image_id, m.y, m.x, m.y + o.dy AS ny, m.x + o.dx AS nx
+        |  FROM mask m CROSS JOIN (VALUES (-1,0),(1,0),(0,-1),(0,1)) AS o(dy, dx)),
+        |boundary AS (
+        |  SELECT DISTINCT n.image_id, n.y, n.x FROM nbrs n
+        |  WHERE NOT EXISTS (SELECT 1 FROM mask m2
+        |    WHERE m2.image_id = n.image_id AND m2.y = n.ny AND m2.x = n.nx)),
+        |perim AS (SELECT image_id, COUNT(*) AS perimeter_px FROM boundary GROUP BY image_id)
+        |SELECT a.image_id, a.area, COALESCE(p.perimeter_px, 0) AS perimeter_px,
+        |  ROUND(CASE WHEN COALESCE(p.perimeter_px, 0) > 0
+        |    THEN 4 * PI() * a.area / (p.perimeter_px * p.perimeter_px) ELSE 0.0 END, 6) AS circularity
+        |FROM area a LEFT JOIN perim p USING (image_id)
+        |ORDER BY a.image_id""".stripMargin,
+
+    "e11_tumor_probability" ->
+      """WITH img AS (
+        |  SELECT (CAST(range AS BIGINT) // 64) // 16 AS image_id,
+        |         CAST(range AS BIGINT) // 64 AS y, range % 64 AS x,
+        |         (range * 2654435761) % 256 AS v
+        |  FROM range(4096)),
+        |px AS (SELECT *, v >= 200 AS in_mask FROM img),
+        |mask AS (SELECT image_id, y, x FROM px WHERE in_mask),
+        |nbrs AS (
+        |  SELECT m.image_id, m.y, m.x, m.y + o.dy AS ny, m.x + o.dx AS nx
+        |  FROM mask m CROSS JOIN (VALUES (-1,0),(1,0),(0,-1),(0,1)) AS o(dy, dx)),
+        |boundary AS (
+        |  SELECT DISTINCT n.image_id, n.y, n.x FROM nbrs n
+        |  WHERE NOT EXISTS (SELECT 1 FROM mask m2
+        |    WHERE m2.image_id = n.image_id AND m2.y = n.ny AND m2.x = n.nx)),
+        |perim AS (SELECT image_id, CAST(COUNT(*) AS DOUBLE) AS perimeter FROM boundary GROUP BY image_id),
+        |agg AS (
+        |  SELECT px.image_id,
+        |    SUM(CAST(in_mask AS BIGINT)) AS tumor_area,
+        |    COUNT(*) AS n_pixels,
+        |    COALESCE(AVG(CASE WHEN in_mask THEN CAST(v AS DOUBLE) END), 0.0) AS tumor_mean,
+        |    AVG(CASE WHEN NOT in_mask THEN CAST(v AS DOUBLE) END) AS non_tumor_mean,
+        |    COALESCE(ANY_VALUE(p.perimeter), 0.0) AS perimeter
+        |  FROM px LEFT JOIN perim p ON px.image_id = p.image_id
+        |  GROUP BY px.image_id)
+        |SELECT image_id, tumor_area, n_pixels,
+        |  ROUND(tumor_mean, 6) AS tumor_mean,
+        |  ROUND(non_tumor_mean, 6) AS non_tumor_mean,
+        |  ROUND(tumor_mean / (non_tumor_mean + 1e-6), 6) AS contrast_ratio,
+        |  ROUND(tumor_area * 1.0 / n_pixels, 6) AS size_ratio,
+        |  ROUND(4 * PI() * tumor_area / (perimeter * perimeter + 1e-6), 6) AS compactness,
+        |  ROUND(CASE WHEN tumor_area = 0 THEN 0.0 ELSE LEAST(1.0,
+        |    0.4 * LEAST(tumor_mean / (non_tumor_mean + 1e-6) / 2.0, 1.0) +
+        |    0.3 * GREATEST(0.0, 1.0 - ABS(tumor_area * 1.0 / n_pixels - 0.05) / 0.1) +
+        |    0.3 * LEAST(4 * PI() * tumor_area / (perimeter * perimeter + 1e-6), 1.0)) END, 6)
+        |    AS probability
+        |FROM agg ORDER BY image_id""".stripMargin,
+
+    "e14_region_ellipse" ->
+      """WITH mask AS (
+        |  SELECT (CAST(range AS BIGINT) // 64) // 16 AS image_id,
+        |         CAST(range AS BIGINT) // 64 AS y, range % 64 AS x
+        |  FROM range(4096) WHERE (range * 2654435761) % 256 >= 128),
+        |m AS (
+        |  SELECT image_id,
+        |    CAST(COUNT(*) AS DOUBLE) AS area,
+        |    AVG(CAST(y AS DOUBLE)) AS cy, AVG(CAST(x AS DOUBLE)) AS cx,
+        |    COVAR_POP(y, y) + 1.0/12.0 AS m20,
+        |    COVAR_POP(x, x) + 1.0/12.0 AS m02,
+        |    COVAR_POP(y, x) AS mu11
+        |  FROM mask GROUP BY image_id),
+        |e AS (
+        |  SELECT *, SQRT(POW(m20 - m02, 2) + 4.0 * POW(mu11, 2)) AS common FROM m)
+        |SELECT image_id, area, ROUND(cy, 6) AS cy, ROUND(cx, 6) AS cx,
+        |  ROUND((m20 + m02 + common) / 2.0, 6) AS l1,
+        |  ROUND((m20 + m02 - common) / 2.0, 6) AS l2,
+        |  ROUND(4.0 * SQRT((m20 + m02 + common) / 2.0), 6) AS major_axis_length,
+        |  ROUND(4.0 * SQRT(GREATEST((m20 + m02 - common) / 2.0, 0.0)), 6) AS minor_axis_length,
+        |  ROUND(CASE WHEN (m20 + m02 + common) / 2.0 > 0
+        |    THEN SQRT(1.0 - GREATEST((m20 + m02 - common) / 2.0, 0.0) / ((m20 + m02 + common) / 2.0))
+        |    ELSE 0.0 END, 6) AS eccentricity
+        |FROM e ORDER BY image_id""".stripMargin,
+
+    "d4_grayscale" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |  range % 256 AS r, (range * 3) % 256 AS g, (range * 5) % 256 AS b,
+        |  CAST(ROUND((range % 256) * CAST(0.299 AS DOUBLE) + ((range * 3) % 256) * CAST(0.587 AS DOUBLE)
+        |             + ((range * 5) % 256) * CAST(0.114 AS DOUBLE), 0) AS BIGINT) AS gray
+        |FROM range(4096) ORDER BY id""".stripMargin,
+
+    "d10_overlay" ->
+      """WITH img AS (
+        |  SELECT CAST(range AS BIGINT) // 64 AS y, range % 64 AS x,
+        |         (range * 2654435761) % 256 AS v
+        |  FROM range(4096)),
+        |mask AS (SELECT y, x, 1 AS m FROM img WHERE v >= 220)
+        |SELECT i.y, i.x, i.v,
+        |  CASE WHEN mk.m IS NOT NULL
+        |    THEN CAST(LEAST(ROUND(CAST(i.v AS DOUBLE) + 0.5 * 255.0, 0), 255.0) AS BIGINT)
+        |    ELSE i.v END AS v_overlay,
+        |  CASE WHEN mk.m IS NOT NULL THEN 255 ELSE 0 END AS mask255
+        |FROM img i LEFT JOIN mask mk ON i.y = mk.y AND i.x = mk.x
+        |ORDER BY i.y, i.x""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |        '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp FROM fp
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_analysis" ->
+      """SELECT doc_id,
+        |  LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+        |  LENGTH(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct,
+        |  ROUND(CASE WHEN LENGTH(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(regexp_extract_all(text, '\S+'), t -> LENGTH(t))) AS DOUBLE)
+        |         / LENGTH(regexp_extract_all(text, '\S+')) END, 6) AS mean_token_len,
+        |  ROUND(CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\S+')) = 0 THEN 0.0
+        |    ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\S+'),
+        |           t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |         / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END, 6) AS stopword_ratio,
+        |  ROUND(
+        |    LEAST(LENGTH(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.4 +
+        |    (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |       ELSE CAST(LENGTH(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / LENGTH(text) END) * 5.0, 1.0)) * 0.3 +
+        |    LEAST((CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\S+')) = 0 THEN 0.0
+        |    ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\S+'),
+        |           t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |         / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality,
+        |  md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank,
+        |       c_id, ROUND(cos, 6) AS cos
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "w1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+  )
 }

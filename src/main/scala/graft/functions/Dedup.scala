@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification. Built to scale: candidate
+  * generation never materializes the O(n²) pair space — pairs only exist
+  * inside LSH buckets / shared-band groups, and every stage is expressed as
+  * joins/aggregations Catalyst can plan (AQE handles bucket skew).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup on the normalized-text fingerprint: keep the smallest id
+    * per fingerprint group. Window-free alternative (min+semi-join) would
+    * need two shuffles; rank-over-window is one shuffle keyed by fp.
+    */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    docs.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ------------------------------------------------------------ shingles
+  /** Word k-shingles of the normalized text (distinct). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalizeText(text), " ")
+    val n = size(toks)
+    when(n < k, when(n > 0, array(array_join(toks, " "))).otherwise(array()))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), n - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** Explode docs into `(doc_id, shingle)` rows. */
+  def docShingles(docs: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame =
+    docs.select(id.as("doc_id"), explode(shingles(text, k)).as("shingle"))
+
+  // ------------------------------------------------------------ MinHash
+  /** MinHash signature: for seed i, h_i(doc) = min over shingles of
+    * murmur3(shingle, i). Computed as ONE hash-aggregate over the exploded
+    * shingle table (k min-aggregates evaluated together) — a single shuffle
+    * keyed by doc_id, partial-aggregated map-side, instead of k passes.
+    */
+  def minHashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
+    shingleRows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * values, hash each band, and emit `(band_idx, band_hash, doc_id)`.
+    * Docs sharing any band bucket become candidates.
+    */
+  def lshBands(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), hash(hs: _*).as("band_hash"))
+    }
+    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs from shared LSH buckets (id1 < id2,
+    * distinct). Self-join within (band_idx, band_hash) buckets — the only
+    * place pairs materialize; bucket sizes are small by construction, and
+    * AQE's skew-join split handles a hot bucket.
+    */
+  def lshCandidates(bandRows: DataFrame): DataFrame = {
+    val a = bandRows.select(col("band_idx"), col("band_hash"), col("doc_id").as("id1"))
+    val b = bandRows.select(col("band_idx"), col("band_hash"), col("doc_id").as("id2"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard for candidate pairs: join each side's shingle set
+    * size + intersection size. Only candidates pay this cost.
+    */
+  def verifyJaccard(candidates: DataFrame, shingleRows: DataFrame): DataFrame = {
+    val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(shingleRows.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+      .join(shingleRows.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1"))), Seq("id1"))
+      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2"))), Seq("id2"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
+    * candidates → exact-Jaccard filter at `threshold`.
+    */
+  def minHashDedupPairs(docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = docShingles(docs, id, text, shingleK)
+    val sig = minHashSignatures(sh, numHashes)
+    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
+    * xxhash64 values; bit b of the result = (sum > 0). Expressed as 64
+    * conditional-sum aggregates in one pass (single shuffle by doc_id).
+    */
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = docs.select(
+      id.as("doc_id"),
+      explode(regexp_extract_all(TextAnalysis.normalizeText(text), lit("\\S+"), lit(0))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4 16-bit sub-bands (any identical
+    * sub-band ⇒ candidate; guarantees recall for Hamming distance ≤ 3 by
+    * pigeonhole on 4 bands), then filter on exact Hamming distance.
+    */
+  def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("band_idx"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id1"), col("simhash").as("sh1"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id2"), col("simhash").as("sh2"))
+    a.join(b, Seq("band_idx", "band_val")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------ embeddings
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: random-hyperplane
+    * signs (deterministic pseudo-random planes from a hash of (dim, plane))
+    * bucket the vectors; exact cosine runs only within buckets.
+    */
+  def embeddingNearDups(emb: DataFrame, id: Column, vec: Column,
+      nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val keyed = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes))
+    val a = keyed.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = keyed.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side — at scale
+  * the query set is small and the corpus is the 100 TB side, so the join is
+  * a broadcast nested loop over a single corpus scan, no shuffle of the
+  * corpus). Scale path: random-hyperplane LSH bucketing so only same-bucket
+  * pairs are scored.
+  *
+  * All vector math uses `zip_with`/`aggregate` higher-order functions —
+  * evaluated per-row inside codegen, no UDF serialization.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding self-matches by id). Query side broadcasts; ranking
+    * uses a window partitioned by query id — the corpus never shuffles,
+    * only the (|Q|·k-bounded) scored pairs do.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane sign bucket: plane p's normal component for
+    * dimension d is a deterministic pseudo-random ±value derived from
+    * murmur3(d, p) — reproducible across runs with zero model state.
+    * Bucket = integer of sign bits.
+    */
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x * (pmod(hash(d, lit(p)).cast("long"), lit(2001L)).cast("double") - 1000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN top-k: queries only score against same-bucket corpus
+    * vectors. Recall is tunable via nPlanes (fewer planes → bigger buckets).
+    * The bucket equi-join shuffles by bucket id instead of broadcasting —
+    * the right shape when the query set itself is huge.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

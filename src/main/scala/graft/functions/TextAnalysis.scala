@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * All per-row column arithmetic (no UDFs, no shuffles) — at 100 TB these
+  * run map-side at scan speed, and every expression stays inside
+  * WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: number of maximal non-whitespace runs.
+    * `regexp_count`-style via extract_all so empty strings count 0. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish word/sub-token count: alphabetic runs, digit runs, and single
+    * other non-space symbols — a cheap proxy for tokenizer token counts. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation-character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("long")
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  private val StopWords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of whitespace tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val stops = filter(toks, t => t.isInCollection(StopWords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Heuristic document quality score in [0,1] — the length/punctuation/
+    * stopword shape used by pretraining-data filters (Gopher/C4-style
+    * rules, re-expressed as smooth ratios):
+    *   0.4·min(n_tokens/100, 1)            (enough content)
+    * + 0.3·(1 − min(punct_ratio·5, 1))     (not symbol soup)
+    * + 0.3·min(stopword_ratio·4, 1)        (natural-language-like)
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val punctRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / length(text))
+    least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.3 +
+      least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.3
+  }
+
+  /** Canonical normalization for fingerprinting/dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text — stable across
+    * engines (DuckDB md5 == Spark md5), used as the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+
+  /** Rolling polynomial fingerprint (Rabin-Karp shape) over normalized
+    * text, as a codegen'd expression: fold chars with h = h*31 + c mod 2^61-1.
+    * Distinct from md5: locality-free but cheap and order-sensitive.
+    */
+  def rollingHash(text: Column): Column = {
+    val M = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(
+      split(normalizeText(text), ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), M))
+  }
+
+  /** Language ID via stopword-profile voting: per language, count hits of
+    * its most-frequent function words among the doc's tokens; argmax wins,
+    * 'und' when nothing matches. N-gram-free heuristic (fastText-style
+    * profiles need model files; function-word voting is the classic
+    * lightweight approach and is pure column algebra).
+    */
+  private val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "des"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"))
+
+  def langIdScores(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    map(LangProfiles.toSeq.sortBy(_._1).flatMap { case (lang, words) =>
+      Seq(lit(lang), size(filter(toks, t => t.isInCollection(words))).cast("double"))
+    }: _*)
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    val best = array_max(map_values(scores))
+    when(best <= 0, lit("und")).otherwise(
+      // deterministic argmax: first lang (sorted keys) achieving the max
+      element_at(
+        filter(map_keys(scores), k => element_at(scores, k) === best), 1))
+  }
+
+  /** Per-document text-analysis projection over a documents table. */
+  def analyze(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      tokenCount(text).as("n_tokens"),
+      bpeishTokenCount(text).as("n_bpeish_tokens"),
+      punctCount(text).as("n_punct"),
+      round(meanTokenLen(text), 6).as("mean_token_len"),
+      round(stopwordRatio(text), 6).as("stopword_ratio"),
+      round(qualityScore(text), 6).as("quality"),
+      fingerprint(text).as("fp"),
+      langId(text).as("lang_pred"))
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's per-record scalar transforms and relational shapes,
+  * re-expressed as Catalyst column expressions (SURVEY.md §2.C/D/E/H).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` arithmetic —
+  * codegen'd by Tungsten, no UDFs — so the plans stay inside
+  * WholeStageCodegen and all filters push down to the scan.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- D1
+  /** DICOM intensity windowing (`/root/reference/dataflow_pipeline.py:30-35`):
+    * `low = wc - ww/2; high = wc + ww/2; clip; (v-low)/max(high-low,1e-6)*255`
+    * then truncate-to-uint8 (`.astype(np.uint8)` truncates toward zero on
+    * non-negative values → `floor`). Requires `ww > 0`; callers fall back to
+    * [[minMaxNormalize]] otherwise (`:37-39`).
+    */
+  def windowIntensity(v: Column, wc: Column, ww: Column): Column = {
+    val low  = wc - ww / lit(2.0)
+    val high = wc + ww / lit(2.0)
+    val clipped = least(greatest(v.cast("double"), low), high)
+    floor((clipped - low) / greatest(high - low, lit(1e-6)) * lit(255.0)).cast("long")
+  }
+
+  // ---------------------------------------------------------------- D5/E8
+  /** Per-group min-max normalize to [0,255] uint8, the windowing fallback
+    * (`/root/reference/dataflow_pipeline.py:37-39`):
+    * `(v - min) / max(max - min, 1e-6) * 255`, truncated.
+    * The per-image min/max (E8) is a window aggregate over the group —
+    * one shuffle keyed by the group column, which at 100 TB is the natural
+    * partitioning for per-image math (images are independent).
+    */
+  def minMaxNormalize(v: Column, groupBy: Column): Column = {
+    val w = Window.partitionBy(groupBy)
+    val mn = min(v.cast("double")).over(w)
+    val mx = max(v.cast("double")).over(w)
+    floor((v.cast("double") - mn) / greatest(mx - mn, lit(1e-6)) * lit(255.0)).cast("long")
+  }
+
+  // ---------------------------------------------------------------- C1/D6/D9
+  /** `'' → NULL` coercion: the reference's `str(getattr(ds, tag, "")) or None`
+    * (`/root/reference/dataflow_pipeline.py:98-101`). */
+  def nullifEmpty(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
+
+  /** sha256 identity hash, first 16 hex chars, NULL when input empty/null
+    * (`/root/reference/dataflow_pipeline.py:90-91`). Exact builtin parity:
+    * `substring(sha2(pid, 256), 1, 16)`. */
+  def patientIdHash(pid: Column): Column =
+    when(pid.isNull || pid === lit(""), lit(null))
+      .otherwise(substring(sha2(pid.cast("string").cast("binary"), 256), 1, 16))
+
+  /** Derived output URI `prefix/<stem>.png`
+    * (`/root/reference/dataflow_pipeline.py:83`, prefix rstrip'd at `:62`). */
+  def derivedUri(prefix: String, fileName: Column): Column =
+    concat(
+      lit(prefix.replaceAll("/+$", "")), lit("/"),
+      regexp_replace(fileName, "\\.[^.]*$", ""), lit(".png"))
+
+  // ---------------------------------------------------------------- E3
+  /** 50-bin histogram, `np.histogram` semantics (`/root/reference/app.py:185-208`):
+    * equal-width bins on [lo, hi], values == hi land in the LAST bin
+    * (numpy's final bin is closed). Callers supply lo/hi (numpy uses data
+    * min/max — compute with a separate agg and pass in, or use
+    * [[histogramAuto]]).
+    */
+  def histogramBin(v: Column, lo: Column, hi: Column, nBins: Int): Column = {
+    val width = (hi - lo) / lit(nBins.toDouble)
+    least(floor((v.cast("double") - lo) / width).cast("long"), lit(nBins.toLong - 1))
+  }
+
+  /** Full numpy-style histogram of a column: global [min,max] range, 50 bins,
+    * counts per bin. The min/max pass is a tiny all-reduce; the bin agg is a
+    * single hash aggregate — two scans total, no row blow-up.
+    */
+  def histogramAuto(df: DataFrame, v: Column, nBins: Int = 50): DataFrame = {
+    val bounds = df.agg(min(v.cast("double")).as("lo"), max(v.cast("double")).as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(v.cast("double").between(col("lo"), col("hi")))
+      .withColumn("bin", histogramBin(v, col("lo"), col("hi"), nBins))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  // ---------------------------------------------------------------- E5/H4
+  /** Brightest-pixel argmax with numpy's row-major first-occurrence
+    * tie-break (`/root/reference/app.py:107-113`): max `v`, then smallest
+    * `y`, then smallest `x`. Compiles to TakeOrderedAndProject — no full
+    * sort at scale.
+    */
+  def argmaxPixel(pixels: DataFrame, v: Column, y: Column, x: Column): DataFrame =
+    pixels.orderBy(v.desc, y.asc, x.asc).limit(1)
+
+  // ---------------------------------------------------------------- H1
+  /** Top-k groups by aggregate — the README's flagship analytic query shape
+    * (`/root/reference/README.md:167-172`): AVG per group, ORDER BY DESC
+    * LIMIT k. Tie-broken on the group key for determinism (H3 note in
+    * SURVEY §7.3). Physical plan: partial+final HashAggregate, then
+    * TakeOrderedAndProject (no global sort).
+    */
+  def topKByAvg(df: DataFrame, group: Column, v: Column, k: Int, aggName: String): DataFrame =
+    df.groupBy(group)
+      .agg(avg(v).as(aggName), count(lit(1)).as("n"))
+      .orderBy(col(aggName).desc, group.asc)
+      .limit(k)
+
+  // ---------------------------------------------------------------- H2
+  /** Latest-n rows by timestamp (`/root/reference/README.md:175-178`),
+    * tie-broken by id. */
+  def latestN(df: DataFrame, ts: Column, tieBreak: Column, n: Int): DataFrame =
+    df.orderBy(ts.desc, tieBreak.desc).limit(n)
+
+  // ---------------------------------------------------------------- A5/C2/C6/H3
+  /** Object-listing shape (`/root/reference/gcp_utils.py:21-26`):
+    * case-insensitive suffix filter then limit. The reference's limit is
+    * storage-listing order; we sort on the name for determinism
+    * (SURVEY §7.3 non-determinism traps).
+    */
+  def listingSuffixLimit(df: DataFrame, name: Column, suffix: String, limit: Int): DataFrame =
+    df.filter(lower(name).endsWith(suffix.toLowerCase))
+      .orderBy(name.asc)
+      .limit(limit)
+
+  // ---------------------------------------------------------------- D4
+  /** RGB→grayscale weighted sum (`/root/reference/utils.py:100-103` via
+    * cv2.COLOR_RGB2GRAY): `0.299 R + 0.587 G + 0.114 B`, rounded to nearest
+    * (OpenCV rounds); returns uint8-ish long. */
+  def grayscale(r: Column, g: Column, b: Column): Column =
+    round(r.cast("double") * 0.299 + g.cast("double") * 0.587 + b.cast("double") * 0.114, 0)
+      .cast("long")
+
+  // ---------------------------------------------------------------- D13
+  /** Binarize mask to {0,255} (`/root/reference/advanced_metrics.py:51-52`). */
+  def binarize255(v: Column): Column = when(v > 0, lit(255L)).otherwise(lit(0L))
+
+  // ---------------------------------------------------------------- D10
+  /** Overlay blend, relational form (`/root/reference/utils.py:66-76`):
+    * `cv2.addWeighted(rgb, 1, overlay, alpha, 0)` is an ADDITIVE, saturating
+    * blend — `min(v + alpha*color, 255)` on in-mask pixels (then rounded as
+    * OpenCV does). Expressed as a left join image⋈mask on coordinates; the
+    * mask side is tiny relative to the image → broadcast.
+    */
+  def overlayChannel(v: Column, inMask: Column, colorChannel: Double, alpha: Double): Column =
+    when(inMask, least(round(v.cast("double") + lit(alpha * colorChannel), 0), lit(255.0)).cast("long"))
+      .otherwise(v.cast("long"))
+
+  // ---------------------------------------------------------------- synthetic pixels
+  /** Deterministic synthetic image in long format `(y, x, v)` built from
+    * `range(h*w)` — identical arithmetic is reproducible in the DuckDB
+    * oracle (`FROM range(...)`), giving pixel-exact golden tests without
+    * image fixtures on disk. v = (id*2654435761) mod 256 XOR-free variant:
+    * stays within builtin integer ops both engines share.
+    */
+  def syntheticImage(spark: SparkSession, h: Int, w: Int): DataFrame = {
+    spark.range(h.toLong * w)
+      .select(
+        expr(s"id div $w").as("y"),
+        (col("id") % w).cast("long").as("x"),
+        ((col("id") * 2654435761L) % 256).cast("long").as("v"))
+  }
+}
