@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract run per-partition in batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[stubDecodeImage]]) — the Spark-side
+  * contract (schema, batch iteration, partitioning, output shape) is real
+  * and tested, and a real codec drops into the same seam.
+  *
+  * Scale notes: payloads stay off the driver; feature extraction is a
+  * narrow mapPartitions (no shuffle); downstream joins key on `media_id`
+  * so a repartition on ingest is the only wide stage.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),      // image | audio | video
+    StructField("payload", BinaryType),                      // opaque encoded bytes
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("source", StringType))))))
+
+  /** Build a media table from the documents fixture: each doc's text bytes
+    * stand in for an encoded payload (deterministic; real ingest would read
+    * `binaryFile`). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /** STUB image decode: deterministic fake (width/height/channel stats from
+    * a rolling hash of the payload). Replace with a real codec here — the
+    * signature (bytes → fixed feature struct) is the seam. */
+  def stubDecodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val width = 16 + math.floorMod(h, 241).toInt
+    val height = 16 + math.floorMod(h >> 8, 241).toInt
+    val meanPx = math.floorMod(h >> 16, 256).toDouble
+    (width, height, meanPx)
+  }
+
+  /** Per-partition batched feature extraction (the mapInPandas shape in
+    * Scala: one iterator pass, setup amortized per partition). Emits a flat
+    * feature row per media item.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+    rows.mapPartitions { it =>
+      // per-partition setup (codec init) would go here
+      it.map { case (id, kind, payload) =>
+        val bytes = if (payload == null) Array.emptyByteArray else payload
+        val (w, h, mean) = stubDecodeImage(bytes)
+        (id, kind, bytes.length.toLong, w, h, mean)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "width", "height", "mean_px")
+  }
+
+  /** Frame sampling for video-kind media: deterministic every-nth-byte
+    * "frames" (stub), showing the 1→N explode shape (each frame its own row
+    * for downstream per-frame featurization). */
+  def sampleFrames(media: DataFrame, everyN: Int = 64): DataFrame = {
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(split(base64(col("payload")), s"(?<=\\G.{$everyN})")).as(Seq("frame_idx", "frame_b64")))
+      .filter(length(col("frame_b64")) > 0)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.kernels
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G1/G2 — region-growing segmentation (`/root/reference/region_growing.py`).
+  *
+  * Two implementations, cross-checked in tests (SURVEY.md §5.4):
+  *
+  *  1. [[exact]] — faithful per-image BFS including the reference's quirks:
+  *     admission criterion vs the SEED value (not region mean,
+  *     `region_growing.py:86-87`); `max_iterations` counts DEQUEUED pixels,
+  *     not BFS depth (`:67,92`); seed always in mask (`:64`); out-of-bounds
+  *     seed throws (`:39-41`); morphological open(3×3)+close(5×5) post-pass
+  *     (`:95-96`). Runs inside a UDF — parallel ACROSS images.
+  *  2. [[frontierJoin]] — distributed Pregel-style frontier iteration over
+  *     long-format pixels, for segmenting images too large for one task.
+  *     Converges to the full connected region (no dequeue cap — documented
+  *     divergence; with maxIterations=∞ and no post-pass the two agree).
+  */
+object RegionGrowing {
+
+  /** Exact BFS. `img` is grayscale 0..255 (row-major), returns 0/1 mask.
+    * `postProcess=false` skips the open/close pass (for cross-checks). */
+  def exact(img: Array[Int], h: Int, w: Int, seedY: Int, seedX: Int,
+      threshold: Double = 0.1, connectivity: Int = 8, maxIterations: Int = 100,
+      postProcess: Boolean = true): Array[Int] = {
+    if (seedY < 0 || seedY >= h || seedX < 0 || seedX >= w)
+      throw new IllegalArgumentException(
+        s"Seed point ($seedY, $seedX) is outside image bounds (${h}x$w)")
+    val offsets: Array[(Int, Int)] =
+      if (connectivity == 4) Array((-1, 0), (0, 1), (1, 0), (0, -1))
+      else Array((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+    val seedNorm = img(seedY * w + seedX).toDouble / 255.0
+    val mask = new Array[Int](h * w)
+    val queue = new java.util.ArrayDeque[Int]()
+    queue.add(seedY * w + seedX)
+    mask(seedY * w + seedX) = 1
+    var iterations = 0
+    while (!queue.isEmpty && iterations < maxIterations) {
+      val cur = queue.poll()
+      val cy = cur / w; val cx = cur % w
+      var i = 0
+      while (i < offsets.length) {
+        val ny = cy + offsets(i)._1; val nx = cx + offsets(i)._2
+        if (ny >= 0 && ny < h && nx >= 0 && nx < w && mask(ny * w + nx) == 0) {
+          val nv = img(ny * w + nx).toDouble / 255.0
+          if (math.abs(nv - seedNorm) <= threshold) {
+            mask(ny * w + nx) = 1
+            queue.add(ny * w + nx)
+          }
+        }
+        i += 1
+      }
+      iterations += 1
+    }
+    if (postProcess) ImageKernels.openClose(mask, h, w) else mask
+  }
+
+  /** G2 — adaptive thresholding loop (`region_growing.py:100-147`):
+    * grow threshold by 0.05 while region < 0.5% of pixels (up to maxThreshold);
+    * if region > 30%, reset and shrink by 0.01 while > 30% and θ > 0.01.
+    * Pure driver-side control flow re-invoking G1.
+    */
+  def adaptive(img: Array[Int], h: Int, w: Int, seedY: Int, seedX: Int,
+      initialThreshold: Double = 0.1, maxThreshold: Double = 0.3,
+      connectivity: Int = 8, maxIterations: Int = 100): Array[Int] = {
+    val minSize = h * w * 0.005
+    val maxSize = h * w * 0.3
+    var theta = initialThreshold
+    var mask = exact(img, h, w, seedY, seedX, theta, connectivity, maxIterations)
+    var size = mask.sum
+    while (size < minSize && theta < maxThreshold) {
+      theta += 0.05
+      mask = exact(img, h, w, seedY, seedX, theta, connectivity, maxIterations)
+      size = mask.sum
+    }
+    if (size > maxSize) {
+      theta = initialThreshold
+      while (size > maxSize && theta > 0.01) {
+        theta -= 0.01
+        mask = exact(img, h, w, seedY, seedX, theta, connectivity, maxIterations)
+        size = mask.sum
+      }
+    }
+    mask
+  }
+
+  /** Distributed frontier iteration over long-format pixels
+    * `(image_id, y, x, v)` with per-image seeds `(image_id, seed_y, seed_x)`.
+    *
+    * Each round: frontier ⋈ admissible-neighbour pixels, minus visited.
+    * The admissible set (|v/255 − seed/255| ≤ θ) is precomputed ONCE and
+    * cached per loop — each iteration is one shuffle-join keyed by
+    * coordinates. `localCheckpoint` after each round cuts the growing
+    * lineage (SURVEY.md §4 "iterative frontier loop"). Scales to images far
+    * beyond single-task memory; at 1000 executors the join partitions by
+    * (image_id, y, x) so every image's frontier expands in parallel.
+    *
+    * Returns the converged mask `(image_id, y, x)` (no iteration cap, no
+    * morphology — see class doc).
+    */
+  def frontierJoin(pixels: DataFrame, seeds: DataFrame, threshold: Double,
+      connectivity: Int = 8, maxRounds: Int = 10000): DataFrame = {
+    val offsets =
+      if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
+      else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+
+    // seed values → admissible pixel set for each image (one broadcast join)
+    val seedVals = seeds.join(pixels,
+        seeds("image_id") === pixels("image_id") &&
+        seeds("seed_y") === pixels("y") && seeds("seed_x") === pixels("x"))
+      .select(pixels("image_id"), pixels("v").as("seed_v"))
+    val admissible = pixels.join(broadcast(seedVals), "image_id")
+      .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
+      .select(col("image_id"), col("y"), col("x"))
+      .localCheckpoint()
+
+    var visited = seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x"))
+      .localCheckpoint()
+    var frontier = visited
+    var round = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && round < maxRounds) {
+      val expanded = frontier.select(col("image_id"),
+          explode(array(offsets.map { case (dy, dx) =>
+            struct((col("y") + dy).as("y"), (col("x") + dx).as("x"))
+          }: _*)).as("n"))
+        .select(col("image_id"), col("n.y"), col("n.x"))
+        .distinct()
+      val admitted = expanded.join(admissible, Seq("image_id", "y", "x"), "left_semi")
+      val newFrontier = admitted.join(visited, Seq("image_id", "y", "x"), "left_anti")
+        .localCheckpoint()
+      frontierSize = newFrontier.count()
+      if (frontierSize > 0) {
+        visited = visited.union(newFrontier).localCheckpoint()
+      }
+      frontier = newFrontier
+      round += 1
+    }
+    visited
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.ImageKernels
+import graft.model.SliceRecord
+
+/** M3 — full pipeline parity: the reference's Beam job
+  * (`/root/reference/dataflow_pipeline.py:60-141`) as ONE Spark program:
+  * scan → per-image decode/window/enhance/stats (fused in a single
+  * mapPartitions, as the reference fuses them inside `DoFn.process`) →
+  * slice-record table → append sink.
+  *
+  * The container has no DICOM codec (and the driver testdata has no DICOM
+  * files), so decode is a STUB: a deterministic synthetic pixel array +
+  * tag bag derived from the input id. The Spark-side plumbing — schema,
+  * per-partition setup, windowing/enhance/stats math, ''→NULL semantics,
+  * drop-on-failure flatMap — is real and matches the reference line-by-line.
+  */
+object SlicePipeline {
+
+  /** Stand-in for a decoded DICOM: pixel array + tag map. Tags are absent
+    * with deterministic probability to exercise the NULL paths
+    * (`dataflow_pipeline.py:90-101`). */
+  case class DecodedImage(
+      fileName: String,
+      path: String,
+      h: Int, w: Int,
+      pixels: Array[Double],
+      tags: Map[String, String])
+
+  /** STUB decode (`pydicom.dcmread` equivalent, `dataflow_pipeline.py:72-73`).
+    * Deterministic fake: pixels from a hash-gradient; every 7th image lacks
+    * window tags (→ min-max fallback), every 11th lacks PatientID (→ NULL
+    * hash), every 13th has a MultiValue window center "[c, c+10]" (→ first
+    * element, `dataflow_pipeline.py:25-26`). */
+  def stubDecode(id: Long, h: Int = 32, w: Int = 32): DecodedImage = {
+    val px = Array.tabulate(h * w) { i =>
+      val y = i / w; val x = i % w
+      ((id * 131 + y * 17 + x * 7) % 4096).toDouble // 12-bit-ish raw range
+    }
+    val base = Map(
+      "StudyInstanceUID" -> s"study_${id % 10}",
+      "SeriesInstanceUID" -> s"series_${id % 25}",
+      "SOPInstanceUID" -> s"sop_$id",
+      "Modality" -> (if (id % 3 == 0) "CT" else "MR"))
+    val withPid = if (id % 11 == 0) base else base + ("PatientID" -> s"patient_${id % 50}")
+    val withWin =
+      if (id % 7 == 0) withPid
+      else if (id % 13 == 0) withPid + ("WindowCenter" -> s"[${1000 + id % 500}, ${1010 + id % 500}]",
+        "WindowWidth" -> s"[${400 + id % 200}, ${410 + id % 200}]")
+      else withPid + ("WindowCenter" -> s"${1000 + id % 500}", "WindowWidth" -> s"${400 + id % 200}")
+    DecodedImage(f"img_$id%06d.dcm", s"raw/img_$id%06d.dcm", h, w, px, withWin)
+  }
+
+  /** First element of a possibly MultiValue tag (`dataflow_pipeline.py:25-26`). */
+  private def tagToDouble(v: String): Option[Double] = {
+    val first = if (v.startsWith("[")) v.stripPrefix("[").split(",").head.trim else v.trim
+    try Some(first.toDouble) catch { case _: NumberFormatException => None }
+  }
+
+  /** The DoFn body (`dataflow_pipeline.py:68-110`), one image → 0..1 records:
+    * windowing (D1) → CLAHE (D2) → Gaussian σ=0.5 (D3) → mean/std (E1/E2,
+    * population std) → 15-field row with ''→NULL coercion and sha256[0:16]
+    * patient hash. Encode failure (stub: never) drops the record (C3).
+    */
+  def processImage(img: DecodedImage, processedPrefix: String): Option[SliceRecord] = {
+    val wc = img.tags.get("WindowCenter").flatMap(tagToDouble)
+    val ww = img.tags.get("WindowWidth").flatMap(tagToDouble)
+    val windowed = ImageKernels.applyWindowing(img.pixels, wc, ww)
+    val usedWindow = wc.isDefined && ww.exists(_ > 0)
+    // _enhance_for_export (dataflow_pipeline.py:42-46): CLAHE then blur σ=0.5
+    val enhanced0 = ImageKernels.clahe(windowed, img.h, img.w)
+    val enhanced = ImageKernels.gaussianBlur(enhanced0.map(_.toDouble), img.h, img.w, 0.5)
+      .map(v => math.min(math.max(math.round(v).toInt, 0), 255))
+    val n = enhanced.length.toDouble
+    val mean = enhanced.map(_.toDouble).sum / n
+    val variance = enhanced.map(v => (v - mean) * (v - mean)).sum / n // ddof=0
+    val pid = img.tags.getOrElse("PatientID", "")
+    val pidHash =
+      if (pid.isEmpty) None
+      else Some(java.security.MessageDigest.getInstance("SHA-256")
+        .digest(pid.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+    def nn(tag: String): Option[String] = img.tags.get(tag).filter(_.nonEmpty)
+    val stem = img.fileName.replaceAll("\\.[^.]*$", "")
+    Some(SliceRecord(
+      file_name = img.fileName,
+      gcs_uri_raw = img.path,
+      gcs_uri_processed = s"${processedPrefix.replaceAll("/+$", "")}/$stem.png",
+      patient_id_hash = pidHash,
+      study_uid = nn("StudyInstanceUID"),
+      series_uid = nn("SeriesInstanceUID"),
+      sop_instance_uid = nn("SOPInstanceUID"),
+      modality = nn("Modality"),
+      rows = Some(img.h.toLong),
+      cols = Some(img.w.toLong),
+      mean_intensity = Some(mean),
+      std_intensity = Some(math.sqrt(variance)),
+      window_center = if (usedWindow) wc else None,
+      window_width = if (usedWindow) ww else None,
+      processed_at = new java.sql.Timestamp(0L) // deterministic stand-in for D7 wall-clock
+    ))
+  }
+
+  /** The whole pipeline: ids stand in for matched files (A1). One narrow
+    * mapPartitions — no shuffle, exactly like the reference's fused ParDo
+    * chain (SURVEY.md §3.1: "map-only in both systems").
+    */
+  def run(spark: SparkSession, nImages: Int, processedPrefix: String = "out/processed")
+      : Dataset[SliceRecord] = {
+    import spark.implicits._
+    spark.range(nImages.toLong)
+      .mapPartitions { it =>
+        // per-partition setup ≙ DoFn.setup (dataflow_pipeline.py:65-66)
+        it.flatMap(id => processImage(stubDecode(id), processedPrefix))
+      }
+  }
+
+  /** Append-sink form (B2): `WRITE_APPEND` + create-if-needed ≙ parquet
+    * append. */
+  def runAndAppend(spark: SparkSession, nImages: Int, outPath: String): Unit =
+    run(spark, nImages).write.mode("append").parquet(outPath)
+
+  /** Analytic view over the slice table — the README's BigQuery examples
+    * (`/root/reference/README.md:167-178`) as engine-native queries. */
+  def avgIntensityByStudy(records: DataFrame, k: Int = 50): DataFrame =
+    records.groupBy(col("study_uid"))
+      .agg(round(avg(col("mean_intensity")), 6).as("avg_intensity"), count(lit(1)).as("n_images"))
+      .orderBy(col("avg_intensity").desc, col("study_uid"))
+      .limit(k)
+}
