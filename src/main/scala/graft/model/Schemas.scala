@@ -32,10 +32,12 @@ object Schemas {
     * internals); handles the flat field objects the reference uses.
     */
   def bqJsonToStructType(json: String): StructType = {
+    // "mode" is optional in BQ schema JSON (absent → NULLABLE)
     val fieldRe =
-      """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"\s*,\s*"mode"\s*:\s*"([^"]+)"\s*\}""".r
+      """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"\s*(?:,\s*"mode"\s*:\s*"([^"]+)"\s*)?\}""".r
     val fields = fieldRe.findAllMatchIn(json).map { m =>
-      StructField(m.group(1), bqTypeToSpark(m.group(2)), nullable = m.group(3).toUpperCase != "REQUIRED")
+      val mode = Option(m.group(3)).map(_.toUpperCase).getOrElse("NULLABLE")
+      StructField(m.group(1), bqTypeToSpark(m.group(2)), nullable = mode != "REQUIRED")
     }.toArray
     require(fields.nonEmpty, "no fields parsed from BQ schema JSON")
     StructType(fields)

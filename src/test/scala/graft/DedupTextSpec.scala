@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, TextAnalysis}
+
+/** North-star dedup + text-analysis operators (SURVEY.md §2.I, BASELINE.json
+  * north_star). */
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps the smallest id per normalized fingerprint") {
+    val docs = Seq(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 is a near-exact dup of 1 after normalization
+  }
+
+  test("shingles: k-word shingles, short docs fall back to whole text") {
+    val sh = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("MinHash-LSH finds exact and near duplicates, skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup
+      (3L, base + " tonight"), // near dup
+      (4L, "completely unrelated content about spark query planning internals"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+      numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("SimHash: identical docs have distance 0; hamming blocked pairs returned") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zx9 qq7 kk3 mm1")).toDF("doc_id", "text")
+    val sims = Dedup.simHash(docs, col("doc_id"), col("text"))
+    val pairs = Dedup.simHashPairs(sims, maxHamming = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("token counts, punctuation, mean token length") {
+    val r = Seq("Hi,  world! 42").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("b"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.meanTokenLen(col("text")).as("m")).head()
+    assert(r.getLong(0) == 3)      // "Hi,", "world!", "42"
+    assert(r.getLong(1) == 5)      // Hi , world ! 42
+    assert(r.getLong(2) == 2)      // , !
+    assert(math.abs(r.getDouble(3) - (3 + 6 + 2) / 3.0) < 1e-9) // "Hi," "world!" "42"
+  }
+
+  test("empty document: all counts 0, no NaN") {
+    val r = Seq("").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.meanTokenLen(col("text")).as("m"),
+      TextAnalysis.stopwordRatio(col("text")).as("s"),
+      TextAnalysis.qualityScore(col("text")).as("q")).head()
+    assert(r.getLong(0) == 0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(!r.getDouble(3).isNaN)
+  }
+
+  test("stopword ratio and quality score bounds") {
+    val df = Seq("the cat sat on the mat", "xq zzkrv 9913 @@@@").toDF("text")
+      .select(TextAnalysis.stopwordRatio(col("text")).as("s"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 3.0 / 6) < 1e-9) // the, on, the
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(rows(0).getDouble(1) > rows(1).getDouble(1)) // english beats symbol soup
+  }
+
+  test("fingerprint is case/punctuation-insensitive; rollingHash is order-sensitive") {
+    val df = Seq(("Hello, World", "hello world", "world hello")).toDF("a", "b", "c")
+      .select(TextAnalysis.fingerprint(col("a")).as("fa"),
+        TextAnalysis.fingerprint(col("b")).as("fb"),
+        TextAnalysis.rollingHash(col("a")).as("ra"),
+        TextAnalysis.rollingHash(col("c")).as("rc")).head()
+    assert(df.getString(0) == df.getString(1))
+    assert(df.getLong(2) != df.getLong(3))
+  }
+
+  test("langId votes by stopword profile; no hits → 'und'") {
+    val df = Seq(
+      "the cat and the dog are in the house",
+      "el perro y el gato en la casa de los vecinos",
+      "zzz qqq 123").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l")).as[String].collect()
+    assert(df.toSeq == Seq("en", "es", "und"))
+  }
+}

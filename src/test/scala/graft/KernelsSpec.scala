@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.{Contours, ImageKernels, Ssim}
+
+/** Pure-JVM kernel semantics: D1-dense/D2/D3/D11-D14, E12/E13/E15
+  * (reference: `/root/reference/dataflow_pipeline.py`, `advanced_metrics.py`,
+  * `evaluation.py:26-32`). */
+class KernelsSpec extends AnyFunSuite {
+
+  test("D1 dense windowing: tag path and min-max fallback") {
+    val img = Array(50.0, 60.0, 100.0, 140.0, 200.0)
+    val w = ImageKernels.applyWindowing(img, Some(100.0), Some(80.0))
+    assert(w.toSeq == Seq(0, 0, 127, 255, 255))
+    // no tags → min-max normalize: 50→0, 200→255
+    val f = ImageKernels.applyWindowing(img, None, None)
+    assert(f.head == 0 && f.last == 255)
+    // ww <= 0 → fallback too (dataflow_pipeline.py:30 requires ww>0)
+    assert(ImageKernels.applyWindowing(img, Some(100.0), Some(0.0)).toSeq == f.toSeq)
+    // constant image: epsilon guard, all zeros, no NaN
+    assert(ImageKernels.applyWindowing(Array(7.0, 7.0), None, None).toSeq == Seq(0, 0))
+  }
+
+  test("D3 Gaussian blur: preserves constant images, mass, and sigma<=0 is identity") {
+    val flat = Array.fill(64)(42.0)
+    assert(ImageKernels.gaussianBlur(flat, 8, 8, 1.5).forall(v => math.abs(v - 42.0) < 1e-9))
+    val img = Array.tabulate(64)(_.toDouble)
+    assert(ImageKernels.gaussianBlur(img, 8, 8, 0.0).toSeq == img.toSeq)
+    // kernel normalized → blur of any image keeps values within [min,max]
+    val b = ImageKernels.gaussianBlur(img, 8, 8, 0.5)
+    assert(b.forall(v => v >= -1e-9 && v <= 63.0 + 1e-9))
+  }
+
+  test("D2 CLAHE: output in [0,255], constant image stays constant-ish") {
+    val img = Array.tabulate(256)(i => (i % 16) * 16)
+    val out = ImageKernels.clahe(img, 16, 16)
+    assert(out.forall(v => v >= 0 && v <= 255))
+    assert(out.length == 256)
+  }
+
+  test("D12 Sobel magnitude: zero on constant interior, positive on an edge") {
+    val flat = Array.fill(49)(100.0)
+    val s = ImageKernels.sobelMagnitude(flat, 7, 7)
+    assert(s.forall(v => math.abs(v) < 1e-9))
+    val edge = Array.tabulate(49)(i => if (i % 7 < 3) 0.0 else 255.0)
+    val se = ImageKernels.sobelMagnitude(edge, 7, 7)
+    assert(se(3 * 7 + 3) > 0) // column 3 sits on the step
+  }
+
+  test("D14 erode/dilate/open-close on a small mask") {
+    val mask = Array.fill(49)(0)
+    for { y <- 1 to 5; x <- 1 to 5 } mask(y * 7 + x) = 1 // 5x5 block
+    val er = ImageKernels.erode(mask, 7, 7, 3)
+    assert(er.sum == 9) // 3x3 core survives
+    val di = ImageKernels.dilate(er, 7, 7, 3)
+    assert(di.sum == 25) // opening restores the 5x5 block exactly
+    // single pixel is wiped out by open(3x3)
+    val dot = Array.fill(49)(0); dot(24) = 1
+    assert(ImageKernels.openClose(dot, 7, 7).sum == 0)
+  }
+
+  test("D11 Butterworth high-pass: flattens a constant image to ~0 contrast") {
+    val flat = Array.fill(64)(128.0)
+    val out = ImageKernels.butterworth(flat, 8, 8, cutoff = 4, order = 2, highPass = true)
+    assert(out.forall(v => v >= 0 && v <= 255))
+  }
+
+  test("E15 perimeter: contour arc length of a 3x3 block = 8, single pixel = 0") {
+    val mask = Array.fill(25)(0)
+    for { y <- 1 to 3; x <- 1 to 3 } mask(y * 5 + x) = 1
+    assert(math.abs(Contours.perimeter(mask, 5, 5) - 8.0) < 1e-9)
+    val dot = Array.fill(25)(0); dot(12) = 1
+    assert(Contours.perimeter(dot, 5, 5) == 0.0)
+    assert(Contours.perimeter(Array.fill(25)(0), 5, 5) == 0.0)
+  }
+
+  test("E14 solidity: convex shape = 1") {
+    val mask = Array.fill(49)(0)
+    for { y <- 1 to 4; x <- 1 to 4 } mask(y * 7 + x) = 1
+    assert(math.abs(Contours.solidity(mask, 7, 7) - 1.0) < 1e-9)
+  }
+
+  test("E12 SSIM: identical images = 1, different images < 1") {
+    val a = Array.tabulate(64)(i => (i * 37 % 256).toDouble)
+    assert(math.abs(Ssim.ssim(a, a, 8, 8) - 1.0) < 1e-9)
+    val b = a.map(v => 255.0 - v)
+    assert(Ssim.ssim(a, b, 8, 8) < 0.5)
+  }
+
+  test("E13 BF score no-GT fallback = sum(filtered_edges)/(size*255)") {
+    val mask = Array.fill(64)(0)
+    for { y <- 2 to 5; x <- 2 to 5 } mask(y * 8 + x) = 1
+    val s = Ssim.bfScore(mask, None, 8, 8)
+    assert(s >= 0.0 && s <= 1.0)
+    // all-zero mask → no edges → 0
+    assert(Ssim.bfScore(Array.fill(64)(0), None, 8, 8) == 0.0)
+  }
+}

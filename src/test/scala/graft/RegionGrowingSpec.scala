@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.RegionGrowing
+
+/** G1/G2 semantics incl. the reference's quirks
+  * (`/root/reference/region_growing.py:6-147`), plus the exact-vs-distributed
+  * cross-check required by SURVEY.md §5.4. */
+class RegionGrowingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 5x5: a bright plus-shape (200) on dark background (10), diagonal pixel at corner
+  private val h = 5; private val w = 5
+  private val img: Array[Int] = {
+    val a = Array.fill(h * w)(10)
+    Seq((1, 2), (2, 1), (2, 2), (2, 3), (3, 2)).foreach { case (y, x) => a(y * w + x) = 200 }
+    a(0) = 200 // corner pixel, unreachable from the plus-shape by 4-connectivity
+    a
+  }
+
+  test("seed always in mask; growth admits |v/255 - seed/255| <= threshold vs SEED") {
+    val m = RegionGrowing.exact(img, h, w, 2, 2, threshold = 0.05,
+      connectivity = 4, maxIterations = 1000, postProcess = false)
+    val got = (for { y <- 0 until h; x <- 0 until w if m(y * w + x) == 1 } yield (y, x)).toSet
+    assert(got == Set((1, 2), (2, 1), (2, 2), (2, 3), (3, 2))) // plus-shape, corner unreachable by 4-conn
+  }
+
+  test("8-connectivity reaches diagonals that 4-connectivity cannot") {
+    val diag = Array.fill(9)(10)
+    diag(0) = 200; diag(4) = 200 // (0,0) and (1,1)
+    val m4 = RegionGrowing.exact(diag, 3, 3, 0, 0, 0.05, 4, 1000, postProcess = false)
+    val m8 = RegionGrowing.exact(diag, 3, 3, 0, 0, 0.05, 8, 1000, postProcess = false)
+    assert(m4.sum == 1 && m8.sum == 2)
+  }
+
+  test("max_iterations counts DEQUEUED pixels, not BFS depth (region_growing.py:67,92)") {
+    // constant image: everything admissible. cap=1 → only the seed is dequeued,
+    // its neighbors are admitted to the mask but never expanded.
+    val flat = Array.fill(25)(100)
+    val m = RegionGrowing.exact(flat, 5, 5, 2, 2, 0.1, 4, maxIterations = 1, postProcess = false)
+    assert(m.sum == 5) // seed + its 4 admitted neighbors
+  }
+
+  test("out-of-bounds seed throws (region_growing.py:39-41)") {
+    intercept[IllegalArgumentException] {
+      RegionGrowing.exact(img, h, w, -1, 0)
+    }
+  }
+
+  test("G2 adaptive: threshold grows until region >= 0.5% of pixels") {
+    // seed=100 surrounded by a 150-ring (diff 50/255 ≈ 0.196) on a 255
+    // background: θ=0.1 and 0.15 give a lone seed (wiped by open/close →
+    // size 0 < 0.5%), θ=0.2 admits the 3x3 blob, which is in [0.5%, 30%].
+    val a = Array.fill(100)(255)
+    for { y <- 4 to 6; x <- 4 to 6 } a(y * 10 + x) = 150
+    a(5 * 10 + 5) = 100
+    val m = RegionGrowing.adaptive(a, 10, 10, 5, 5, initialThreshold = 0.1,
+      maxThreshold = 0.5, maxIterations = 100000)
+    assert(m.sum == 9) // escalated threshold captured the whole blob
+  }
+
+  test("frontierJoin agrees with exact (no cap, no post-process) — SURVEY §5.4 cross-check") {
+    val pixels = (for { y <- 0 until h; x <- 0 until w }
+      yield (1L, y, x, img(y * w + x))).toDF("image_id", "y", "x", "v")
+    val seeds = Seq((1L, 2, 2)).toDF("image_id", "seed_y", "seed_x")
+    val dist = RegionGrowing.frontierJoin(pixels, seeds, threshold = 0.05, connectivity = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    val exact = RegionGrowing.exact(img, h, w, 2, 2, 0.05, 4, Int.MaxValue, postProcess = false)
+    val exactSet = (for { y <- 0 until h; x <- 0 until w if exact(y * w + x) == 1 } yield (y, x)).toSet
+    assert(dist == exactSet)
+  }
+}

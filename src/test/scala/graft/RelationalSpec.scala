@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** D1/D4/D5/D6/C1/E3/E5/H1 column-expression semantics
+  * (reference: `/root/reference/dataflow_pipeline.py`, `app.py`). */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("D1 windowing: clip, scale, truncate (wc=100, ww=80)") {
+    val df = Seq(50.0, 60.0, 100.0, 140.0, 200.0).toDF("v")
+      .select(Relational.windowIntensity(col("v"), lit(100.0), lit(80.0)).as("w"))
+    // low=60, high=140: 50→0 (clipped), 60→0, 100→floor(127.5)=127, 140→255, 200→255
+    assert(df.as[Long].collect().toSeq == Seq(0L, 0L, 127L, 255L, 255L))
+  }
+
+  test("D5 min-max normalize: constant group guarded by epsilon (no div-by-zero)") {
+    val df = Seq(("a", 7.0), ("a", 7.0), ("b", 0.0), ("b", 255.0)).toDF("g", "v")
+      .select(col("g"), Relational.minMaxNormalize(col("v"), col("g")).as("n"))
+    val m = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // constant group → (v-min)=0 → 0; b spans 0..255 → 0 and 255
+    assert(m == Seq(("a", 0L), ("a", 0L), ("b", 0L), ("b", 255L)))
+  }
+
+  test("D6 patient hash: sha256 prefix, '' and NULL → NULL") {
+    val df = Seq(Some("abc"), Some(""), None).toDF("pid")
+      .select(Relational.patientIdHash(col("pid")).as("h"))
+    val out = df.collect().map(r => Option(r.getString(0)))
+    // sha256("abc") = ba7816bf8f01cfea414140de5dae2223...
+    assert(out(0).contains("ba7816bf8f01cfea"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("C1 nullifEmpty coerces '' to NULL and keeps values") {
+    val df = Seq("x", "").toDF("s").select(Relational.nullifEmpty(col("s")).as("s"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq == Seq(Some("x"), None))
+  }
+
+  test("D9 derived URI strips extension and trailing prefix slashes") {
+    val df = Seq("scan.v2.dcm").toDF("f")
+      .select(Relational.derivedUri("out/processed//", col("f")).as("u"))
+    assert(df.as[String].head() == "out/processed/scan.v2.png")
+  }
+
+  test("D4 grayscale: OpenCV weights, rounded") {
+    val df = Seq((100, 100, 100), (255, 0, 0)).toDF("r", "g", "b")
+      .select(Relational.grayscale(col("r"), col("g"), col("b")).as("gy"))
+    assert(df.as[Long].collect().toSeq == Seq(100L, 76L)) // 255*0.299=76.245→76
+  }
+
+  test("E3 histogram: numpy closed last bin") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Relational.histogramAuto(df, col("v"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // width 10: bins 0..8 get 10 each, last bin [90,100] closed gets 11
+    assert(h(0L) == 10L && h(9L) == 11L && h.values.sum == 101L)
+  }
+
+  test("E5 argmax: row-major first-occurrence tie-break") {
+    val df = Seq((0, 5, 9), (1, 1, 9), (1, 0, 9)).toDF("y", "x", "v")
+    val r = Relational.argmaxPixel(df, col("v"), col("y"), col("x")).head()
+    assert((r.getInt(0), r.getInt(1)) == (0, 5))
+  }
+
+  test("D13 binarize255 and D10 overlay saturate") {
+    val df = Seq((250L, true), (10L, false)).toDF("v", "m")
+      .select(Relational.overlayChannel(col("v"), col("m"), 255.0, 0.5).as("o"),
+        Relational.binarize255(col("v")).as("b"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == 255L) // 250+127.5 saturates
+    assert(rows(1).getLong(0) == 10L)  // out-of-mask unchanged
+    assert(rows(0).getLong(1) == 255L && rows(1).getLong(1) == 255L)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** ANN / cosine similarity operators (north-star; SURVEY.md §2.I). */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical = 1, orthogonal = 0, opposite = -1, zero-norm guard = 0") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0)),
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(df(1) == 0.0 && math.abs(df(2) + 1.0) < 1e-12 && df(3) == 0.0)
+  }
+
+  test("cosineTopK ranks by similarity with id tie-break, excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.1f)),   // most similar to 0
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.0f, 1.0f)))   // least similar to 0
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val top = Similarity.cosineTopK(q, vecs, 3)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK recall: same-bucket exact dup is always found") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = Seq((100L, Seq.tabulate(8)(d => math.sin(5 * 7.0 + d).toFloat)))
+      .toDF("vec_id", "embedding") // exact copy of vec 5 under a new id
+    val res = Similarity.lshTopK(dup, vecs.union(dup), 1, nPlanes = 4)
+      .select("c_id").as[Long].collect()
+    assert(res.headOption.contains(5L)) // identical vector hashes to the same bucket
+  }
+
+  test("hyperplaneBucket is deterministic and within [0, 2^nPlanes)") {
+    val df = Seq(Seq(0.3, -1.2, 2.2), Seq(0.3, -1.2, 2.2)).toDF("v")
+      .select(Similarity.hyperplaneBucket(col("v"), 6).as("b")).as[Long].collect()
+    assert(df(0) == df(1) && df(0) >= 0 && df(0) < 64)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** §2.J "roadmap realized": streaming results must equal the batch
+  * definition on the same (bounded) input. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("tumbling-window stream over the events file source equals the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, dir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the file stream source wants a DIRECTORY; stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStreams.startTumblingStream(spark, streamDir.toString, "t_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t_stream_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session windows: gap splits sessions, events within gap merge") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2026-01-01 10:00:00", 1.0),
+      (1L, "2026-01-01 10:10:00", 2.0),  // same session (10 min < 30 min gap)
+      (1L, "2026-01-01 12:00:00", 3.0),  // new session
+      (2L, "2026-01-01 10:05:00", 4.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val sessions = EventStreams.sessionCounts(events, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n_events") == 2) // user 1, first session
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+    assert(sessions(2).getAs[Long]("n_events") == 1)
+  }
+}
