@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MaskAlgebra, Relational}
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{MaskAlgebra, Relational, SlicePipeline, Stencil}
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.kernels.RegionGrowing
 import graft.sources.Tables
+import graft.streaming.EventStreams
 
 /** Driver contract — named queries + DuckDB oracle SQL (SURVEY.md §5/§7).
   *
@@ -301,6 +303,107 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // M3/A2/C1/D1/D6/D9 — the full Beam-pipeline parity job
+    // (dataflow_pipeline.py:60-141): stub decode → window → CLAHE → blur →
+    // stats → 15-field record. Metadata columns are SQL-reproducible from
+    // the deterministic stub; kernel-derived stats are the _stats variant.
+    "m3_pipeline_metadata" -> ((s, dir) => {
+      SlicePipeline.run(s, 200).toDF().select(
+        col("file_name"), col("gcs_uri_raw"), col("gcs_uri_processed"),
+        col("patient_id_hash"), col("study_uid"), col("series_uid"),
+        col("sop_instance_uid"), col("modality"), col("rows"), col("cols"),
+        col("window_center"), col("window_width"))
+        .orderBy(col("file_name"))
+    }),
+
+    // M3 kernel outputs (CLAHE+blur+population stats) — rows-only check;
+    // exactness is covered by KernelsSpec/SlicePipelineSpec golden tests.
+    "m3_pipeline_stats" -> ((s, dir) => {
+      SlicePipeline.run(s, 200).toDF().select(
+        col("file_name"),
+        round(col("mean_intensity"), 6).as("mean_intensity"),
+        round(col("std_intensity"), 6).as("std_intensity"))
+        .orderBy(col("file_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // G1 — region growing, DISTRIBUTED frontier-join variant on a smooth
+    // gradient image (converged region; oracle = recursive CTE
+    // reachability in DuckDB; the exact BFS kernel is cross-checked in
+    // RegionGrowingSpec).
+    "g1_region_grow" -> ((s, dir) => {
+      val pixels = Relational.gradientImage(s, 2, 16, 16)
+      val seeds = s.range(2).select(col("id").as("image_id"),
+        lit(8L).as("seed_y"), lit(8L).as("seed_x"))
+      RegionGrowing.frontierJoin(pixels, seeds, threshold = 0.08, connectivity = 4)
+        .orderBy(col("image_id"), col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
+    // §2.J — session windows over events (gap 30 min), the streaming demo's
+    // batch-equivalent; oracle = gaps-and-islands SQL.
+    "w2_session_windows" -> ((s, dir) => {
+      EventStreams.sessionCounts(Tables.events(s, dir), "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star multimodal: binary media columns + typed metadata; batched
+    // per-partition feature extraction. Schema-level columns are
+    // oracle-checked; hash-derived stub features are rows-only.
+    "mm_media_schema" -> ((s, dir) => {
+      Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+        .select(col("media_id"), col("kind"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.source").as("source"))
+        .orderBy(col("media_id"))
+    }),
+
+    "mm_media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
+        .orderBy(col("media_id"))
+    }),
+
+    "mm_frame_counts" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)), everyN = 64)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D3 (distributed form) — 3x3 Gaussian blur as ONE explode+aggregate
+    // stencil pass on long format, interior-only; exact-oracle variant of
+    // the ImageKernels.gaussianBlur kernel.
+    "d3_blur_stencil" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64).withColumn("image_id", lit(0L))
+      Stencil.convolve(img, Stencil.gaussian3x3Taps(0.5), 64, 64)
+        .select(col("image_id"), col("y"), col("x"), round(col("out"), 6).as("out"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // D12 (distributed form) — Sobel gradient magnitude, both direction
+    // kernels in one stencil pass; integer taps keep sums engine-exact.
+    "d12_sobel_stencil" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64).withColumn("image_id", lit(0L))
+      Stencil.sobelMagnitude(img, 64, 64)
+        .select(col("image_id"), col("y"), col("x"), col("gx"), col("gy"),
+          round(col("magnitude"), 6).as("magnitude"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
+    // §2.I — HLL-style approximate distinct (engine-specific estimate →
+    // rows-only) alongside the exact distinct per group.
+    "i1_distinct_counts" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs_exact"),
+          approx_count_distinct(col("doc_id")).as("n_docs_approx"))
+        .orderBy(col("source"))
+    }),
+
+    // ---------------------------------------------------------------
     // Streaming-shape (batch form): tumbling 1-hour window aggregate over
     // events — the §2.J "roadmap realized" demo's batch-equivalent query.
     "w1_tumbling_window" -> ((s, dir) => {
@@ -566,6 +669,99 @@ object SparkEntry {
     "w1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "m3_pipeline_metadata" ->
+      """SELECT printf('img_%06d.dcm', i) AS file_name,
+        |  printf('raw/img_%06d.dcm', i) AS gcs_uri_raw,
+        |  printf('out/processed/img_%06d.png', i) AS gcs_uri_processed,
+        |  CASE WHEN i % 11 = 0 THEN NULL
+        |       ELSE substr(sha256('patient_' || (i % 50)), 1, 16) END AS patient_id_hash,
+        |  'study_' || (i % 10) AS study_uid,
+        |  'series_' || (i % 25) AS series_uid,
+        |  'sop_' || i AS sop_instance_uid,
+        |  CASE WHEN i % 3 = 0 THEN 'CT' ELSE 'MR' END AS modality,
+        |  CAST(32 AS BIGINT) AS "rows", CAST(32 AS BIGINT) AS cols,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(1000 + i % 500 AS DOUBLE) END AS window_center,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(400 + i % 200 AS DOUBLE) END AS window_width
+        |FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200))
+        |ORDER BY file_name""".stripMargin,
+
+    "g1_region_grow" ->
+      """WITH RECURSIVE img AS (
+        |  SELECT CAST(range AS BIGINT) // 256 AS image_id,
+        |         (CAST(range AS BIGINT) % 256) // 16 AS y,
+        |         CAST(range AS BIGINT) % 16 AS x,
+        |         (((CAST(range AS BIGINT) % 256) // 16) * 4 + (CAST(range AS BIGINT) % 16) * 2) % 256 AS v
+        |  FROM range(512)),
+        |seedv AS (SELECT image_id, v AS seed_v FROM img WHERE y = 8 AND x = 8),
+        |adm AS (
+        |  SELECT i.image_id, i.y, i.x FROM img i JOIN seedv s ON i.image_id = s.image_id
+        |  WHERE abs(i.v / 255.0 - s.seed_v / 255.0) <= 0.08),
+        |grow AS (
+        |  SELECT image_id, CAST(8 AS BIGINT) AS y, CAST(8 AS BIGINT) AS x FROM seedv
+        |  UNION
+        |  SELECT a.image_id, a.y, a.x
+        |  FROM adm a JOIN grow g ON a.image_id = g.image_id
+        |   AND abs(a.y - g.y) + abs(a.x - g.x) = 1)
+        |SELECT image_id, y, x FROM grow ORDER BY image_id, y, x""".stripMargin,
+
+    "w2_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "mm_media_schema" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  source
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frame_counts" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND LENGTH(text) > 0
+        |ORDER BY media_id""".stripMargin,
+
+    "d3_blur_stencil" ->
+      """WITH img AS (
+        |  SELECT CAST(range AS BIGINT) // 64 AS y, range % 64 AS x,
+        |         (range * 2654435761) % 256 AS v
+        |  FROM range(4096)),
+        |taps AS (SELECT dy, dx, exp(-(dy*dy + dx*dx) / 0.5) AS wr
+        |  FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dy, dx)),
+        |norm AS (SELECT SUM(wr) AS s FROM taps)
+        |SELECT 0 AS image_id, i.y - t.dy AS y, i.x - t.dx AS x,
+        |  ROUND(SUM(i.v * (t.wr / n.s)), 6) AS out
+        |FROM img i CROSS JOIN taps t CROSS JOIN norm n
+        |WHERE i.y - t.dy BETWEEN 1 AND 62 AND i.x - t.dx BETWEEN 1 AND 62
+        |GROUP BY 1, 2, 3 ORDER BY y, x""".stripMargin,
+
+    "d12_sobel_stencil" ->
+      """WITH img AS (
+        |  SELECT CAST(range AS BIGINT) // 64 AS y, range % 64 AS x,
+        |         (range * 2654435761) % 256 AS v
+        |  FROM range(4096)),
+        |taps AS (SELECT dy, dx, wx, wy FROM (VALUES
+        |  (-1,-1,-1,-1),(-1,0,0,-2),(-1,1,1,-1),
+        |  (0,-1,-2,0),(0,0,0,0),(0,1,2,0),
+        |  (1,-1,-1,1),(1,0,0,2),(1,1,1,1)) t(dy, dx, wx, wy))
+        |SELECT 0 AS image_id, i.y - t.dy AS y, i.x - t.dx AS x,
+        |  CAST(SUM(i.v * t.wx) AS BIGINT) AS gx, CAST(SUM(i.v * t.wy) AS BIGINT) AS gy,
+        |  ROUND(SQRT(CAST(SUM(i.v * t.wx) * SUM(i.v * t.wx) + SUM(i.v * t.wy) * SUM(i.v * t.wy) AS DOUBLE)), 6) AS magnitude
+        |FROM img i CROSS JOIN taps t
+        |WHERE i.y - t.dy BETWEEN 1 AND 62 AND i.x - t.dx BETWEEN 1 AND 62
+        |GROUP BY 1, 2, 3 ORDER BY y, x""".stripMargin
   )
 }

@@ -74,13 +74,20 @@ object Multimodal {
     }.toDF("media_id", "kind", "n_bytes", "width", "height", "mean_px")
   }
 
-  /** Frame sampling for video-kind media: deterministic every-nth-byte
-    * "frames" (stub), showing the 1→N explode shape (each frame its own row
-    * for downstream per-frame featurization). */
+  /** Frame sampling for video-kind media: deterministic fixed-size chunks
+    * of the decoded payload stand in for frames (stub), showing the 1→N
+    * explode shape (each frame its own row for downstream per-frame
+    * featurization). Chunking is explicit `sequence`+`substring` (Spark's
+    * `split` has no \G-style chunk regex, and `base64` emits MIME-chunked
+    * lines — both unusable for deterministic chunk counts). */
   def sampleFrames(media: DataFrame, everyN: Int = 64): DataFrame = {
     media.filter(col("kind") === "video")
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("s"))
+      .filter(length(col("s")) > 0)
       .select(col("media_id"),
-        posexplode(split(base64(col("payload")), s"(?<=\\G.{$everyN})")).as(Seq("frame_idx", "frame_b64")))
-      .filter(length(col("frame_b64")) > 0)
+        posexplode(transform(
+          sequence(lit(0), ceil(length(col("s")) / lit(everyN.toDouble)).cast("int") - 1),
+          i => col("s").substr(i * everyN + 1, lit(everyN))
+        )).as(Seq("frame_idx", "frame_chunk")))
   }
 }

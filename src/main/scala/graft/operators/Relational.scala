@@ -162,4 +162,19 @@ object Relational {
         (col("id") % w).cast("long").as("x"),
         ((col("id") * 2654435761L) % 256).cast("long").as("v"))
   }
+
+  /** Deterministic smooth multi-image gradient `(image_id, y, x, v)` with
+    * `v = (4y + 2x) mod 256` — smoothly varying so a threshold band forms a
+    * CONNECTED region (the region-growing fixture; noise images fragment).
+    * Reproducible in the DuckDB oracle from `range(...)`.
+    */
+  def gradientImage(spark: SparkSession, nImages: Int, h: Int, w: Int): DataFrame = {
+    val px = h.toLong * w
+    spark.range(nImages * px)
+      .select(
+        expr(s"id div $px").as("image_id"),
+        expr(s"(id % $px) div $w").as("y"),
+        (col("id") % w).cast("long").as("x"))
+      .withColumn("v", (col("y") * 4 + col("x") * 2) % 256)
+  }
 }

@@ -51,7 +51,7 @@ object SlicePipeline {
       else if (id % 13 == 0) withPid + ("WindowCenter" -> s"[${1000 + id % 500}, ${1010 + id % 500}]",
         "WindowWidth" -> s"[${400 + id % 200}, ${410 + id % 200}]")
       else withPid + ("WindowCenter" -> s"${1000 + id % 500}", "WindowWidth" -> s"${400 + id % 200}")
-    DecodedImage(f"img_$id%06d.dcm", s"raw/img_$id%06d.dcm", h, w, px, withWin)
+    DecodedImage(f"img_$id%06d.dcm", f"raw/img_$id%06d.dcm", h, w, px, withWin)
   }
 
   /** First element of a possibly MultiValue tag (`dataflow_pipeline.py:25-26`). */
