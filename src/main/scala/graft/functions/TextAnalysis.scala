@@ -101,25 +101,72 @@ object TextAnalysis {
     }: _*)
   }
 
-  def langId(text: Column): Column = {
-    val scores = langIdScores(text)
+  /** Deterministic argmax over a precomputed score map: first lang (sorted
+    * keys) achieving the max; all-zero scores → 'und'. */
+  def langPredFromScores(scores: Column): Column = {
     val best = array_max(map_values(scores))
     when(best <= 0, lit("und")).otherwise(
-      // deterministic argmax: first lang (sorted keys) achieving the max
       element_at(
         filter(map_keys(scores), k => element_at(scores, k) === best), 1))
   }
 
-  /** Per-document text-analysis projection over a documents table. */
-  def analyze(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(
-      id.as("doc_id"),
-      tokenCount(text).as("n_tokens"),
-      bpeishTokenCount(text).as("n_bpeish_tokens"),
-      punctCount(text).as("n_punct"),
-      round(meanTokenLen(text), 6).as("mean_token_len"),
-      round(stopwordRatio(text), 6).as("stopword_ratio"),
-      round(qualityScore(text), 6).as("quality"),
-      fingerprint(text).as("fp"),
-      langId(text).as("lang_pred"))
+  def langIdScoresFromTokens(toks: Column): Column =
+    map(LangProfiles.toSeq.sortBy(_._1).flatMap { case (lang, words) =>
+      Seq(lit(lang), size(filter(toks, t => t.isInCollection(words))).cast("double"))
+    }: _*)
+
+  /** Single-column convenience form. NOTE: as one expression tree the score
+    * map is referenced three times, each re-running the tokenization — fine
+    * for one-off use; hot paths should use [[withLangId]], which stages
+    * tokens and scores as real columns (projection boundaries Catalyst's
+    * CollapseProject keeps, since the references are non-cheap and
+    * multiply-used) so each evaluates once per row.
+    */
+  def langId(text: Column): Column =
+    langPredFromScores(langIdScoresFromTokens(
+      regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))))
+
+  /** Staged language-ID: adds `out` to `docs` with one tokenization and one
+    * score-map evaluation per row. */
+  def withLangId(docs: DataFrame, text: Column, out: String = "lang_pred"): DataFrame =
+    docs
+      .withColumn("__lang_toks", regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+      .withColumn("__lang_scores", langIdScoresFromTokens(col("__lang_toks")))
+      .withColumn(out, langPredFromScores(col("__lang_scores")))
+      .drop("__lang_toks", "__lang_scores")
+
+  /** Per-document text-analysis projection over a documents table. Staged
+    * through intermediate columns so each tokenization runs once per row
+    * (the naive single-projection form re-extracts tokens per metric). */
+  def analyze(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val staged = docs
+      .select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__t", regexp_extract_all(col("__text"), lit("\\S+"), lit(0)))
+      .withColumn("__tl", regexp_extract_all(lower(col("__text")), lit("\\S+"), lit(0)))
+      .withColumn("__np", punctCount(col("__text")))
+      .withColumn("__sr",
+        when(size(col("__tl")) === 0, lit(0.0))
+          .otherwise(size(filter(col("__tl"), t => t.isInCollection(StopWords)))
+            .cast("double") / size(col("__tl"))))
+    val nTok = size(col("__t")).cast("long")
+    val punctRatio = when(length(col("__text")) === 0, lit(0.0))
+      .otherwise(col("__np").cast("double") / length(col("__text")))
+    val quality =
+      least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.3 +
+        least(col("__sr") * 4.0, lit(1.0)) * 0.3
+    withLangId(staged, col("__text"))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        bpeishTokenCount(col("__text")).as("n_bpeish_tokens"),
+        col("__np").as("n_punct"),
+        round(when(size(col("__t")) === 0, lit(0.0))
+          .otherwise(aggregate(col("__t"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("__t"))), 6).as("mean_token_len"),
+        round(col("__sr"), 6).as("stopword_ratio"),
+        round(quality, 6).as("quality"),
+        fingerprint(col("__text")).as("fp"),
+        col("lang_pred"))
+  }
 }

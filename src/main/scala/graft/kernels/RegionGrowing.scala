@@ -101,7 +101,7 @@ object RegionGrowing {
     * morphology — see class doc).
     */
   def frontierJoin(pixels: DataFrame, seeds: DataFrame, threshold: Double,
-      connectivity: Int = 8, maxRounds: Int = 10000): DataFrame = {
+      connectivity: Int = 8, maxRounds: Int = 10000, hops: Int = 4): DataFrame = {
     val offsets =
       if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
       else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
@@ -111,33 +111,57 @@ object RegionGrowing {
         seeds("image_id") === pixels("image_id") &&
         seeds("seed_y") === pixels("y") && seeds("seed_x") === pixels("x"))
       .select(pixels("image_id"), pixels("v").as("seed_v"))
-    val admissible = pixels.join(broadcast(seedVals), "image_id")
+    // The admissible set is the threshold band around each seed value —
+    // typically a small fraction of the image, so it broadcasts; the hop
+    // joins and layer anti-joins then run map-side and each round pays ONE
+    // shuffle (the candidate distinct). If a band outgrows the broadcast
+    // limit, drop these hints and the joins degrade gracefully to shuffles.
+    val admissible = broadcast(pixels.join(broadcast(seedVals), "image_id")
       .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
       .select(col("image_id"), col("y"), col("x"))
-      .localCheckpoint()
+      .localCheckpoint())
 
-    var visited = seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x"))
+    // BFS-layer invariant: a neighbour of a layer-k pixel has BFS distance
+    // ≥ k−1, so dedup per round only needs the CURRENT and PREVIOUS layers
+    // — not the whole visited set. The per-round anti-join stays
+    // constant-size instead of growing with the region, and the full mask
+    // is the (disjoint) union of layers, assembled once at the end.
+    val seed0 = seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x"))
       .localCheckpoint()
-    var frontier = visited
+    var layers = List(seed0)
+    var prev = seed0.limit(0)
+    var frontier = seed0
     var round = 0
     var frontierSize = frontier.count()
+    // `hops` admissibility-checked expansions are CHAINED INSIDE ONE PLAN
+    // per round, so the fixed per-round costs (checkpoint + count jobs)
+    // amortize over `hops` BFS levels. Each hop re-checks admissibility, so
+    // multi-hop never jumps an inadmissible wall; the two-layer dedup proof
+    // extends to width-`hops` superlayers (a candidate reached from
+    // superlayer k has distance > (k−2)·hops, so anti-joining the current
+    // and previous superlayers suffices).
     while (frontierSize > 0 && round < maxRounds) {
-      val expanded = frontier.select(col("image_id"),
-          explode(array(offsets.map { case (dy, dx) =>
-            struct((col("y") + dy).as("y"), (col("x") + dx).as("x"))
-          }: _*)).as("n"))
-        .select(col("image_id"), col("n.y"), col("n.x"))
-        .distinct()
-      val admitted = expanded.join(admissible, Seq("image_id", "y", "x"), "left_semi")
-      val newFrontier = admitted.join(visited, Seq("image_id", "y", "x"), "left_anti")
+      var cur = frontier
+      var acc: DataFrame = null
+      for (_ <- 1 to hops) {
+        cur = cur.select(col("image_id"),
+            explode(array(offsets.map { case (dy, dx) =>
+              struct((col("y") + dy).as("y"), (col("x") + dx).as("x"))
+            }: _*)).as("n"))
+          .select(col("image_id"), col("n.y"), col("n.x"))
+          .join(admissible, Seq("image_id", "y", "x"), "left_semi")
+        acc = if (acc == null) cur else acc.union(cur)
+      }
+      val newFrontier = acc.distinct()
+        .join(broadcast(frontier), Seq("image_id", "y", "x"), "left_anti")
+        .join(broadcast(prev), Seq("image_id", "y", "x"), "left_anti")
         .localCheckpoint()
       frontierSize = newFrontier.count()
-      if (frontierSize > 0) {
-        visited = visited.union(newFrontier).localCheckpoint()
-      }
+      if (frontierSize > 0) layers ::= newFrontier
+      prev = frontier
       frontier = newFrontier
       round += 1
     }
-    visited
+    layers.reduce(_.union(_))
   }
 }
