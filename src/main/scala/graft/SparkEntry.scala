@@ -393,6 +393,25 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // A3 — 3-D volume → middle-slice select (`preprocessor.py:50-58`): the
+    // NIfTI load keeps only slice z = nSlices/2; on long format that's a
+    // partition-prunable filter, plus per-slice stats proving the slice.
+    "a3_volume_slice" -> ((s, dir) => {
+      // synthetic 8-slice volume, 16x16 per slice, v = (z*7 + y*4 + 2x) % 256
+      val vol = s.range(8L * 16 * 16).select(
+        expr("id div 256").as("z"),
+        expr("(id % 256) div 16").as("y"),
+        (col("id") % 16).as("x"))
+        .withColumn("v", (col("z") * 7 + col("y") * 4 + col("x") * 2) % 256)
+      vol.filter(col("z") === lit(8 / 2))
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("n_pixels"),
+          round(avg(col("v")), 6).as("mean_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("z"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.I — HLL-style approximate distinct (engine-specific estimate →
     // rows-only) alongside the exact distinct per group.
     "i1_distinct_counts" -> ((s, dir) => {
@@ -670,6 +689,19 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "a3_volume_slice" ->
+      """WITH vol AS (
+        |  SELECT CAST(range AS BIGINT) // 256 AS z,
+        |         (CAST(range AS BIGINT) % 256) // 16 AS y,
+        |         CAST(range AS BIGINT) % 16 AS x,
+        |         ((CAST(range AS BIGINT) // 256) * 7
+        |          + ((CAST(range AS BIGINT) % 256) // 16) * 4
+        |          + (CAST(range AS BIGINT) % 16) * 2) % 256 AS v
+        |  FROM range(2048))
+        |SELECT z, COUNT(*) AS n_pixels, ROUND(AVG(v), 6) AS mean_v,
+        |       MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM vol WHERE z = 4 GROUP BY z ORDER BY z""".stripMargin,
 
     "m3_pipeline_metadata" ->
       """SELECT printf('img_%06d.dcm', i) AS file_name,

@@ -68,12 +68,9 @@ object SlicePipeline {
   def processImage(img: DecodedImage, processedPrefix: String): Option[SliceRecord] = {
     val wc = img.tags.get("WindowCenter").flatMap(tagToDouble)
     val ww = img.tags.get("WindowWidth").flatMap(tagToDouble)
-    val windowed = ImageKernels.applyWindowing(img.pixels, wc, ww)
     val usedWindow = wc.isDefined && ww.exists(_ > 0)
-    // _enhance_for_export (dataflow_pipeline.py:42-46): CLAHE then blur σ=0.5
-    val enhanced0 = ImageKernels.clahe(windowed, img.h, img.w)
-    val enhanced = ImageKernels.gaussianBlur(enhanced0.map(_.toDouble), img.h, img.w, 0.5)
-      .map(v => math.min(math.max(math.round(v).toInt, 0), 255))
+    // window → _enhance_for_export (dataflow_pipeline.py:42-46): CLAHE, blur σ=0.5
+    val enhanced = enhancedPixels(img)
     val n = enhanced.length.toDouble
     val mean = enhanced.map(_.toDouble).sum / n
     val variance = enhanced.map(v => (v - mean) * (v - mean)).sum / n // ddof=0
@@ -115,6 +112,39 @@ object SlicePipeline {
         // per-partition setup ≙ DoFn.setup (dataflow_pipeline.py:65-66)
         it.flatMap(id => processImage(stubDecode(id), processedPrefix))
       }
+  }
+
+  /** Windowed+enhanced uint8 pixels for one image — the array the reference
+    * PNG-encodes at `dataflow_pipeline.py:75-81`. */
+  def enhancedPixels(img: DecodedImage): Array[Int] = {
+    val wc = img.tags.get("WindowCenter").flatMap(tagToDouble)
+    val ww = img.tags.get("WindowWidth").flatMap(tagToDouble)
+    val windowed = ImageKernels.applyWindowing(img.pixels, wc, ww)
+    val enhanced0 = ImageKernels.clahe(windowed, img.h, img.w)
+    ImageKernels.gaussianBlur(enhanced0.map(_.toDouble), img.h, img.w, 0.5)
+      .map(v => math.min(math.max(math.round(v).toInt, 0), 255))
+  }
+
+  /** B1 + D8 — per-record binary object write: PNG-encode each processed
+    * image (real codec, [[graft.kernels.Png]]) and write one file per
+    * record at the derived URI (`dataflow_pipeline.py:78-85`). Encode
+    * failure drops the record silently (C3, `:79-80`). Runs as
+    * `foreachPartition` — the writer is the executor-side effect, exactly
+    * the DoFn's shape; no data returns to the driver.
+    */
+  def writePngs(spark: SparkSession, nImages: Int, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    spark.range(nImages.toLong).toDF("id").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { row =>
+          val img = stubDecode(row.getLong(0))
+          graft.kernels.Png.encodeGray(enhancedPixels(img), img.h, img.w).foreach { bytes =>
+            val stem = img.fileName.replaceAll("\\.[^.]*$", "")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, s"$stem.png"), bytes)
+          }
+        }
+    }
   }
 
   /** Append-sink form (B2): `WRITE_APPEND` + create-if-needed ≙ parquet

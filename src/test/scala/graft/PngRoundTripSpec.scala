@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.Png
+import graft.operators.SlicePipeline
+import graft.sources.BinaryFiles
+
+/** D8/B1/A1/A4/A5 — the full write-then-scan loop: pipeline writes one PNG
+  * per record (executor-side sink), the binaryFile source reads them back,
+  * a decode step recovers the exact pixels. */
+class PngRoundTripSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("PNG encode/decode round-trips uint8 pixels exactly (lossless)") {
+    val img = Array.tabulate(64 * 48)(i => (i * 37) % 256)
+    val bytes = Png.encodeGray(img, 48, 64).get
+    val (decoded, h, w) = Png.decodeGray(bytes).get
+    assert(h == 48 && w == 64)
+    assert(decoded.sameElements(img))
+  }
+
+  test("B1 sink writes one PNG per record; A1/A5 binaryFile scan + suffix listing read them back") {
+    val dir = java.nio.file.Files.createTempDirectory("png_sink").toString
+    SlicePipeline.writePngs(spark, 20, dir)
+    // A5 listing: suffix filter + limit, path-sorted
+    val listed = BinaryFiles.listing(spark, dir, ".png", 50).collect()
+    assert(listed.length == 20)
+    assert(listed.map(_.getString(0)).toSeq == listed.map(_.getString(0)).toSeq.sorted)
+    // A1/A4: full binary scan + decode recovers the enhanced pixels exactly
+    val decoded = BinaryFiles.binaryFiles(spark, dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val (px, h, w) = Png.decodeGray(bytes).get
+        val n = px.length.toDouble
+        val mean = px.map(_.toDouble).sum / n
+        (path.split('/').last, h, w, mean)
+      }.collect().map { case (f, h, w, m) => f -> ((h, w, m)) }.toMap
+    val expected = (0L until 20L).map { id =>
+      val img = SlicePipeline.stubDecode(id)
+      val px = SlicePipeline.enhancedPixels(img)
+      (f"img_$id%06d.png", px.map(_.toDouble).sum / px.length)
+    }
+    expected.foreach { case (name, mean) =>
+      val (h, w, gotMean) = decoded(name)
+      assert(h == 32 && w == 32)
+      assert(math.abs(gotMean - mean) < 1e-9, s"$name mean mismatch")
+    }
+  }
+
+  test("C3 drop-on-failure: encode of a degenerate image returns None and drops") {
+    // zero-size image cannot be encoded — BufferedImage construction fails
+    assert(Png.encodeGray(Array.emptyIntArray, 0, 0).isEmpty)
+  }
+}
