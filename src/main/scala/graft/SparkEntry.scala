@@ -103,6 +103,18 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // D1 via the custom Catalyst expression (graft.plans.GraftWindowIntensity,
+    // codegen'd; the LowerGraftWindow rule folds literal bounds) — must
+    // match d1_windowing's v_windowed column exactly.
+    "d1_windowing_expr" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.events(s, dir).select(col("event_id"), col("value"),
+        expr("graft_window(CAST(value AS DOUBLE), CAST(100 AS DOUBLE), CAST(80 AS DOUBLE))")
+          .as("v_windowed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // E3 — 50-bin histogram (numpy semantics: last bin closed).
     "e3_histogram" -> ((s, dir) => {
       Relational.histogramAuto(Tables.lineitem(s, dir), col("l_extendedprice"), 50)
@@ -482,6 +494,12 @@ object SparkEntry {
         |       / GREATEST(MAX(value) OVER (PARTITION BY event_type)
         |                  - MIN(value) OVER (PARTITION BY event_type), 1e-6) * 255.0) AS BIGINT)
         |    AS v_normalized
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "d1_windowing_expr" ->
+      """SELECT event_id, value,
+        |  CAST(FLOOR((LEAST(GREATEST(value, 100.0 - 80.0/2), 100.0 + 80.0/2) - (100.0 - 80.0/2))
+        |       / GREATEST(80.0, 1e-6) * 255.0) AS BIGINT) AS v_windowed
         |FROM events ORDER BY event_id""".stripMargin,
 
     "e3_histogram" ->

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Compiler-style lowering pass: when the window bounds are foldable,
+  * rewrite [[GraftWindowIntensity]] into built-in arithmetic so Catalyst's
+  * `ConstantFolding` collapses `low`/`high`/denominator into literals at
+  * plan time — the per-row work becomes two comparisons and one multiply.
+  * (With non-foldable bounds the custom codegen form is already optimal,
+  * so the rule leaves it alone.)
+  */
+object LowerGraftWindow extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Add, Cast, Divide, Floor, Greatest, Least, Multiply, Subtract}
+  import org.apache.spark.sql.types.{DoubleType, LongType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GraftWindowIntensity(v, wc, ww) if wc.foldable && ww.foldable =>
+      val low = Subtract(wc, Divide(ww, Literal(2.0)))
+      val high = Add(wc, Divide(ww, Literal(2.0)))
+      val clipped = Least(Seq(Greatest(Seq(v, low)), high))
+      val denom = Greatest(Seq(Subtract(high, low), Literal(1e-6)))
+      Cast(
+        Floor(Multiply(Divide(Subtract(clipped, low), denom), Literal(255.0))),
+        LongType)
+  }
+}
+
+/** `SparkSessionExtensions` hook: registers the `graft_window` SQL function
+  * and the lowering rule. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_window"),
+      new ExpressionInfo(classOf[GraftWindowIntensity].getName, "graft_window"),
+      GraftFunctions.builder))
+    ext.injectOptimizerRule(_ => LowerGraftWindow)
+  }
+}
+
+/** Runtime registration for an ALREADY-RUNNING session (extensions are
+  * builder-time only — `withExtensions` on `getOrCreate` of an existing
+  * session is silently ignored). The lowering rule lands in
+  * `experimental.extraOptimizations`, which runs after the main optimizer
+  * batches — lowering still applies, but literal bounds fold at codegen
+  * rather than plan time. Prefer [[GraftExtensions]] at builder time.
+  */
+object GraftFunctions {
+  val builder: Seq[Expression] => Expression = children => {
+    require(children.length == 3, "graft_window(v, window_center, window_width)")
+    GraftWindowIntensity(children(0), children(1), children(2))
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window", builder, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LowerGraftWindow
+  }
+}

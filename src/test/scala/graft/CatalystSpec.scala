@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ConfusionAggregator, MaskAlgebra, Relational}
+
+/** Custom Catalyst machinery (SURVEY §7.1 flourishes): codegen'd windowing
+  * expression, extension-registered SQL function, literal-lowering
+  * optimizer rule, and the single-pass typed confusion aggregator.
+  * TestSpark's session is built `.withExtensions(new GraftExtensions)`. */
+class CatalystSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_window SQL function matches the functions-composed form") {
+    val df = Seq(50.0, 60.0, 100.0, 140.0, 200.0, 95.5).toDF("v")
+    df.createOrReplaceTempView("vals")
+    val viaSql = spark.sql(
+      "SELECT graft_window(v, CAST(100 AS DOUBLE), CAST(80 AS DOUBLE)) AS w FROM vals")
+      .as[Long].collect().toSeq
+    val viaCols = df.select(
+      Relational.windowIntensity(col("v"), lit(100.0), lit(80.0)).as("w"))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaCols)
+    assert(viaSql == Seq(0L, 0L, 127L, 255L, 255L, 113L))
+  }
+
+  test("LowerGraftWindow rewrites literal-bound windows to folded built-ins") {
+    // use a Range plan: a local Seq collapses to LocalRelation before the
+    // optimizer rule could be observed, and alias the output so the
+    // auto-generated column name doesn't itself contain "graft_window"
+    spark.range(5).selectExpr("CAST(id AS DOUBLE) AS v").createOrReplaceTempView("lower_t")
+    val q = spark.sql(
+      "SELECT graft_window(v, CAST(100 AS DOUBLE), CAST(80 AS DOUBLE)) AS w FROM lower_t")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // after lowering + constant folding the custom node is gone and the
+    // window bounds are plan-time literals
+    assert(!optimized.contains("graft_window"))
+    assert(optimized.contains("60.0")) // folded low = 100 - 80/2
+  }
+
+  test("null inputs propagate (nullSafeEval contract)") {
+    val out = spark.sql("SELECT graft_window(CAST(NULL AS DOUBLE), 100D, 80D)").head()
+    assert(out.isNullAt(0))
+  }
+
+  test("non-foldable bounds keep the codegen expression (per-row wc/ww)") {
+    val df = Seq((90.0, 100.0, 80.0), (90.0, 50.0, 20.0)).toDF("v", "wc", "ww")
+    df.createOrReplaceTempView("perrow_t")
+    val rows = spark.sql("SELECT graft_window(v, wc, ww) FROM perrow_t").as[Long].collect()
+    assert(rows.toSeq == Seq(95L, 255L)) // (90-60)/80*255=95.6→95; 90 clips to high=60→255
+  }
+
+  test("ConfusionAggregator (single pass) agrees with the relational aggregate") {
+    val pairs = Seq((true, true), (true, false), (false, true),
+      (false, false), (true, true), (false, false))
+    val typed = pairs.toDS().select(new ConfusionAggregator().toColumn).head()
+    val relational = MaskAlgebra.confusionMetrics(
+      pairs.toDF("p", "g"), Seq(lit(1).as("k")), col("p"), col("g")).head()
+    assert(typed.tp == relational.getAs[Long]("tp"))
+    assert(typed.fn == relational.getAs[Long]("fn"))
+    assert(typed.fp == relational.getAs[Long]("fp"))
+    assert(typed.tn == relational.getAs[Long]("tn"))
+    assert(typed.dice == relational.getAs[Double]("dice"))
+    assert(typed.jaccard == relational.getAs[Double]("jaccard"))
+    assert(typed.sensitivity == relational.getAs[Double]("sensitivity"))
+    assert(typed.specificity == relational.getAs[Double]("specificity"))
+  }
+
+  test("ConfusionAggregator edge rules: both-empty → 1.0, zero denominators → 0") {
+    val empty = Seq((false, false), (false, false)).toDS()
+      .select(new ConfusionAggregator().toColumn).head()
+    assert(empty.dice == 1.0 && empty.jaccard == 1.0 && empty.sensitivity == 0.0)
+    val full = Seq((true, true)).toDS().select(new ConfusionAggregator().toColumn).head()
+    assert(full.specificity == 0.0)
+  }
+}
