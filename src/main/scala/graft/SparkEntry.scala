@@ -256,6 +256,39 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // J1 — multi-table analytic join (the §2.F "free from Spark" surface
+    // as a named query): revenue per nation, dims broadcast, fact table
+    // never shuffled before aggregation.
+    "j1_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      li.select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("rev")).cast("decimal(38,4)"), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: embedding-cosine near-duplicate pairs via hyperplane-LSH
+    // buckets (rows-only: bucket hashing is engine-specific).
+    "embedding_neardups" -> ((s, dir) => {
+      // synthetic random embeddings top out near cos 0.46 — 0.3 keeps the
+      // candidate-verify path non-trivially exercised
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), nPlanes = 4, threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: exact dedup on normalized-text fingerprint.
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -648,6 +681,18 @@ object SparkEntry {
         |  CASE WHEN mk.m IS NOT NULL THEN 255 ELSE 0 END AS mask255
         |FROM img i LEFT JOIN mask mk ON i.y = mk.y AND i.x = mk.x
         |ORDER BY i.y, i.x""".stripMargin,
+
+    "j1_revenue_by_nation" ->
+      """SELECT r.r_name, n.n_name,
+        |  CAST(ROUND(CAST(SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
 
     "dedup_exact" ->
       """WITH fp AS (

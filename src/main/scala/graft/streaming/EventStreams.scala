@@ -36,6 +36,36 @@ object EventStreams {
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Custom keyed state via `flatMapGroupsWithState` — the shape the
+    * reference's roadmap streaming would need for cross-event logic:
+    * per-user running totals with an anomaly flag when a value exceeds
+    * `factor`× the user's running mean. State is one (count, sum) pair per
+    * user; in streaming mode a GroupStateTimeout would expire idle users.
+    * Works identically over a bounded Dataset (tested) and a stream.
+    */
+  def runningAnomalies(spark: SparkSession, events: DataFrame, factor: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double, Double, Boolean)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { case (userId, rows, state) =>
+        var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+        // deterministic order within the group so the running mean is stable
+        val out = rows.toSeq.sortBy(_._2).iterator.map { case (_, eventId, v) =>
+          val mean = if (n == 0) v else sum / n
+          val anomalous = n > 0 && v > factor * mean
+          n += 1; sum += v
+          (userId, eventId, v, mean, anomalous)
+        }
+        state.update((n, sum))
+        out
+      }
+      .toDF("user_id", "event_id", "value", "running_mean", "anomalous")
+  }
+
   /** Run [[tumblingCounts]] as a real streaming query over a parquet file
     * source with a 10-minute watermark, into an in-memory sink. Returns the
     * started query; callers `processAllAvailable()` then read table `name`.
