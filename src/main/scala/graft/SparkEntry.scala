@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{MaskAlgebra, Relational, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.kernels.RegionGrowing
+import graft.kernels.{ImageOps, RegionGrowing}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 
@@ -112,6 +112,54 @@ object SparkEntry {
         expr("graft_window(CAST(value AS DOUBLE), CAST(100 AS DOUBLE), CAST(80 AS DOUBLE))")
           .as("v_windowed"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D1 preprocessor variant — integer ww//2 halving (preprocessor.py:
+    // 151-152, inconsistent with the pipeline's /2.0; both preserved).
+    // Odd ww=81 makes the divergence observable.
+    "d1_windowing_intww" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"), col("value"),
+        Relational.windowIntensity(col("value"), lit(100.0), lit(81.0)).as("v_pipeline"),
+        Relational.windowIntensityIntWw(col("value"), lit(100.0), lit(81.0)).as("v_preproc"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // M5 — dense-image kernel chain (D2 CLAHE → D3 blur → D12 Sobel) over
+    // array-column images, per-image stats via the wide→long Generator
+    // (§2.K). Rows-only: kernel outputs have no SQL oracle; kernels are
+    // golden-tested in KernelsSpec.
+    "m5_dense_kernels" -> ((s, dir) => {
+      val dense = ImageOps.syntheticDense(s, 16, 32, 32)
+        .withColumn("img", ImageOps.claheU8(col("img"), col("h"), col("w")))
+        .withColumn("img", ImageOps.gaussianBlurU8(col("img"), col("h"), col("w"), lit(0.5)))
+        .withColumn("img", ImageOps.sobelU8(col("img"), col("h"), col("w")))
+      ImageOps.explodeToLong(dense)
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n_pixels"),
+          round(avg(col("v")), 6).as("mean_v"), max(col("v")).as("max_v"))
+        .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // G2 dense — adaptive region growing per image (UDF kernel), then
+    // relational mask metrics over the exploded mask (area, exact contour
+    // perimeter E15, circularity E16). Rows-only.
+    "g2_dense_segment" -> ((s, dir) => {
+      ImageOps.syntheticDense(s, 16, 32, 32)
+        .withColumn("mask", ImageOps.regionGrowAdaptive(
+          col("img"), col("h"), col("w"),
+          (lit(16) + col("image_id") % 5).cast("int"),
+          (lit(16) - col("image_id") % 7).cast("int")))
+        .withColumn("perimeter", ImageOps.perimeterUdf(col("mask"), col("h"), col("w")))
+        .select(col("image_id"),
+          expr("aggregate(mask, 0L, (a, v) -> a + v)").as("area"),
+          round(col("perimeter"), 6).as("perimeter"))
+        .withColumn("circularity",
+          round(MaskAlgebra.circularity(col("area"), col("perimeter")), 6))
+        .orderBy(col("image_id"))
     }),
 
     // ---------------------------------------------------------------
@@ -533,6 +581,15 @@ object SparkEntry {
       """SELECT event_id, value,
         |  CAST(FLOOR((LEAST(GREATEST(value, 100.0 - 80.0/2), 100.0 + 80.0/2) - (100.0 - 80.0/2))
         |       / GREATEST(80.0, 1e-6) * 255.0) AS BIGINT) AS v_windowed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "d1_windowing_intww" ->
+      """SELECT event_id, value,
+        |  CAST(FLOOR((LEAST(GREATEST(value, 100.0 - 81.0/2), 100.0 + 81.0/2) - (100.0 - 81.0/2))
+        |       / GREATEST(81.0, 1e-6) * 255.0) AS BIGINT) AS v_pipeline,
+        |  CAST(FLOOR((LEAST(GREATEST(value, 100.0 - FLOOR(81.0/2)), 100.0 + FLOOR(81.0/2))
+        |             - (100.0 - FLOOR(81.0/2)))
+        |       / GREATEST(2 * FLOOR(81.0/2), 1e-6) * 255.0) AS BIGINT) AS v_preproc
         |FROM events ORDER BY event_id""".stripMargin,
 
     "e3_histogram" ->

@@ -129,23 +129,30 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
-    * xxhash64 values; bit b of the result = (sum > 0). Expressed as 64
-    * conditional-sum aggregates in one pass (single shuffle by doc_id).
+    * xxhash64 values; bit b of the result = (sum > 0).
+    *
+    * Computed ENTIRELY MAP-SIDE as a higher-order fold over the token
+    * array — zero shuffles, no explode, one xxhash64 per token (vs the
+    * explode + 64-conditional-sum groupBy formulation, whose hash
+    * aggregate carries 64 accumulator columns through a shuffle). At
+    * 100 TB the signature stage runs at scan speed.
     */
-  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = docs.select(
-      id.as("doc_id"),
-      explode(regexp_extract_all(TextAnalysis.normalizeText(text), lit("\\S+"), lit(0))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
-    }
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        regexp_extract_all(TextAnalysis.normalizeText(text), lit("\\S+"), lit(0)).as("__toks"))
+      // SQL expr: the functions API restricts shift amounts to literals,
+      // but SQL shiftright/shiftleft accept column operands
+      .withColumn("__sums", expr(
+        """aggregate(
+          |  transform(__toks, t -> xxhash64(t)),
+          |  array_repeat(0L, 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |    (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1L, -1L)))""".stripMargin))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  zip_with(__sums, sequence(0, 63),
+          |    (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)),
+          |  0L, (acc, v) -> acc | v)""".stripMargin).as("simhash"))
 
   /** SimHash near-dup pairs: block on 4 16-bit sub-bands (any identical
     * sub-band ⇒ candidate; guarantees recall for Hamming distance ≤ 3 by

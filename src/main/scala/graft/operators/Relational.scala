@@ -27,6 +27,20 @@ object Relational {
     floor((clipped - low) / greatest(high - low, lit(1e-6)) * lit(255.0)).cast("long")
   }
 
+  /** D1 variant with INTEGER window-width halving — the reference has two
+    * inconsistent implementations: the pipeline divides `ww / 2.0`
+    * (`dataflow_pipeline.py:31-32`) while the preprocessor uses integer
+    * `ww // 2` (`preprocessor.py:151-152`). Both are preserved; for odd ww
+    * they differ by half an intensity step.
+    */
+  def windowIntensityIntWw(v: Column, wc: Column, ww: Column): Column = {
+    val half = floor(ww / lit(2.0))
+    val low  = wc - half
+    val high = wc + half
+    val clipped = least(greatest(v.cast("double"), low), high)
+    floor((clipped - low) / greatest(high - low, lit(1e-6)) * lit(255.0)).cast("long")
+  }
+
   // ---------------------------------------------------------------- D5/E8
   /** Per-group min-max normalize to [0,255] uint8, the windowing fallback
     * (`/root/reference/dataflow_pipeline.py:37-39`):
