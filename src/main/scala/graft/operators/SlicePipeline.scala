@@ -54,9 +54,14 @@ object SlicePipeline {
     DecodedImage(f"img_$id%06d.dcm", f"raw/img_$id%06d.dcm", h, w, px, withWin)
   }
 
-  /** First element of a possibly MultiValue tag (`dataflow_pipeline.py:25-26`). */
+  /** First element of a possibly MultiValue tag (`dataflow_pipeline.py:25-26`).
+    * Accepts both the pydicom repr style `[a, b]` and the DICOM wire DS
+    * multi-value `a\b`. */
   private def tagToDouble(v: String): Option[Double] = {
-    val first = if (v.startsWith("[")) v.stripPrefix("[").split(",").head.trim else v.trim
+    val first =
+      if (v.startsWith("[")) v.stripPrefix("[").split(",").head.trim
+      else if (v.contains("\\")) v.split("\\\\").head.trim
+      else v.trim
     try Some(first.toDouble) catch { case _: NumberFormatException => None }
   }
 
@@ -143,6 +148,51 @@ object SlicePipeline {
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outDir, s"$stem.png"), bytes)
           }
+        }
+    }
+  }
+
+  /** A1+A2 real-decode form: the same pipeline from actual DICOM files —
+    * distributed `binaryFile` scan → [[graft.sources.Dicom.decode]] (pure
+    * Scala explicit-VR-LE parser) → the identical DoFn body. Undecodable
+    * files drop silently (C3). Output matches [[run]] field-for-field when
+    * the files carry the same content (DicomSpec proves it). */
+  def runFromDicomFiles(spark: SparkSession, dir: String,
+      processedPrefix: String = "out/processed"): Dataset[SliceRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          graft.sources.Dicom.decode(bytes).flatMap { d =>
+            val name = path.split('/').last
+            processImage(DecodedImage(name, path, d.rows, d.cols, d.pixels, d.tags),
+              processedPrefix)
+          }
+        }
+      }
+  }
+
+  /** Write stub-equivalent DICOM fixture files (16-bit explicit VR LE;
+    * every other file omits the preamble to exercise the force=True
+    * fallback). MultiValue tags are converted from the stub's pydicom-repr
+    * form to wire-format `a\b`. */
+  def writeDicomFixtures(spark: SparkSession, nImages: Int, dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    spark.range(nImages.toLong).toDF("id").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { row =>
+          val id = row.getLong(0)
+          val img = stubDecode(id)
+          val wireTags = img.tags.map { case (k, v) =>
+            k -> (if (v.startsWith("["))
+              v.stripPrefix("[").stripSuffix("]").split(",").map(_.trim).mkString("\\")
+            else v)
+          }
+          val bytes = graft.sources.Dicom.encode(
+            wireTags, img.h, img.w, img.pixels, withPreamble = id % 2 == 0)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, img.fileName), bytes)
         }
     }
   }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SlicePipeline
+import graft.sources.Dicom
+
+/** A2 — the pure-Scala DICOM codec and the file-based pipeline path. */
+class DicomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val fixtureTags = Map[String, String](
+    "SOPInstanceUID" -> "sop_1", "Modality" -> "MR", "PatientID" -> "patient_7",
+    "StudyInstanceUID" -> "study_1", "SeriesInstanceUID" -> "series_2",
+    "WindowCenter" -> "1040\\1050", "WindowWidth" -> "420\\430")
+  private val px = Array.tabulate(32 * 32)(i => ((i * 131) % 4096).toDouble)
+
+  test("encode→decode round-trips tags and 16-bit pixels exactly") {
+    val d = Dicom.decode(Dicom.encode(fixtureTags, 32, 32, px)).get
+    assert(d.rows == 32 && d.cols == 32)
+    assert(d.pixels.sameElements(px))
+    fixtureTags.foreach { case (k, v) => assert(d.tags(k) == v, k) }
+  }
+
+  test("force=True parity: missing preamble still parses") {
+    val noPre = Dicom.encode(fixtureTags, 32, 32, px, withPreamble = false)
+    val d = Dicom.decode(noPre).get
+    assert(d.pixels.sameElements(px) && d.tags("PatientID") == "patient_7")
+  }
+
+  test("garbage and truncated input decode to None (drop-on-failure C3)") {
+    assert(Dicom.decode(Array[Byte](1, 2, 3)).isEmpty)
+    val good = Dicom.encode(fixtureTags, 32, 32, px)
+    assert(Dicom.decode(good.take(good.length / 2)).isEmpty)
+    assert(Dicom.decode("not dicom at all, truly".getBytes).isEmpty)
+  }
+
+  test("file-based pipeline equals the in-memory pipeline field-for-field") {
+    val dir = java.nio.file.Files.createTempDirectory("dicom_fixtures").toString
+    SlicePipeline.writeDicomFixtures(spark, 30, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".dcm")) == 30)
+    val fromFiles = SlicePipeline.runFromDicomFiles(spark, dir)
+      .collect().map(r => r.file_name -> r).toMap
+    val inMemory = SlicePipeline.run(spark, 30)
+      .collect().map(r => r.file_name -> r).toMap
+    assert(fromFiles.keySet == inMemory.keySet)
+    inMemory.foreach { case (name, m) =>
+      val f = fromFiles(name)
+      // gcs_uri_raw differs by construction (real file URI vs stub path)
+      assert(f.copy(gcs_uri_raw = m.gcs_uri_raw) == m, name)
+    }
+  }
+}
