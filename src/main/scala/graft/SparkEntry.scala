@@ -433,6 +433,25 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // G1 — EXACT BFS kernel (per-image UDF) on the same gradient fixture,
+    // against the SAME recursive-CTE oracle as the frontier variant: the
+    // driver gate itself proves UDF ≡ distributed ≡ SQL reachability.
+    "g1_region_grow_exact" -> ((s, dir) => {
+      val px = 16 * 16
+      val dense = s.range(2).select(col("id").as("image_id"),
+          lit(16).as("h"), lit(16).as("w"),
+          expr(s"transform(sequence(0, ${px - 1}), " +
+            "i -> CAST(((i div 16) * 4 + (i % 16) * 2) % 256 AS INT))").as("img"))
+        .withColumn("mask", ImageOps.regionGrowConverged(
+          col("img"), col("h"), col("w"), lit(8), lit(8), lit(0.08), lit(4)))
+      dense.select(col("image_id"), posexplode(col("mask")).as(Seq("pos", "m")))
+        .filter(col("m") === 1)
+        .select(col("image_id"),
+          expr("pos div 16").as("y"), (col("pos") % 16).cast("long").as("x"))
+        .orderBy(col("image_id"), col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.J — session windows over events (gap 30 min), the streaming demo's
     // batch-equivalent; oracle = gaps-and-islands SQL.
     "w2_session_windows" -> ((s, dir) => {
@@ -840,6 +859,25 @@ object SparkEntry {
         |ORDER BY file_name""".stripMargin,
 
     "g1_region_grow" ->
+      """WITH RECURSIVE img AS (
+        |  SELECT CAST(range AS BIGINT) // 256 AS image_id,
+        |         (CAST(range AS BIGINT) % 256) // 16 AS y,
+        |         CAST(range AS BIGINT) % 16 AS x,
+        |         (((CAST(range AS BIGINT) % 256) // 16) * 4 + (CAST(range AS BIGINT) % 16) * 2) % 256 AS v
+        |  FROM range(512)),
+        |seedv AS (SELECT image_id, v AS seed_v FROM img WHERE y = 8 AND x = 8),
+        |adm AS (
+        |  SELECT i.image_id, i.y, i.x FROM img i JOIN seedv s ON i.image_id = s.image_id
+        |  WHERE abs(i.v / 255.0 - s.seed_v / 255.0) <= 0.08),
+        |grow AS (
+        |  SELECT image_id, CAST(8 AS BIGINT) AS y, CAST(8 AS BIGINT) AS x FROM seedv
+        |  UNION
+        |  SELECT a.image_id, a.y, a.x
+        |  FROM adm a JOIN grow g ON a.image_id = g.image_id
+        |   AND abs(a.y - g.y) + abs(a.x - g.x) = 1)
+        |SELECT image_id, y, x FROM grow ORDER BY image_id, y, x""".stripMargin,
+
+    "g1_region_grow_exact" ->
       """WITH RECURSIVE img AS (
         |  SELECT CAST(range AS BIGINT) // 256 AS image_id,
         |         (CAST(range AS BIGINT) % 256) // 16 AS y,

@@ -61,6 +61,15 @@ object ImageOps {
     RegionGrowing.exact(toArr(img), h, w, sy, sx, threshold, connectivity, maxIter).toSeq
   }
 
+  /** [[regionGrow]] without the morphological post-pass and without an
+    * iteration cap — the converged connected region, comparable against
+    * reachability oracles and the frontier-join variant. */
+  val regionGrowConverged = udf { (img: Seq[Int], h: Int, w: Int, sy: Int, sx: Int,
+      threshold: Double, connectivity: Int) =>
+    RegionGrowing.exact(toArr(img), h, w, sy, sx, threshold, connectivity,
+      Int.MaxValue, postProcess = false).toSeq
+  }
+
   val regionGrowAdaptive = udf { (img: Seq[Int], h: Int, w: Int, sy: Int, sx: Int) =>
     RegionGrowing.adaptive(toArr(img), h, w, sy, sx).toSeq
   }

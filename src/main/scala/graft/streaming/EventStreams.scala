@@ -53,15 +53,17 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) { case (userId, rows, state) =>
         var (n, sum) = state.getOption.getOrElse((0L, 0.0))
-        // deterministic order within the group so the running mean is stable
-        val out = rows.toSeq.sortBy(_._2).iterator.map { case (_, eventId, v) =>
+        // deterministic order within the group so the running mean is stable.
+        // STRICT map: a lazy iterator would defer the n/sum mutations past
+        // the state.update below, persisting stale state.
+        val out = rows.toSeq.sortBy(_._2).map { case (_, eventId, v) =>
           val mean = if (n == 0) v else sum / n
           val anomalous = n > 0 && v > factor * mean
           n += 1; sum += v
           (userId, eventId, v, mean, anomalous)
         }
         state.update((n, sum))
-        out
+        out.iterator
       }
       .toDF("user_id", "event_id", "value", "running_mean", "anomalous")
   }

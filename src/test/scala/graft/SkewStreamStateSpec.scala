@@ -51,6 +51,33 @@ class SkewStreamStateSpec extends AnyFunSuite {
     assert(math.abs(e4.getAs[Double]("running_mean") - (10 + 12 + 100) / 3.0) < 1e-9)
   }
 
+  test("runningAnomalies runs as a REAL stream (flatMapGroupsWithState, append mode)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("anomaly_stream")
+    // two micro-batch files so state genuinely carries across batches
+    Seq((1L, 1L, 10.0), (1L, 2L, 12.0)).toDF("user_id", "event_id", "value")
+      .coalesce(1).write.parquet(dir.resolve("b0").toString)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = EventStreams.runningAnomalies(spark, stream, factor = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_stream_t").start()
+    try {
+      q.processAllAvailable()
+      // second batch arrives AFTER the first is fully processed
+      Seq((1L, 3L, 100.0)).toDF("user_id", "event_id", "value")
+        .coalesce(1).write.parquet(dir.resolve("b1").toString)
+      q.processAllAvailable()
+      val out = spark.table("anomaly_stream_t").orderBy("event_id").collect()
+      assert(out.length == 3)
+      // event 3 judged against STATE from batch 1: mean 11 → 100 > 33 → anomalous
+      assert(out.map(_.getAs[Boolean]("anomalous")).toSeq == Seq(false, false, true))
+      assert(math.abs(out.last.getAs[Double]("running_mean") - 11.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("runningAnomalies over the events fixture is deterministic across runs") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val a = EventStreams.runningAnomalies(spark, ev).filter(col("anomalous")).count()
