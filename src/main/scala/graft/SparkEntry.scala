@@ -494,6 +494,20 @@ object SparkEntry {
         .orderBy(col("y"), col("x"))
     }),
 
+    // E12 (distributed form) — mean SSIM between a gradient image and a
+    // deterministic distortion of it, one stencil pass for all five
+    // windowed moments; interior-only windows make it skimage-exact AND
+    // SQL-reproducible.
+    "e12_ssim_stencil" -> ((s, dir) => {
+      val pairs = Relational.gradientImage(s, 4, 32, 32)
+        .withColumn("a", col("v").cast("double"))
+        .withColumn("b", least(lit(255.0),
+          col("v").cast("double") * 0.9 + (col("y") * 3 + col("x") + col("image_id") * 7) % 29))
+      Stencil.meanSsim(pairs, 32, 32)
+        .select(col("image_id"), round(col("mssim"), 6).as("mssim"))
+        .orderBy(col("image_id"))
+    }),
+
     // D12 (distributed form) — Sobel gradient magnitude, both direction
     // kernels in one stencil pass; integer taps keep sums engine-exact.
     "d12_sobel_stencil" -> ((s, dir) => {
@@ -937,6 +951,37 @@ object SparkEntry {
         |FROM img i CROSS JOIN taps t CROSS JOIN norm n
         |WHERE i.y - t.dy BETWEEN 1 AND 62 AND i.x - t.dx BETWEEN 1 AND 62
         |GROUP BY 1, 2, 3 ORDER BY y, x""".stripMargin,
+
+    "e12_ssim_stencil" ->
+      """WITH img AS (
+        |  SELECT CAST(range AS BIGINT) // 1024 AS image_id,
+        |         (CAST(range AS BIGINT) % 1024) // 32 AS y,
+        |         CAST(range AS BIGINT) % 32 AS x
+        |  FROM range(4096)),
+        |ab AS (
+        |  SELECT image_id, y, x,
+        |    CAST((y * 4 + x * 2) % 256 AS DOUBLE) AS a,
+        |    LEAST(255.0, CAST((y * 4 + x * 2) % 256 AS DOUBLE) * 0.9
+        |                 + (y * 3 + x + image_id * 7) % 29) AS b
+        |  FROM img),
+        |taps AS (SELECT t1.range AS dy, t2.range AS dx
+        |  FROM range(-3, 4) t1 CROSS JOIN range(-3, 4) t2),
+        |m AS (
+        |  SELECT i.image_id, i.y - t.dy AS ty, i.x - t.dx AS tx,
+        |    SUM(i.a) / 49 AS ux, SUM(i.b) / 49 AS uy,
+        |    SUM(i.a * i.a) / 49 AS uxx, SUM(i.b * i.b) / 49 AS uyy,
+        |    SUM(i.a * i.b) / 49 AS uxy
+        |  FROM ab i CROSS JOIN taps t
+        |  WHERE i.y - t.dy BETWEEN 3 AND 28 AND i.x - t.dx BETWEEN 3 AND 28
+        |  GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT image_id,
+        |    ((2.0 * ux * uy + 6.5025) * (2.0 * (49.0/48.0 * (uxy - ux * uy)) + 58.5225))
+        |    / ((ux * ux + uy * uy + 6.5025)
+        |       * ((49.0/48.0 * (uxx - ux * ux)) + (49.0/48.0 * (uyy - uy * uy)) + 58.5225)) AS v
+        |  FROM m)
+        |SELECT image_id, ROUND(AVG(v), 6) AS mssim
+        |FROM s GROUP BY image_id ORDER BY image_id""".stripMargin,
 
     "d12_sobel_stencil" ->
       """WITH img AS (

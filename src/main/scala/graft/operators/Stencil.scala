@@ -49,6 +49,52 @@ object Stencil {
     raw.map { case (dy, dx, wt) => (dy, dx, wt / s) }
   }
 
+  /** E12 — SSIM on long format, ONE stencil pass: the five windowed
+    * moments (μa, μb, E[a²], E[b²], E[ab]) accumulate in a single
+    * explode+aggregate, then per-pixel SSIM and the per-image mean follow
+    * as plain column math — two shuffles total for any image count.
+    *
+    * Exactness: skimage crops the filtered map by win/2 before averaging,
+    * and every window at a cropped-interior pixel lies fully in-image — so
+    * interior-only windowed sums reproduce `skimage.structural_similarity`
+    * (uniform filter, K1=0.01, K2=0.03, sample covariance) EXACTLY; the
+    * kernel cross-check lives in StencilSsimSpec.
+    *
+    * `pairs` columns: (group, y, x, a, b), both images 0..dataRange.
+    */
+  def meanSsim(pairs: DataFrame, h: Int, w: Int, winSize: Int = 7,
+      dataRange: Double = 255.0, group: String = "image_id"): DataFrame = {
+    val r = winSize / 2
+    val np = winSize.toDouble * winSize
+    val covNorm = np / (np - 1)
+    val c1 = math.pow(0.01 * dataRange, 2)
+    val c2 = math.pow(0.03 * dataRange, 2)
+    val taps = array((for { dy <- -r to r; dx <- -r to r }
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val moments = pairs
+      .select(col(group), col("y"), col("x"),
+        col("a").cast("double").as("a"), col("b").cast("double").as("b"),
+        explode(taps).as("t"))
+      .select(col(group), (col("y") - col("t.dy")).as("ty"),
+        (col("x") - col("t.dx")).as("tx"), col("a"), col("b"))
+      .filter(col("ty").between(r, h - 1 - r) && col("tx").between(r, w - 1 - r))
+      .groupBy(col(group), col("ty"), col("tx"))
+      .agg(
+        (sum(col("a")) / np).as("ux"), (sum(col("b")) / np).as("uy"),
+        (sum(col("a") * col("a")) / np).as("uxx"),
+        (sum(col("b") * col("b")) / np).as("uyy"),
+        (sum(col("a") * col("b")) / np).as("uxy"))
+    val vx = lit(covNorm) * (col("uxx") - col("ux") * col("ux"))
+    val vy = lit(covNorm) * (col("uyy") - col("uy") * col("uy"))
+    val vxy = lit(covNorm) * (col("uxy") - col("ux") * col("uy"))
+    moments
+      .withColumn("ssim",
+        ((lit(2.0) * col("ux") * col("uy") + c1) * (lit(2.0) * vxy + c2)) /
+          ((col("ux") * col("ux") + col("uy") * col("uy") + c1) * (vx + vy + c2)))
+      .groupBy(col(group))
+      .agg(avg(col("ssim")).as("mssim"))
+  }
+
   /** D12 — Sobel gradient magnitude on long format: both direction kernels
     * in ONE explode+aggregate pass (two weighted sums per tap), interior
     * only. Integer kernel taps keep the sums exact across engines.
