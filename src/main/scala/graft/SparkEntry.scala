@@ -169,6 +169,35 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // E3 (image context, app.py:185-208): 50-bin histograms over the FULL
+    // image and over the SEGMENTED REGION in one grouped pass.
+    "e3_histogram_mask" -> ((s, dir) => {
+      val img = Relational.syntheticImage(s, 64, 64)
+        .withColumn("in_mask", col("v") >= 160)
+      img.select(col("v"), col("in_mask"),
+          Relational.histogramBin(col("v"), lit(0.0), lit(255.0), 50).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_full"),
+          sum(when(col("in_mask"), 1L).otherwise(0L)).as("n_region"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---------------------------------------------------------------
+    // §3.3 — the README's BigQuery analytic surface as NATIVE spark.sql
+    // text over the pipeline's slice table (README.md:167-172 shape).
+    "sql_flagship_readme" -> ((s, dir) => {
+      SlicePipeline.run(s, 200).toDF().createOrReplaceTempView("processed_images")
+      s.sql(
+        """SELECT study_uid,
+          |  ROUND(AVG(window_center), 6) AS avg_wc,
+          |  COUNT(*) AS n_images
+          |FROM processed_images
+          |GROUP BY study_uid
+          |ORDER BY avg_wc DESC, study_uid
+          |LIMIT 50""".stripMargin)
+    }),
+
+    // ---------------------------------------------------------------
     // E5/H4 — argmax with row-major first-occurrence tie-break, on a
     // deterministic synthetic image (range-generated, same in DuckDB).
     "e5_argmax" -> ((s, dir) => {
@@ -632,6 +661,25 @@ object SparkEntry {
         |FROM lineitem, b
         |WHERE l_extendedprice BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "e3_histogram_mask" ->
+      """WITH img AS (
+        |  SELECT (range * 2654435761) % 256 AS v FROM range(4096)),
+        |b AS (SELECT v, v >= 160 AS in_mask,
+        |        LEAST(CAST(FLOOR(v / (255.0 / 50.0)) AS BIGINT), 49) AS bin
+        |      FROM img WHERE v BETWEEN 0 AND 255)
+        |SELECT bin, COUNT(*) AS n_full,
+        |  SUM(CASE WHEN in_mask THEN 1 ELSE 0 END) AS n_region
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "sql_flagship_readme" ->
+      """WITH rec AS (
+        |  SELECT 'study_' || (i % 10) AS study_uid,
+        |         CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(1000 + i % 500 AS DOUBLE) END AS wc
+        |  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200)))
+        |SELECT study_uid, ROUND(AVG(wc), 6) AS avg_wc, COUNT(*) AS n_images
+        |FROM rec GROUP BY study_uid
+        |ORDER BY avg_wc DESC, study_uid LIMIT 50""".stripMargin,
 
     "e5_argmax" ->
       """SELECT CAST(range AS BIGINT) // 64 AS y, range % 64 AS x, (range * 2654435761) % 256 AS v

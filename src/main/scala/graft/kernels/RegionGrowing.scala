@@ -164,4 +164,63 @@ object RegionGrowing {
     }
     layers.reduce(_.union(_))
   }
+
+  /** G2 distributed — the adaptive threshold loop (`region_growing.py:
+    * 100-147`) over the frontier-join variant, adapted PER IMAGE like the
+    * reference: undersized images (< minFrac·pixels) re-grow at θ+0.05 up
+    * to maxThreshold; images oversized after that (> maxFrac·pixels)
+    * restart from the initial θ stepping down 0.01 while still oversized
+    * and θ > 0.01. The driver holds only (image_id → θ) metadata — one
+    * frontierJoin job per adaptation round over the still-adapting subset,
+    * never a per-pixel collect.
+    *
+    * Returns converged masks `(image_id, y, x)` (no morphology — the
+    * frontier variant's documented divergence).
+    */
+  def adaptiveFrontier(pixels: DataFrame, seeds: DataFrame,
+      initialThreshold: Double = 0.1, maxThreshold: Double = 0.3,
+      connectivity: Int = 8, minFrac: Double = 0.005, maxFrac: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val pxCounts = pixels.groupBy(col("image_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sizes(mask: DataFrame): Map[Long, Long] =
+      mask.groupBy(col("image_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def growSubset(ids: Set[Long], theta: Double): DataFrame =
+      frontierJoin(
+        pixels.filter(col("image_id").isInCollection(ids)),
+        seeds.filter(col("image_id").isInCollection(ids)),
+        theta, connectivity)
+
+    val allIds = pxCounts.keySet
+    var masks = Map.empty[Long, DataFrame]
+    // phase 1: initial grow, escalate undersized (`while size < minSize
+    // and θ < maxθ: θ += 0.05; regrow`)
+    var theta = initialThreshold
+    var pending = allIds
+    while (pending.nonEmpty) {
+      val grown = growSubset(pending, theta).localCheckpoint()
+      val sz = sizes(grown)
+      pending.foreach(id => masks += id -> grown.filter(col("image_id") === id))
+      val undersized = pending.filter(id => sz.getOrElse(id, 0L) < pxCounts(id) * minFrac)
+      // reference checks θ < maxθ BEFORE incrementing, so θ may overshoot
+      // maxθ by one step (region_growing.py:134-136) — preserved
+      if (undersized.nonEmpty && theta < maxThreshold - 1e-9) {
+        theta += 0.05; pending = undersized
+      } else pending = Set.empty
+    }
+    // phase 2: shrink oversized, restarting from the initial threshold
+    var shrinkTheta = initialThreshold
+    var oversized = allIds.filter { id =>
+      sizes(masks(id)).getOrElse(id, 0L) > pxCounts(id) * maxFrac
+    }
+    while (oversized.nonEmpty && shrinkTheta - 0.01 > 0.01 - 1e-9) {
+      shrinkTheta -= 0.01
+      val grown = growSubset(oversized, shrinkTheta).localCheckpoint()
+      val sz = sizes(grown)
+      oversized.foreach(id => masks += id -> grown.filter(col("image_id") === id))
+      oversized = oversized.filter(id => sz.getOrElse(id, 0L) > pxCounts(id) * maxFrac)
+    }
+    masks.values.reduce(_.union(_))
+  }
 }

@@ -61,6 +61,31 @@ class RegionGrowingSpec extends AnyFunSuite {
     assert(m.sum == 9) // escalated threshold captured the whole blob
   }
 
+  test("G2 distributed adaptiveFrontier: per-image escalation and shrink phases") {
+    // image 0: lone seed at θ=0.1/0.15, 3x3 blob admitted at θ=0.2 (escalates twice)
+    // image 1: 5x5 region within [min,max] at θ=0.1 (no adaptation)
+    // image 2: whole image at θ=0.1 (oversized) → shrink to θ=0.09 → lone seed
+    val px = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int)]()
+    for { y <- 0 until 12; x <- 0 until 12 } {
+      val v0 = if (y == 6 && x == 6) 100
+        else if (y >= 5 && y <= 7 && x >= 5 && x <= 7) 150 else 240
+      px += ((0L, y, x, v0))
+      val v1 = if (y >= 4 && y <= 8 && x >= 4 && x <= 8) 110 else 230
+      px += ((1L, y, x, if (y == 6 && x == 6) 100 else v1))
+      px += ((2L, y, x, if (y == 6 && x == 6) 100 else 124))
+    }
+    val pixels = px.toSeq.toDF("image_id", "y", "x", "v")
+    val seeds = Seq((0L, 6, 6), (1L, 6, 6), (2L, 6, 6)).toDF("image_id", "seed_y", "seed_x")
+    val masks = RegionGrowing.adaptiveFrontier(pixels, seeds,
+      initialThreshold = 0.1, maxThreshold = 0.3, connectivity = 4,
+      minFrac = 0.05, maxFrac = 0.3)
+    val counts = masks.groupBy("image_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) == 9L, s"img0 escalated blob: $counts")   // 3x3 at θ=0.2
+    assert(counts(1L) == 25L, s"img1 stable region: $counts")   // 5x5 at θ=0.1
+    assert(counts(2L) == 1L, s"img2 shrunk to seed: $counts")   // lone seed at θ=0.09
+  }
+
   test("frontierJoin agrees with exact (no cap, no post-process) — SURVEY §5.4 cross-check") {
     val pixels = (for { y <- 0 until h; x <- 0 until w }
       yield (1L, y, x, img(y * w + x))).toDF("image_id", "y", "x", "v")
