@@ -578,6 +578,17 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: IVF ANN — k-means-lite inverted lists, queries probe the
+    // nProbe nearest centroid lists only (rows-only: centroid iterations
+    // are engine-specific float accumulations).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(queries, emb, 5, nCentroids = 16, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // Streaming-shape (batch form): tumbling 1-hour window aggregate over
     // events — the §2.J "roadmap realized" demo's batch-equivalent query.
     "w1_tumbling_window" -> ((s, dir) => {

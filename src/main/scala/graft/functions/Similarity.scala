@@ -65,6 +65,66 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) ANN: k-means-lite centroids via DataFrame-only
+    * Lloyd iterations (deterministic seeding from every `stride`-th
+    * vector), corpus assigned to its nearest centroid once, queries probe
+    * only the `nProbe` nearest centroid lists. At scale the corpus
+    * partitions by centroid id (the "inverted file"), centroids broadcast,
+    * and a query touches nProbe/k of the data. All arithmetic is
+    * higher-order-function column math — no UDFs, no MLlib.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c.count()
+    val stride = math.max(1L, n / nCentroids)
+    var centroids = c.filter(col("c_id") % stride === 0).limit(nCentroids)
+      .select((col("c_id") / stride).cast("int").as("cent_id"), col("cv").as("centroid"))
+      .localCheckpoint()
+    // Lloyd: assign to nearest centroid, recompute means (element-wise
+    // aggregate over the vector column)
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignNearest(c, centroids)
+      centroids = assigned
+        .groupBy(col("cent_id"))
+        .agg(collect_list(col("cv")).as("members"))
+        .select(col("cent_id"), expr(
+          """transform(sequence(0, size(members[0]) - 1),
+            |  d -> aggregate(members, 0D, (acc, m) -> acc + m[d]) / size(members))"""
+            .stripMargin).as("centroid"))
+        .localCheckpoint()
+    }
+    val inverted = assignNearest(c, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query side: nProbe nearest centroids each
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("cent_id").asc)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", lit(1.0) - cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val scored = probes.join(inverted, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Nearest-centroid assignment (centroids broadcast). */
+  private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_id")).orderBy(col("dist").asc, col("cent_id").asc)
+    c.join(broadcast(centroids), lit(true))
+      .withColumn("dist", lit(1.0) - cosine(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("c_id"), col("cv"))
+  }
+
   /** LSH-bucketed ANN top-k: queries only score against same-bucket corpus
     * vectors. Recall is tunable via nPlanes (fewer planes → bigger buckets).
     * The bucket equi-join shuffles by bucket id instead of broadcasting —

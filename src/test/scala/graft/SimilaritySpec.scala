@@ -46,6 +46,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.headOption.contains(5L)) // identical vector hashes to the same bucket
   }
 
+  test("ivfTopK: exact duplicate lands in the same inverted list and ranks first") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = Seq((200L, Seq.tabulate(8)(d => math.sin(9 * 7.0 + d).toFloat)))
+      .toDF("vec_id", "embedding") // copy of vec 9
+    val res = Similarity.ivfTopK(dup, vecs.union(dup), 1,
+      nCentroids = 4, nProbe = 2, lloydIters = 2)
+      .select("c_id").as[Long].collect()
+    assert(res.headOption.contains(9L))
+  }
+
+  test("ivfTopK high-probe recall matches brute force on a small corpus") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(6)(d => math.cos(i * 3.0 + d * 1.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 7L)
+    // probing ALL centroids makes IVF exhaustive → must equal brute force
+    val ivf = Similarity.ivfTopK(q, vecs, 3, nCentroids = 4, nProbe = 4)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    val brute = Similarity.cosineTopK(q, vecs, 3)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("hyperplaneBucket is deterministic and within [0, 2^nPlanes)") {
     val df = Seq(Seq(0.3, -1.2, 2.2), Seq(0.3, -1.2, 2.2)).toDF("v")
       .select(Similarity.hyperplaneBucket(col("v"), 6).as("b")).as[Long].collect()
