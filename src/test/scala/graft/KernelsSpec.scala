@@ -39,6 +39,27 @@ class KernelsSpec extends AnyFunSuite {
     assert(out.length == 256)
   }
 
+  test("D2 CLAHE: near-identity when every 16x16 tile holds each value exactly once") {
+    // 128x128 with 8x8 tiles → tileArea=256; v = (y%16)*16 + (x%16) gives
+    // every tile a perfectly uniform histogram → each LUT ≈ identity ramp
+    // and bilinear blending of identical LUTs is a no-op
+    val h = 128; val w = 128
+    val img = Array.tabulate(h * w)(i => ((i / w) % 16) * 16 + (i % w) % 16)
+    val out = ImageKernels.clahe(img, h, w)
+    val maxDiff = out.zip(img).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 1, s"max deviation $maxDiff from identity")
+  }
+
+  test("D2 CLAHE: expands contrast of a low-contrast image (bounded by clip limit)") {
+    val h = 64; val w = 64
+    // values squeezed into [100, 115]
+    val img = Array.tabulate(h * w)(i => 100 + (i * 7) % 16)
+    val out = ImageKernels.clahe(img, h, w)
+    val inRange = img.max - img.min
+    val outRange = out.max - out.min
+    assert(outRange > inRange * 2, s"contrast $inRange -> $outRange")
+  }
+
   test("D12 Sobel magnitude: zero on constant interior, positive on an edge") {
     val flat = Array.fill(49)(100.0)
     val s = ImageKernels.sobelMagnitude(flat, 7, 7)
