@@ -877,6 +877,25 @@ object SparkEntry {
         |      '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','den','von','zu','mit','ist','des'], x))) AS DOUBLE) AS de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS DOUBLE) AS en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','se','las'], x))) AS DOUBLE) AS es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE) AS fr,
+        |  CAST(len(list_filter(toks, x -> list_contains(['o','a','de','que','e','do','da','em','um','para'], x))) AS DOUBLE) AS pt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(de, en, es, fr, pt) <= 0 THEN 'und'
+        |       WHEN de = GREATEST(de, en, es, fr, pt) THEN 'de'
+        |       WHEN en = GREATEST(de, en, es, fr, pt) THEN 'en'
+        |       WHEN es = GREATEST(de, en, es, fr, pt) THEN 'es'
+        |       WHEN fr = GREATEST(de, en, es, fr, pt) THEN 'fr'
+        |       ELSE 'pt' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
         |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
