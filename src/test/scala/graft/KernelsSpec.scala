@@ -96,6 +96,39 @@ class KernelsSpec extends AnyFunSuite {
     assert(Contours.perimeter(Array.fill(25)(0), 5, 5) == 0.0)
   }
 
+  test("E15 contour shapes: 1x3 line perimeter = 4; two components = two contours") {
+    val line = Array.fill(25)(0)
+    for (x <- 1 to 3) line(2 * 5 + x) = 1
+    assert(math.abs(Contours.perimeter(line, 5, 5) - 4.0) < 1e-9)
+    val two = Array.fill(25)(0)
+    two(0) = 1; two(24) = 1 // opposite corners, 8-disconnected
+    assert(Contours.externalContours(two, 5, 5).length == 2)
+  }
+
+  test("E14 solidity: concave L-shape strictly below 1") {
+    val mask = Array.fill(25)(0)
+    Seq((0, 0), (1, 0), (2, 0), (2, 1), (2, 2)).foreach { case (y, x) => mask(y * 5 + x) = 1 }
+    val s = Contours.solidity(mask, 5, 5)
+    assert(s > 0.0 && s < 1.0, s"solidity $s")
+  }
+
+  test("D11 Butterworth: low-pass preserves smooth structure better than high-pass") {
+    val h = 16; val w = 16
+    val img = Array.tabulate(h * w)(i => ((i / w) * 8 + (i % w) * 4).toDouble)
+    def corr(a: Array[Int], b: Array[Double]): Double = {
+      val ad = a.map(_.toDouble)
+      val ma = ad.sum / ad.length; val mb = b.sum / b.length
+      val cov = ad.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = ad.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(y => (y - mb) * (y - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    val lp = ImageKernels.butterworth(img, h, w, cutoff = 6, order = 2, highPass = false)
+    val hp = ImageKernels.butterworth(img, h, w, cutoff = 6, order = 2, highPass = true)
+    assert(corr(lp, img) > 0.8, s"low-pass corr ${corr(lp, img)}")
+    assert(corr(hp, img) < corr(lp, img))
+  }
+
   test("E14 solidity: convex shape = 1") {
     val mask = Array.fill(49)(0)
     for { y <- 1 to 4; x <- 1 to 4 } mask(y * 7 + x) = 1
