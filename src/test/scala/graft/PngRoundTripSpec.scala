@@ -51,6 +51,19 @@ class PngRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("A4 common-format decode: JPEG and BMP bytes decode through the same seam") {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for { y <- 0 until 16; x <- 0 until 16 } img.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8)
+    for (fmt <- Seq("jpg", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      val decoded = Png.decodeGray(bos.toByteArray)
+      assert(decoded.isDefined, s"decode $fmt failed")
+      val (px, h, w) = decoded.get
+      assert(h == 16 && w == 16 && px.forall(v => v >= 0 && v <= 255), fmt)
+    }
+  }
+
   test("C3 drop-on-failure: encode of a degenerate image returns None and drops") {
     // zero-size image cannot be encoded — BufferedImage construction fails
     assert(Png.encodeGray(Array.emptyIntArray, 0, 0).isEmpty)
