@@ -74,6 +74,29 @@ object Multimodal {
     }.toDF("media_id", "kind", "n_bytes", "width", "height", "mean_px")
   }
 
+  /** REAL image resize over PNG-encoded payloads: decode → bilinear resize
+    * → re-encode, per partition (codec state amortized). Non-decodable
+    * payloads drop silently (C3 shape). This is the non-stub path of the
+    * decode seam — payloads written by
+    * [[graft.operators.SlicePipeline.writePngs]] flow through it as-is.
+    */
+  def resizeImages(media: DataFrame, outH: Int, outW: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          for {
+            (px, h, w) <- graft.kernels.Png.decodeGray(payload)
+            resized = graft.kernels.ImageKernels.resizeBilinear(px, h, w, outH, outW)
+            bytes <- graft.kernels.Png.encodeGray(resized, outH, outW)
+          } yield (id, outH, outW, bytes)
+        }
+      }
+      .toDF("media_id", "height", "width", "payload")
+  }
+
   /** Frame sampling for video-kind media: deterministic fixed-size chunks
     * of the decoded payload stand in for frames (stub), showing the 1→N
     * explode shape (each frame its own row for downstream per-frame

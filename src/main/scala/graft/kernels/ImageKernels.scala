@@ -384,6 +384,36 @@ object ImageKernels {
     erode(dilate(opened, h, w, 5), h, w, 5)
   }
 
+  /** Bilinear resize (OpenCV INTER_LINEAR convention: pixel centers at
+    * +0.5, border clamped) — the multimodal pipeline's resize step over
+    * decoded frames. */
+  def resizeBilinear(img: Array[Int], h: Int, w: Int, outH: Int, outW: Int): Array[Int] = {
+    val out = new Array[Int](outH * outW)
+    val sy = h.toDouble / outH
+    val sx = w.toDouble / outW
+    var oy = 0
+    while (oy < outH) {
+      val fy = (oy + 0.5) * sy - 0.5
+      val y0 = math.max(math.min(math.floor(fy).toInt, h - 1), 0)
+      val y1 = math.min(y0 + 1, h - 1)
+      val wy = math.max(math.min(fy - y0, 1.0), 0.0)
+      var ox = 0
+      while (ox < outW) {
+        val fx = (ox + 0.5) * sx - 0.5
+        val x0 = math.max(math.min(math.floor(fx).toInt, w - 1), 0)
+        val x1 = math.min(x0 + 1, w - 1)
+        val wx = math.max(math.min(fx - x0, 1.0), 0.0)
+        val v =
+          (1 - wy) * ((1 - wx) * img(y0 * w + x0) + wx * img(y0 * w + x1)) +
+          wy       * ((1 - wx) * img(y1 * w + x0) + wx * img(y1 * w + x1))
+        out(oy * outW + ox) = math.min(math.max(math.round(v).toInt, 0), 255)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** D1 dense variant — intensity windowing on a dense image
     * (`/root/reference/dataflow_pipeline.py:19-39`); returns (img_u8, usedWindow).
     */

@@ -64,6 +64,29 @@ class PngRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal resize: PNG payloads decode → bilinear resize → re-encode, bad payloads drop") {
+    import graft.kernels.ImageKernels
+    // constant image resizes to the same constant; gradient stays monotone
+    val flat = Array.fill(32 * 32)(77)
+    assert(ImageKernels.resizeBilinear(flat, 32, 32, 16, 16).forall(_ == 77))
+    val grad = Array.tabulate(32 * 32)(i => (i % 32) * 8)
+    val small = ImageKernels.resizeBilinear(grad, 32, 32, 16, 16)
+    val row = (0 until 16).map(x => small(8 * 16 + x))
+    assert(row == row.sorted, s"monotone row expected: $row")
+
+    val dir = java.nio.file.Files.createTempDirectory("png_resize").toString
+    SlicePipeline.writePngs(spark, 6, dir)
+    val media = BinaryFiles.binaryFiles(spark, dir)
+      .select(monotonically_increasing_id().as("media_id"), col("content").as("payload"))
+      .union(Seq((999L, "not a png".getBytes)).toDF("media_id", "payload")) // must drop
+    val resized = graft.functions.Multimodal.resizeImages(media, 16, 16).collect()
+    assert(resized.length == 6) // bad payload dropped
+    resized.foreach { r =>
+      val (px, h, w) = Png.decodeGray(r.getAs[Array[Byte]]("payload")).get
+      assert(h == 16 && w == 16 && px.forall(v => v >= 0 && v <= 255))
+    }
+  }
+
   test("C3 drop-on-failure: encode of a degenerate image returns None and drops") {
     // zero-size image cannot be encoded — BufferedImage construction fails
     assert(Png.encodeGray(Array.emptyIntArray, 0, 0).isEmpty)
