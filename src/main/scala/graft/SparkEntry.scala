@@ -874,7 +874,14 @@ object SparkEntry {
         |           t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
         |         / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality,
         |  md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
-        |      '\s+', ' ', 'g'))) AS fp
+        |      '\s+', ' ', 'g'))) AS fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |            '\s+', ' ', 'g')), '.'),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 144115188075855859) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->

@@ -70,16 +70,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
 
   /** Rolling polynomial fingerprint (Rabin-Karp shape) over normalized
-    * text, as a codegen'd expression: fold chars with h = h*31 + c mod 2^61-1.
+    * text, as a codegen'd expression: fold chars with h = h*31 + c mod
+    * 2^57−13 (prime; (M−1)·31+255 < 2^63 so the Long arithmetic is EXACT —
+    * a 2^61-scale modulus would silently overflow `acc*31`).
     * Distinct from md5: locality-free but cheap and order-sensitive.
     */
-  def rollingHash(text: Column): Column = {
-    val M = lit(2305843009213693951L) // 2^61 - 1
+  val RollingHashModulus: Long = 144115188075855859L // 2^57 - 13, prime
+
+  def rollingHash(text: Column): Column =
     aggregate(
       split(normalizeText(text), ""),
       lit(0L),
-      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), M))
-  }
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)),
+        lit(RollingHashModulus)))
 
   /** Language ID via stopword-profile voting: per language, count hits of
     * its most-frequent function words among the doc's tokens; argmax wins,
@@ -167,6 +170,7 @@ object TextAnalysis {
         round(col("__sr"), 6).as("stopword_ratio"),
         round(quality, 6).as("quality"),
         fingerprint(col("__text")).as("fp"),
+        rollingHash(col("__text")).as("rolling_fp"),
         col("lang_pred"))
   }
 }
