@@ -163,6 +163,21 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // E13 — BF score no-GT fallback per image (Sobel → Butterworth →
+    // Σ/(n·255)), dense-kernel path; rows-only (FFT kernel outputs have no
+    // SQL oracle; formula is golden-tested in KernelsSpec).
+    "e13_bf_score" -> ((s, dir) => {
+      ImageOps.syntheticDense(s, 16, 32, 32)
+        .withColumn("mask", ImageOps.regionGrowAdaptive(
+          col("img"), col("h"), col("w"),
+          (lit(16) + col("image_id") % 5).cast("int"),
+          (lit(16) - col("image_id") % 7).cast("int")))
+        .select(col("image_id"),
+          round(ImageOps.bfScoreUdf(col("mask"), col("h"), col("w")), 6).as("bf_score"))
+        .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // E3 — 50-bin histogram (numpy semantics: last bin closed).
     "e3_histogram" -> ((s, dir) => {
       Relational.histogramAuto(Tables.lineitem(s, dir), col("l_extendedprice"), 50)
@@ -584,7 +599,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.ivfTopK(queries, emb, 5, nCentroids = 16, nProbe = 4)
+      Similarity.ivfTopK(queries, emb, 5, nCentroids = 16, nProbe = 4, lloydIters = 1)
         .orderBy(col("q_id"), col("rank"))
     }),
 
