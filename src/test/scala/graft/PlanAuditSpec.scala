@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for PHYSICAL-PLAN hygiene (the manual `graft.Explain`
+  * audit, automated): column pruning reaches the scan, top-k compiles to
+  * TakeOrderedAndProject, dims broadcast, and no accidental cartesian
+  * products appear anywhere. These are the properties that decide whether
+  * a plan survives a 100x scale-up, independent of row-level correctness.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: scan prunes to the five referenced lineitem columns") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("l_quantity") && !plan.contains("l_shipdate"),
+      "unused columns must not reach the scan")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("h1/h2: sort+limit fuses into TakeOrderedAndProject (no global sort)") {
+    assert(planOf("h1_topk_avg").contains("TakeOrderedAndProject"))
+    assert(planOf("h2_latest_events").contains("TakeOrderedAndProject"))
+  }
+
+  test("j1: all four dimension joins broadcast; fact side never shuffles pre-agg") {
+    val plan = planOf("j1_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
+  }
+
+  test("ann_cosine_topk: the query side broadcasts (corpus scanned once, unshuffled)") {
+    assert(planOf("ann_cosine_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no query plans a CartesianProduct") {
+    // cartesian = quadratic blow-up at scale; the only nested-loop joins
+    // allowed are broadcast ones (tiny side)
+    SparkEntry.queries.keys.foreach { name =>
+      val plan =
+        try planOf(name)
+        catch { case _: Throwable => "" } // iterative queries run jobs at plan time
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("text_analysis: single projection pipeline, no shuffle before the sort") {
+    val plan = planOf("text_analysis")
+    // exactly one Exchange: the final presentation sort
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"map-side text analysis must not shuffle; got $exchanges:\n${plan.take(400)}")
+  }
+}
