@@ -20,7 +20,8 @@ object Contours {
     * per component, in raster order of the component's top-left pixel —
     * OpenCV's CHAIN_APPROX_SIMPLE shape for simple regions.
     */
-  def externalContours(mask: Array[Int], h: Int, w: Int): Seq[IndexedSeq[(Int, Int)]] = {
+  def externalContours(mask: Array[Int], h: Int, w: Int,
+      simplify: Boolean = true): Seq[IndexedSeq[(Int, Int)]] = {
     val seen = new Array[Boolean](h * w)
     @inline def in(y: Int, x: Int) = y >= 0 && y < h && x >= 0 && x < w && mask(y * w + x) > 0
     // clockwise Moore neighbourhood starting at W
@@ -76,7 +77,7 @@ object Contours {
       }
       // drop closing duplicate of the start point
       val poly = if (pts.length > 1 && pts.last == pts.head) pts.dropRight(1) else pts
-      simplifyCollinear(poly.toIndexedSeq)
+      if (simplify) simplifyCollinear(poly.toIndexedSeq) else poly.toIndexedSeq
     }
 
     var y = 0

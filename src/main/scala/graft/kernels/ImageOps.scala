@@ -78,6 +78,27 @@ object ImageOps {
     Contours.perimeter(toArr(mask), h, w)
   }
 
+  /** D10 kernel half (`/root/reference/utils.py:39-84`): additive
+    * saturating overlay on in-mask pixels, then external contour pixels
+    * drawn at full intensity — grayscale single-channel form of the
+    * reference's red-overlay + green-contour rendering. */
+  val overlayWithContours = udf { (img: Seq[Int], mask: Seq[Int], h: Int, w: Int,
+      alpha: Double) =>
+    val m = toArr(mask)
+    val out = img.toArray
+    var i = 0
+    while (i < out.length) {
+      if (m(i) > 0) out(i) = math.min(math.round(out(i) + alpha * 255.0).toInt, 255)
+      i += 1
+    }
+    // un-simplified trace = every border pixel (the simplified polygon only
+    // keeps corners; drawing needs the full 8-connected chain)
+    Contours.externalContours(m, h, w, simplify = false).foreach(_.foreach { case (y, x) =>
+      out(y * w + x) = 255
+    })
+    out.toSeq
+  }
+
   val solidityUdf = udf { (mask: Seq[Int], h: Int, w: Int) =>
     Contours.solidity(toArr(mask), h, w)
   }

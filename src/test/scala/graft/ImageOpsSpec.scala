@@ -50,6 +50,21 @@ class ImageOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("D10 overlay with contours: in-mask brightened, contour at 255, outside untouched") {
+    val h = 8; val w = 8
+    val img = Seq.fill(h * w)(100)
+    val mask = Array.fill(h * w)(0)
+    for { y <- 2 to 5; x <- 2 to 5 } mask(y * w + x) = 1
+    val out = Seq((1L, img, mask.toSeq)).toDF("image_id", "img", "mask")
+      .select(ImageOps.overlayWithContours(col("img"), col("mask"),
+        lit(h), lit(w), lit(0.3)).as("o"))
+      .as[Seq[Int]].head()
+    assert(out(0) == 100)                 // outside mask unchanged
+    assert(out(3 * w + 3) == 177)         // interior: 100 + 0.3*255 = 176.5 → 177
+    assert(out(2 * w + 2) == 255)         // contour corner drawn at 255
+    assert(out(2 * w + 3) == 255)         // contour EDGE pixel drawn too (full chain)
+  }
+
   test("ssimUdf: identical dense images score 1") {
     val one = ImageOps.syntheticDense(spark, 1, 16, 16)
       .select(ImageOps.ssimUdf(col("img"), col("img"), col("h"), col("w")).as("s"))
