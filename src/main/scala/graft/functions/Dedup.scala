@@ -186,13 +186,14 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, id: Column, vec: Column,
       nPlanes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val keyed = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
     val a = keyed.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
     val b = keyed.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .distinct()

@@ -25,12 +25,21 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity (0 when either norm is 0). */
+  /** Cosine similarity (0 when either norm is 0) — portable higher-order
+    * form. NOTE: HigherOrderFunction is CodegenFallback (interpreted per
+    * row); hot paths use [[cosineFast]]. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
+
+  /** Native codegen cosine ([[graft.plans.ArrayCosineSimilarity]]): one
+    * fused Java loop for dot + norms inside whole-stage codegen. Same
+    * results as [[cosine]]; needs `graft_cosine` registered — the ANN
+    * entry points register it on their session idempotently. */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding self-matches by id). Query side broadcasts; ranking
@@ -38,10 +47,11 @@ object Similarity {
     * only the (|Q|·k-bounded) scored pairs do.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -75,6 +85,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
@@ -101,13 +112,13 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("cent_id").asc)
     val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("dist", lit(1.0) - cosine(col("qv"), col("centroid")))
+      .withColumn("dist", lit(1.0) - cosineFast(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id"))
     val scored = probes.join(inverted, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -119,7 +130,7 @@ object Similarity {
   private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("c_id")).orderBy(col("dist").asc, col("cent_id").asc)
     c.join(broadcast(centroids), lit(true))
-      .withColumn("dist", lit(1.0) - cosine(col("cv"), col("centroid")))
+      .withColumn("dist", lit(1.0) - cosineFast(col("cv"), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cent_id"), col("c_id"), col("cv"))
@@ -131,12 +142,13 @@ object Similarity {
     * the right shape when the query set itself is huge.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

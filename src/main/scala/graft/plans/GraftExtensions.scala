@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_window"),
       new ExpressionInfo(classOf[GraftWindowIntensity].getName, "graft_window"),
       GraftFunctions.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
+      GraftFunctions.cosineBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
   }
 }
@@ -58,9 +62,16 @@ object GraftFunctions {
     GraftWindowIntensity(children(0), children(1), children(2))
   }
 
+  val cosineBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_cosine(a, b)")
+    ArrayCosineSimilarity(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", cosineBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

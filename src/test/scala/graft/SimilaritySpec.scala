@@ -22,6 +22,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df(1) == 0.0 && math.abs(df(2) + 1.0) < 1e-12 && df(3) == 0.0)
   }
 
+  test("cosineFast (codegen expression) equals the higher-order cosine exactly") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, -5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (Seq(0.3, -0.7, 0.2, 9.1), Seq(-0.3, 0.7, -0.2, -9.1)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("hof"),
+        Similarity.cosineFast(col("a"), col("b")).as("fast"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosineTopK ranks by similarity with id tie-break, excludes self") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)),
