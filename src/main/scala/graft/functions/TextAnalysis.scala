@@ -67,7 +67,9 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the normalized text — stable across
     * engines (DuckDB md5 == Spark md5), used as the exact-dedup key. */
-  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+  def fingerprint(text: Column): Column = fingerprintFromNormalized(normalizeText(text))
+
+  def fingerprintFromNormalized(norm: Column): Column = md5(norm.cast("binary"))
 
   /** Rolling polynomial fingerprint (Rabin-Karp shape) over normalized
     * text, as a codegen'd expression: fold chars with h = h*31 + c mod
@@ -78,8 +80,11 @@ object TextAnalysis {
   val RollingHashModulus: Long = 144115188075855859L // 2^57 - 13, prime
 
   def rollingHash(text: Column): Column =
+    rollingHashFromNormalized(normalizeText(text))
+
+  def rollingHashFromNormalized(norm: Column): Column =
     aggregate(
-      split(normalizeText(text), ""),
+      split(norm, ""),
       lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)),
         lit(RollingHashModulus)))
@@ -147,6 +152,7 @@ object TextAnalysis {
       .withColumn("__t", regexp_extract_all(col("__text"), lit("\\S+"), lit(0)))
       .withColumn("__tl", regexp_extract_all(lower(col("__text")), lit("\\S+"), lit(0)))
       .withColumn("__np", punctCount(col("__text")))
+      .withColumn("__norm", normalizeText(col("__text")))
       .withColumn("__sr",
         when(size(col("__tl")) === 0, lit(0.0))
           .otherwise(size(filter(col("__tl"), t => t.isInCollection(StopWords)))
@@ -169,8 +175,8 @@ object TextAnalysis {
             .cast("double") / size(col("__t"))), 6).as("mean_token_len"),
         round(col("__sr"), 6).as("stopword_ratio"),
         round(quality, 6).as("quality"),
-        fingerprint(col("__text")).as("fp"),
-        rollingHash(col("__text")).as("rolling_fp"),
+        fingerprintFromNormalized(col("__norm")).as("fp"),
+        rollingHashFromNormalized(col("__norm")).as("rolling_fp"),
         col("lang_pred"))
   }
 }
