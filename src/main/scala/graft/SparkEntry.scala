@@ -695,7 +695,7 @@ object SparkEntry {
         |        LEAST(CAST(FLOOR(v / (255.0 / 50.0)) AS BIGINT), 49) AS bin
         |      FROM img WHERE v BETWEEN 0 AND 255)
         |SELECT bin, COUNT(*) AS n_full,
-        |  SUM(CASE WHEN in_mask THEN 1 ELSE 0 END) AS n_region
+        |  CAST(SUM(CASE WHEN in_mask THEN 1 ELSE 0 END) AS BIGINT) AS n_region
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "sql_flagship_readme" ->
@@ -717,8 +717,9 @@ object SparkEntry {
         |    CAST(l_discount > 0.05 AS BIGINT) AS p, CAST(l_tax > 0.03 AS BIGINT) AS g
         |  FROM lineitem)
         |SELECT l_returnflag,
-        |  SUM(p*g) AS tp, SUM((1-p)*g) AS fn, SUM(p*(1-g)) AS fp, SUM((1-p)*(1-g)) AS tn,
-        |  SUM(p) AS area_p, SUM(g) AS area_g,
+        |  CAST(SUM(p*g) AS BIGINT) AS tp, CAST(SUM((1-p)*g) AS BIGINT) AS fn,
+        |  CAST(SUM(p*(1-g)) AS BIGINT) AS fp, CAST(SUM((1-p)*(1-g)) AS BIGINT) AS tn,
+        |  CAST(SUM(p) AS BIGINT) AS area_p, CAST(SUM(g) AS BIGINT) AS area_g,
         |  ROUND(CASE WHEN SUM(p)+SUM(g) = 0 THEN 1.0 ELSE 2.0*SUM(p*g)/(SUM(p)+SUM(g)) END, 6) AS dice,
         |  ROUND(CASE WHEN SUM(p*g)+SUM((1-p)*g)+SUM(p*(1-g)) = 0 THEN 1.0
         |        ELSE SUM(p*g)*1.0/(SUM(p*g)+SUM((1-p)*g)+SUM(p*(1-g))) END, 6) AS jaccard,
@@ -780,7 +781,7 @@ object SparkEntry {
         |perim AS (SELECT image_id, CAST(COUNT(*) AS DOUBLE) AS perimeter FROM boundary GROUP BY image_id),
         |agg AS (
         |  SELECT px.image_id,
-        |    SUM(CAST(in_mask AS BIGINT)) AS tumor_area,
+        |    CAST(SUM(CAST(in_mask AS BIGINT)) AS BIGINT) AS tumor_area,
         |    COUNT(*) AS n_pixels,
         |    COALESCE(AVG(CASE WHEN in_mask THEN CAST(v AS DOUBLE) END), 0.0) AS tumor_mean,
         |    AVG(CASE WHEN NOT in_mask THEN CAST(v AS DOUBLE) END) AS non_tumor_mean,
