@@ -42,9 +42,10 @@ object Similarity {
     call_function("graft_cosine", a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors (excluding self-matches by id). Query side broadcasts; ranking
-    * uses a window partitioned by query id — the corpus never shuffles,
-    * only the (|Q|·k-bounded) scored pairs do.
+    * vectors (excluding self-matches by id). Query side broadcasts so the
+    * corpus never shuffles; ranking is a k-bounded partial aggregation
+    * ([[TopK.rankTopK]]) so the exchange carries O(|Q|·k·partitions) rows,
+    * never the full |Q|·|C| scored set.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
@@ -52,11 +53,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
-        round(col("cos"), 6).as("cos"))
+    TopK.rankTopK(scored, k)
   }
 
   /** Random-hyperplane sign bucket: plane p's normal component for
@@ -97,18 +94,24 @@ object Similarity {
     // aggregate over the vector column)
     for (_ <- 1 to lloydIters) {
       val assigned = assignNearest(c, centroids)
+      // Per-dimension mean via posexplode: aggregation state is one double
+      // per (centroid, dim) — never a collect_list of whole member vectors,
+      // which at 100 TB would put millions of vectors in one buffer. The
+      // reassembled array is bounded by the embedding dimensionality.
       centroids = assigned
+        .select(col("cent_id"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
         .groupBy(col("cent_id"))
-        .agg(collect_list(col("cv")).as("members"))
-        .select(col("cent_id"), expr(
-          """transform(sequence(0, size(members[0]) - 1),
-            |  d -> aggregate(members, 0D, (acc, m) -> acc + m[d]) / size(members))"""
-            .stripMargin).as("centroid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .select(col("cent_id"), col("dims.m").as("centroid"))
         .localCheckpoint()
     }
     val inverted = assignNearest(c, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // query side: nProbe nearest centroids each
+    // query side: nProbe nearest centroids each. A window is fine HERE:
+    // the scored set is |Q|·nCentroids with nCentroids a small constant,
+    // unlike the corpus-sized ranking below which uses TopK.rankTopK.
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("cent_id").asc)
     val probes = q.join(broadcast(centroids), lit(true))
@@ -119,21 +122,21 @@ object Similarity {
     val scored = probes.join(inverted, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
-        round(col("cos"), 6).as("cos"))
+    TopK.rankTopK(scored, k)
   }
 
-  /** Nearest-centroid assignment (centroids broadcast). */
+  /** Nearest-centroid assignment (centroids broadcast). A min-over-struct
+    * aggregation (dist asc, cent_id asc tie-break) instead of a window:
+    * partial aggregation collapses the |C|·nCentroids candidate rows
+    * map-side, so only |C| rows reach the exchange.
+    */
   private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("c_id")).orderBy(col("dist").asc, col("cent_id").asc)
     c.join(broadcast(centroids), lit(true))
       .withColumn("dist", lit(1.0) - cosineFast(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cent_id"), col("c_id"), col("cv"))
+      .groupBy(col("c_id"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("cv")).as("cv"))
+      .select(col("best.cent_id").as("cent_id"), col("c_id"), col("cv"))
   }
 
   /** LSH-bucketed ANN top-k: queries only score against same-bucket corpus
@@ -149,10 +152,6 @@ object Similarity {
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
-        round(col("cos"), 6).as("cos"))
+    TopK.rankTopK(scored, k)
   }
 }

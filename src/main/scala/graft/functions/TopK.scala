@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One (candidate, score) pair flowing through the top-k aggregation. */
+case class Scored(cos: Double, cId: Long)
+
+/** Size-bounded top-k typed Aggregator: keeps at most 2k candidates per
+  * aggregation buffer (pruned back to k whenever it doubles), ordered by
+  * score desc with id-asc tie-break.
+  *
+  * Why not `row_number().over(Window.partitionBy(q_id))`: the window form
+  * shuffles EVERY scored pair (|Q|·|C| rows for brute-force ANN) into the
+  * exchange before k survive. As a TypedImperativeAggregate this runs with
+  * map-side partial aggregation — each mapper emits at most ~2k candidates
+  * per query id, so the exchange carries O(|Q| · k · partitions) rows
+  * regardless of corpus size. That is the difference between a plan that
+  * survives a 100 TB corpus and one that doesn't.
+  */
+class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  private def best(xs: Seq[Scored]): Seq[Scored] =
+    xs.sortBy(s => (-s.cos, s.cId)).take(k)
+  override def zero: Seq[Scored] = Vector.empty
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
+    val nb = b :+ a
+    if (nb.length >= 2 * k) best(nb) else nb
+  }
+  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = best(b1 ++ b2)
+  override def finish(b: Seq[Scored]): Seq[Scored] = best(b)
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}
+
+object TopK {
+
+  /** Ranks scored `(q_id, c_id, cos)` pairs down to the top k per `q_id`
+    * and returns `(q_id, rank, c_id, cos)` with rank 1-based, cos rounded
+    * to 6 places. The heavy lifting is the k-bounded [[TopKByScore]]
+    * aggregation; the posexplode afterwards touches only |Q|·k rows.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k), Encoders.product[Scored])
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("c_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r", "s")))
+      .select(col("q_id"), (col("r") + 1).cast("long").as("rank"),
+        col("s.cId").as("c_id"), round(col("s.cos"), 6).as("cos"))
+  }
+}

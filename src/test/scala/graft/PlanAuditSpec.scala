@@ -37,6 +37,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(planOf("ann_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ANN rankers: no full-window exchange on the scored pair set") {
+    // Top-k must be a k-bounded partial aggregation (ObjectHashAggregate
+    // over the TopKByScore UDAF), never row_number over a window — the
+    // window form shuffles all |Q|x|C| scored pairs at 100 TB.
+    for (name <- Seq("ann_cosine_topk", "ann_lsh_topk")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Window"), s"$name ranks via a window exchange")
+      assert(plan.contains("ObjectHashAggregate"), s"$name lost the k-bounded aggregation")
+    }
+    // ivf keeps exactly one window: probe selection over |Q|·nCentroids
+    // rows (constant-bounded); the corpus-sized ranking must not add one.
+    val ivf = planOf("ann_ivf_topk")
+    assert("\\bWindow\\b".r.findAllIn(ivf).length <= 2, "ivf grew a ranking window")
+    assert(ivf.contains("ObjectHashAggregate"), "ivf lost the k-bounded aggregation")
+  }
+
   test("no query plans a CartesianProduct") {
     // cartesian = quadratic blow-up at scale; the only nested-loop joins
     // allowed are broadcast ones (tiny side)
