@@ -101,10 +101,19 @@ object RegionGrowing {
     * morphology — see class doc).
     */
   def frontierJoin(pixels: DataFrame, seeds: DataFrame, threshold: Double,
-      connectivity: Int = 8, maxRounds: Int = 10000, hops: Int = 4): DataFrame = {
+      connectivity: Int = 8, maxRounds: Int = 10000, hops: Int = 4,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
     val offsets =
       if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
       else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+
+    // Broadcast hints are CONDITIONAL on a measured row count: a 10⁹-pixel
+    // image's threshold band can be GBs, which would OOM the driver if
+    // force-broadcast. Under the cap the hop joins and layer anti-joins run
+    // map-side; over it they degrade gracefully to shuffle joins (and AQE
+    // may still choose broadcast from its own runtime estimate).
+    def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= maxBroadcastRows) broadcast(df) else df
 
     // seed values → admissible pixel set for each image (one broadcast join)
     val seedVals = seeds.join(pixels,
@@ -112,14 +121,13 @@ object RegionGrowing {
         seeds("seed_y") === pixels("y") && seeds("seed_x") === pixels("x"))
       .select(pixels("image_id"), pixels("v").as("seed_v"))
     // The admissible set is the threshold band around each seed value —
-    // typically a small fraction of the image, so it broadcasts; the hop
-    // joins and layer anti-joins then run map-side and each round pays ONE
-    // shuffle (the candidate distinct). If a band outgrows the broadcast
-    // limit, drop these hints and the joins degrade gracefully to shuffles.
-    val admissible = broadcast(pixels.join(broadcast(seedVals), "image_id")
+    // typically a small fraction of the image. Each round pays ONE shuffle
+    // (the candidate distinct) when the band broadcasts.
+    val admissibleBase = pixels.join(seedVals.hint("broadcast"), "image_id")
       .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
       .select(col("image_id"), col("y"), col("x"))
-      .localCheckpoint())
+      .localCheckpoint()
+    val admissible = maybeBroadcast(admissibleBase, admissibleBase.count())
 
     // BFS-layer invariant: a neighbour of a layer-k pixel has BFS distance
     // ≥ k−1, so dedup per round only needs the CURRENT and PREVIOUS layers
@@ -130,6 +138,7 @@ object RegionGrowing {
       .localCheckpoint()
     var layers = List(seed0)
     var prev = seed0.limit(0)
+    var prevSize = 0L
     var frontier = seed0
     var round = 0
     var frontierSize = frontier.count()
@@ -153,9 +162,10 @@ object RegionGrowing {
         acc = if (acc == null) cur else acc.union(cur)
       }
       val newFrontier = acc.distinct()
-        .join(broadcast(frontier), Seq("image_id", "y", "x"), "left_anti")
-        .join(broadcast(prev), Seq("image_id", "y", "x"), "left_anti")
+        .join(maybeBroadcast(frontier, frontierSize), Seq("image_id", "y", "x"), "left_anti")
+        .join(maybeBroadcast(prev, prevSize), Seq("image_id", "y", "x"), "left_anti")
         .localCheckpoint()
+      prevSize = frontierSize
       frontierSize = newFrontier.count()
       if (frontierSize > 0) layers ::= newFrontier
       prev = frontier
@@ -180,47 +190,71 @@ object RegionGrowing {
   def adaptiveFrontier(pixels: DataFrame, seeds: DataFrame,
       initialThreshold: Double = 0.1, maxThreshold: Double = 0.3,
       connectivity: Int = 8, minFrac: Double = 0.005, maxFrac: Double = 0.3): DataFrame = {
-    import org.apache.spark.sql.DataFrame
-    val pxCounts = pixels.groupBy(col("image_id")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def sizes(mask: DataFrame): Map[Long, Long] =
-      mask.groupBy(col("image_id")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def growSubset(ids: Set[Long], theta: Double): DataFrame =
-      frontierJoin(
-        pixels.filter(col("image_id").isInCollection(ids)),
-        seeds.filter(col("image_id").isInCollection(ids)),
-        theta, connectivity)
+    // Per-image state (pixel counts, mask sizes, pending/oversized sets)
+    // lives in DATAFRAMES keyed by image_id — the driver holds only the
+    // global θ scalar and bounded-round DataFrame handles, so plan size and
+    // driver memory are independent of the image count. The θ schedule is
+    // global (every still-adapting image re-grows at the same θ), so the
+    // loop trip count is bounded by the θ grid (~(maxθ−θ₀)/0.05 + θ₀/0.01
+    // rounds), never by the number of images.
+    val pxCounts = pixels.groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_px")).localCheckpoint()
 
-    val allIds = pxCounts.keySet
-    var masks = Map.empty[Long, DataFrame]
+    def growSubset(ids: DataFrame, theta: Double): DataFrame =
+      frontierJoin(
+        pixels.join(ids, Seq("image_id"), "left_semi"),
+        seeds.join(ids, Seq("image_id"), "left_semi"),
+        theta, connectivity)
+    // (image_id, n_mask, over/under flags) for one grown round
+    def sized(grown: DataFrame): DataFrame =
+      grown.groupBy(col("image_id")).agg(count(lit(1)).as("n_mask"))
+        .join(pxCounts, "image_id")
+        .select(col("image_id"), col("n_mask"),
+          (col("n_mask") < col("n_px") * minFrac).as("under"),
+          (col("n_mask") > col("n_px") * maxFrac).as("over"))
+
     // phase 1: initial grow, escalate undersized (`while size < minSize
-    // and θ < maxθ: θ += 0.05; regrow`)
+    // and θ < maxθ: θ += 0.05; regrow`). An image settles the round it
+    // stops being undersized — or the round θ tops out.
     var theta = initialThreshold
-    var pending = allIds
-    while (pending.nonEmpty) {
+    var pending = pxCounts.select(col("image_id")).localCheckpoint()
+    var settled: DataFrame = null
+    var done = false
+    while (!done) {
       val grown = growSubset(pending, theta).localCheckpoint()
-      val sz = sizes(grown)
-      pending.foreach(id => masks += id -> grown.filter(col("image_id") === id))
-      val undersized = pending.filter(id => sz.getOrElse(id, 0L) < pxCounts(id) * minFrac)
+      val sz = sized(grown).localCheckpoint()
+      val undersizedIds = sz.filter(col("under")).select(col("image_id")).localCheckpoint()
       // reference checks θ < maxθ BEFORE incrementing, so θ may overshoot
       // maxθ by one step (region_growing.py:134-136) — preserved
-      if (undersized.nonEmpty && theta < maxThreshold - 1e-9) {
-        theta += 0.05; pending = undersized
-      } else pending = Set.empty
+      val escalate = theta < maxThreshold - 1e-9 && !undersizedIds.isEmpty
+      val settleNow =
+        if (escalate) grown.join(undersizedIds, Seq("image_id"), "left_anti")
+        else grown
+      settled = if (settled == null) settleNow else settled.union(settleNow)
+      if (escalate) { theta += 0.05; pending = undersizedIds }
+      else done = true
     }
-    // phase 2: shrink oversized, restarting from the initial threshold
+    settled = settled.localCheckpoint()
+
+    // phase 2: shrink oversized, restarting from the initial threshold.
+    // Still-oversized images when θ hits the floor keep their last grown
+    // mask, exactly like the per-image reference loop.
     var shrinkTheta = initialThreshold
-    var oversized = allIds.filter { id =>
-      sizes(masks(id)).getOrElse(id, 0L) > pxCounts(id) * maxFrac
-    }
-    while (oversized.nonEmpty && shrinkTheta - 0.01 > 0.01 - 1e-9) {
+    var oversizedIds = sized(settled).filter(col("over"))
+      .select(col("image_id")).localCheckpoint()
+    var result = settled.join(oversizedIds, Seq("image_id"), "left_anti")
+    var lastGrown: DataFrame = null
+    while (!oversizedIds.isEmpty && shrinkTheta - 0.01 > 0.01 - 1e-9) {
       shrinkTheta -= 0.01
-      val grown = growSubset(oversized, shrinkTheta).localCheckpoint()
-      val sz = sizes(grown)
-      oversized.foreach(id => masks += id -> grown.filter(col("image_id") === id))
-      oversized = oversized.filter(id => sz.getOrElse(id, 0L) > pxCounts(id) * maxFrac)
+      val grown = growSubset(oversizedIds, shrinkTheta).localCheckpoint()
+      val stillOver = sized(grown).filter(col("over"))
+        .select(col("image_id")).localCheckpoint()
+      result = result.union(grown.join(stillOver, Seq("image_id"), "left_anti"))
+      oversizedIds = stillOver
+      lastGrown = grown
     }
-    masks.values.reduce(_.union(_))
+    if (lastGrown != null && !oversizedIds.isEmpty)
+      result = result.union(lastGrown.join(oversizedIds, Seq("image_id"), "left_semi"))
+    result
   }
 }
