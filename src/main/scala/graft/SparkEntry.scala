@@ -612,6 +612,133 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // ---------------------------------------------------------------
+    // M3 REAL-DECODE path (`dataflow_pipeline.py:72-110`): DICOM fixture
+    // files on disk → distributed binaryFile scan → graft.sources.Dicom
+    // explicit-VR-LE parser → identical DoFn body. Same metadata oracle as
+    // the stub path (minus the path-dependent raw URI) — the hard gate runs
+    // Dicom.decode end-to-end.
+    "m3_pipeline_dicom_files" -> ((s, dir) => {
+      val fixtureDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_dicom_fixtures_200")
+      SlicePipeline.writeDicomFixtures(s, 200, fixtureDir.getAbsolutePath)
+      SlicePipeline.runFromDicomFiles(s, fixtureDir.getAbsolutePath).toDF().select(
+        col("file_name"), col("gcs_uri_processed"), col("patient_id_hash"),
+        col("study_uid"), col("series_uid"), col("sop_instance_uid"),
+        col("modality"), col("rows"), col("cols"),
+        col("window_center"), col("window_width"))
+        .orderBy(col("file_name"))
+    }),
+
+    // M3 windowing-only stats (D1+E1/E2 half of the pipeline): stub decode →
+    // kernel applyWindowing → per-image mean/std of the u8 pixels. The
+    // windowing math is closed-form, so this half gets a hard SQL gate;
+    // CLAHE/blur stats remain kernel-golden-tested (m3_pipeline_stats).
+    "m3_pipeline_windowed_stats" -> ((s, dir) => {
+      SlicePipeline.windowedPixels(s, 200)
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_px"),
+          round(avg(col("u8")), 6).as("mean_windowed"),
+          round(sqrt(avg(col("u8") * col("u8")) - avg(col("u8")) * avg(col("u8"))), 6)
+            .as("std_windowed"))
+        .orderBy(col("file_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D14 — morphological open(3x3) + close(5x5) (`region_growing.py:95-96`)
+    // via the dense kernel, gated against a relational oracle: erosion =
+    // neighborhood MIN join, dilation = neighborhood MAX join (in-bounds
+    // neighbors only, matching the kernel's border rule). The diagonal-band
+    // mask keeps the output non-trivial (interiors survive, edges move).
+    "d14_morphology" -> ((s, dir) => {
+      val dense = s.range(1).select(lit(0L).as("image_id"),
+        lit(64).as("h"), lit(64).as("w"),
+        expr("""transform(sequence(0, 4095),
+          i -> CAST(CASE WHEN ((i div 64) * 4 + (i % 64) * 2) % 256 >= 128
+                    THEN 1 ELSE 0 END AS INT))""").as("mask"))
+      dense.withColumn("oc", ImageOps.openCloseMask(col("mask"), col("h"), col("w")))
+        .select(col("image_id"), posexplode(col("oc")).as(Seq("pos", "m")))
+        .filter(col("m") === 1)
+        .select(col("image_id"), expr("pos div 64").as("y"),
+          (col("pos") % 64).cast("long").as("x"))
+        .orderBy(col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
+    // F2 — mask union (`np.logical_or`, evaluation.py:117) on lineitem-derived
+    // masks, same fixture family as F1/F3.
+    "f2_union" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pred = li.filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val gt = li.filter(col("l_tax") > 0.03)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      MaskAlgebra.union(pred, gt, Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_union"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---------------------------------------------------------------
+    // §2.I exact half — countDistinct per group (SQL-expressible, unlike the
+    // HLL estimate which stays rows-only in i1_distinct_counts).
+    "i1_distinct_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs_exact"),
+          countDistinct(col("doc_id")).as("n_docs_exact"))
+        .orderBy(col("source"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D8 — real PNG codec round-trip on executors: encode each synthetic
+    // image, decode it back, aggregate the ROUND-TRIPPED pixels. The oracle
+    // computes the same aggregates straight from the generating formula, so
+    // a green row proves encode∘decode = id (position-weighted checksum
+    // catches permutations).
+    "d8_png_roundtrip" -> ((s, dir) => {
+      val dense = s.range(8).select(col("id").as("image_id"),
+        lit(32).as("h"), lit(32).as("w"),
+        expr("""transform(sequence(0, 1023),
+          i -> CAST((CAST(i AS BIGINT) * 2654435761 + id * 977) % 256 AS INT))""").as("img"))
+      dense.withColumn("rt", ImageOps.pngRoundTrip(col("img"), col("h"), col("w")))
+        .select(col("image_id"), posexplode(col("rt")).as(Seq("pos", "v")))
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n_px"), sum(col("v")).as("sum_v"),
+          sum(col("pos") * col("v")).as("weighted_sum"))
+        .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // E13 fallback normalization over the REAL Sobel edge kernel (reflect-101
+    // borders) on a deterministic threshold mask: edge map → max-normalize →
+    // Σ/(n·255). Everything in the no-GT BF-score path except the Butterworth
+    // transfer (golden-tested in KernelsSpec; rows-only gated below).
+    "e13_bf_edges" -> ((s, dir) => {
+      val dense = s.range(1).select(lit(0L).as("image_id"),
+        lit(32).as("h"), lit(32).as("w"),
+        expr("""transform(sequence(0, 1023),
+          i -> CAST(CASE WHEN ((i div 32) * 4 + (i % 32) * 2) % 256 >= 128
+                    THEN 1 ELSE 0 END AS INT))""").as("mask"))
+      dense.withColumn("edges", ImageOps.sobelU8(col("mask"), col("h"), col("w")))
+        .select(col("image_id"),
+          round(expr("aggregate(edges, 0L, (a, v) -> a + v)") / (1024.0 * 255.0), 6)
+            .as("bf_fallback"))
+    }),
+
+    // ---------------------------------------------------------------
+    // D11 — Butterworth frequency-domain filter (advanced_metrics.py:24-47):
+    // rows-only (DFT outputs have no closed SQL form; kernel is golden-tested
+    // in KernelsSpec) but now driver-gated for rows/schema.
+    "d11_butterworth" -> ((s, dir) => {
+      ImageOps.syntheticDense(s, 8, 32, 32)
+        .withColumn("filtered", ImageOps.butterworthU8(
+          col("img"), col("h"), col("w"), lit(8.0), lit(2), lit(true)))
+        .select(col("image_id"),
+          expr("aggregate(filtered, 0L, (a, v) -> a + v)").as("sum_filtered"),
+          expr("aggregate(filtered, 0, (a, v) -> greatest(a, v))").as("max_filtered"))
+        .orderBy(col("image_id"))
     })
   )
 
@@ -956,6 +1083,119 @@ object SparkEntry {
         |SELECT z, COUNT(*) AS n_pixels, ROUND(AVG(v), 6) AS mean_v,
         |       MIN(v) AS min_v, MAX(v) AS max_v
         |FROM vol WHERE z = 4 GROUP BY z ORDER BY z""".stripMargin,
+
+    "m3_pipeline_dicom_files" ->
+      """SELECT printf('img_%06d.dcm', i) AS file_name,
+        |  printf('out/processed/img_%06d.png', i) AS gcs_uri_processed,
+        |  CASE WHEN i % 11 = 0 THEN NULL
+        |       ELSE substr(sha256('patient_' || (i % 50)), 1, 16) END AS patient_id_hash,
+        |  'study_' || (i % 10) AS study_uid,
+        |  'series_' || (i % 25) AS series_uid,
+        |  'sop_' || i AS sop_instance_uid,
+        |  CASE WHEN i % 3 = 0 THEN 'CT' ELSE 'MR' END AS modality,
+        |  CAST(32 AS BIGINT) AS "rows", CAST(32 AS BIGINT) AS cols,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(1000 + i % 500 AS DOUBLE) END AS window_center,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(400 + i % 200 AS DOUBLE) END AS window_width
+        |FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200))
+        |ORDER BY file_name""".stripMargin,
+
+    "m3_pipeline_windowed_stats" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(200)),
+        |px AS (
+        |  SELECT i, CAST((i * 131 + (CAST(p.range AS BIGINT) // 32) * 17
+        |                  + (CAST(p.range AS BIGINT) % 32) * 7) % 4096 AS DOUBLE) AS v
+        |  FROM ids, range(1024) p),
+        |w AS (SELECT i,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(1000 + i % 500 AS DOUBLE) END AS wc,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(400 + i % 200 AS DOUBLE) END AS ww
+        |  FROM ids),
+        |b AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM px GROUP BY i),
+        |u AS (SELECT px.i,
+        |  CASE WHEN wc IS NULL THEN
+        |    LEAST(GREATEST(CAST(FLOOR((v - mn) / GREATEST(mx - mn, 1e-6) * 255.0) AS BIGINT), 0), 255)
+        |  ELSE
+        |    LEAST(GREATEST(CAST(FLOOR(
+        |      (LEAST(GREATEST(v, wc - ww / 2), wc + ww / 2) - (wc - ww / 2))
+        |      / GREATEST((wc + ww / 2) - (wc - ww / 2), 1e-6) * 255.0) AS BIGINT), 0), 255)
+        |  END AS u8
+        |  FROM px JOIN w USING (i) JOIN b USING (i))
+        |SELECT printf('img_%06d.dcm', i) AS file_name, COUNT(*) AS n_px,
+        |  ROUND(AVG(u8), 6) AS mean_windowed,
+        |  ROUND(SQRT(AVG(u8 * u8) - AVG(u8) * AVG(u8)), 6) AS std_windowed
+        |FROM u GROUP BY i ORDER BY file_name""".stripMargin,
+
+    "d14_morphology" ->
+      """WITH img AS (
+        |  SELECT CAST(range AS BIGINT) // 64 AS y, CAST(range AS BIGINT) % 64 AS x,
+        |         CASE WHEN ((CAST(range AS BIGINT) // 64) * 4
+        |                    + (CAST(range AS BIGINT) % 64) * 2) % 256 >= 128
+        |              THEN 1 ELSE 0 END AS v
+        |  FROM range(4096)),
+        |e3 AS (SELECT c.y, c.x, MIN(n.v) AS v FROM img c JOIN img n
+        |       ON n.y BETWEEN c.y - 1 AND c.y + 1 AND n.x BETWEEN c.x - 1 AND c.x + 1
+        |       GROUP BY c.y, c.x),
+        |o3 AS (SELECT c.y, c.x, MAX(n.v) AS v FROM e3 c JOIN e3 n
+        |       ON n.y BETWEEN c.y - 1 AND c.y + 1 AND n.x BETWEEN c.x - 1 AND c.x + 1
+        |       GROUP BY c.y, c.x),
+        |d5 AS (SELECT c.y, c.x, MAX(n.v) AS v FROM o3 c JOIN o3 n
+        |       ON n.y BETWEEN c.y - 2 AND c.y + 2 AND n.x BETWEEN c.x - 2 AND c.x + 2
+        |       GROUP BY c.y, c.x),
+        |c5 AS (SELECT c.y, c.x, MIN(n.v) AS v FROM d5 c JOIN d5 n
+        |       ON n.y BETWEEN c.y - 2 AND c.y + 2 AND n.x BETWEEN c.x - 2 AND c.x + 2
+        |       GROUP BY c.y, c.x)
+        |SELECT CAST(0 AS BIGINT) AS image_id, y, x FROM c5 WHERE v = 1
+        |ORDER BY y, x""".stripMargin,
+
+    "f2_union" ->
+      """SELECT l_returnflag, COUNT(*) AS n_union FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_discount > 0.05
+        |  UNION
+        |  SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_tax > 0.03)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "i1_distinct_exact" ->
+      """SELECT source,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs_exact,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_exact
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d8_png_roundtrip" ->
+      """WITH px AS (
+        |  SELECT CAST(i.range AS BIGINT) AS image_id, CAST(p.range AS BIGINT) AS pos,
+        |         (p.range * 2654435761 + i.range * 977) % 256 AS v
+        |  FROM range(8) i, range(1024) p)
+        |SELECT image_id, COUNT(*) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(pos * v) AS BIGINT) AS weighted_sum
+        |FROM px GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    "e13_bf_edges" ->
+      """WITH img AS (
+        |  SELECT CAST(range AS BIGINT) // 32 AS y, CAST(range AS BIGINT) % 32 AS x,
+        |         CASE WHEN ((CAST(range AS BIGINT) // 32) * 4
+        |                    + (CAST(range AS BIGINT) % 32) * 2) % 256 >= 128
+        |              THEN 1 ELSE 0 END AS v
+        |  FROM range(1024)),
+        |taps AS (SELECT * FROM (VALUES
+        |  (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+        |  ( 0, -1, -2,  0), ( 0, 1, 2,  0),
+        |  ( 1, -1, -1,  1), ( 1, 0, 0,  2), ( 1, 1, 1,  1)) t(dy, dx, kx, ky)),
+        |g AS (
+        |  SELECT c.y, c.x, SUM(t.kx * n.v) AS gx, SUM(t.ky * n.v) AS gy
+        |  FROM img c CROSS JOIN taps t JOIN img n
+        |    ON n.y = CASE WHEN c.y + t.dy < 0 THEN -(c.y + t.dy)
+        |                  WHEN c.y + t.dy > 31 THEN 62 - (c.y + t.dy)
+        |                  ELSE c.y + t.dy END
+        |   AND n.x = CASE WHEN c.x + t.dx < 0 THEN -(c.x + t.dx)
+        |                  WHEN c.x + t.dx > 31 THEN 62 - (c.x + t.dx)
+        |                  ELSE c.x + t.dx END
+        |  GROUP BY c.y, c.x),
+        |mag AS (SELECT y, x, SQRT(CAST(gx * gx + gy * gy AS DOUBLE)) AS m FROM g),
+        |mx AS (SELECT GREATEST(MAX(m), 1e-6) AS mxv FROM mag),
+        |u8 AS (SELECT LEAST(CAST(FLOOR(m / mxv * 255.0) AS BIGINT), 255) AS e FROM mag, mx)
+        |SELECT CAST(0 AS BIGINT) AS image_id,
+        |  ROUND(SUM(e) / (1024.0 * 255.0), 6) AS bf_fallback
+        |FROM u8""".stripMargin,
 
     "m3_pipeline_metadata" ->
       """SELECT printf('img_%06d.dcm', i) AS file_name,

@@ -103,6 +103,15 @@ object ImageOps {
     Contours.solidity(toArr(mask), h, w)
   }
 
+  /** D8 gate: encode to a real PNG byte stream and decode it back. The
+    * caller compares round-tripped pixels against the generating formula,
+    * proving encode∘decode = id. Failure yields an empty array (dropped
+    * row → red CORRECTNESS gate). */
+  val pngRoundTrip = udf { (img: Seq[Int], h: Int, w: Int) =>
+    Png.encodeGray(toArr(img), h, w).flatMap(Png.decodeGray)
+      .map(_._1.toSeq).getOrElse(Seq.empty[Int])
+  }
+
   val ssimUdf = udf { (a: Seq[Int], b: Seq[Int], h: Int, w: Int) =>
     Ssim.ssim(toArr(a).map(_.toDouble), toArr(b).map(_.toDouble), h, w)
   }

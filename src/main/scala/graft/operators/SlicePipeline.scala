@@ -130,6 +130,25 @@ object SlicePipeline {
       .map(v => math.min(math.max(math.round(v).toInt, 0), 255))
   }
 
+  /** D1-only slice of the pipeline in long form: stub decode → intensity
+    * windowing (the kernel path, [[ImageKernels.applyWindowing]]) → one row
+    * per pixel. Lets the driver gate the windowing half of the per-image
+    * stats against a plain-SQL oracle; the CLAHE/blur halves stay
+    * golden-tested in KernelsSpec (no closed-form SQL). */
+  def windowedPixels(spark: SparkSession, nImages: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nImages.toLong)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val img = stubDecode(id)
+          val wc = img.tags.get("WindowCenter").flatMap(tagToDouble)
+          val ww = img.tags.get("WindowWidth").flatMap(tagToDouble)
+          ImageKernels.applyWindowing(img.pixels, wc, ww)
+            .iterator.map(v => (img.fileName, v))
+        }
+      }.toDF("file_name", "u8")
+  }
+
   /** B1 + D8 — per-record binary object write: PNG-encode each processed
     * image (real codec, [[graft.kernels.Png]]) and write one file per
     * record at the derived URI (`dataflow_pipeline.py:78-85`). Encode
