@@ -18,8 +18,13 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
+    // The salt is a JOIN KEY, so it must be deterministic under task retry:
+    // hash of the row's full content, never monotonically_increasing_id()
+    // (which changes when a stage recomputes after a fetch failure and can
+    // duplicate or drop rows). Identical duplicate rows share a salt — fine,
+    // a hot key still spreads as long as payloads differ.
     val bigS = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(big.columns.map(col): _*), lit(salts)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
@@ -34,8 +39,9 @@ object Skew {
   def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int,
       out: String = "sum"): DataFrame = {
     require(salts > 0)
+    // content-derived salt: deterministic across retries (see saltedJoin)
     df.select(key.as("__k"), value.as("__v"))
-      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+      .withColumn("__salt", pmod(hash(col("__k"), col("__v")), lit(salts)))
       .groupBy(col("__k"), col("__salt"))
       .agg(sum(col("__v")).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col("__k"))

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * interpreted lambda dispatch per element. This emits one fused Java loop
   * (dot + both norms in a single pass) inside whole-stage codegen.
   *
-  * Semantics match the HoF form exactly: left-to-right accumulation,
-  * zero-norm guard → 0.0. Elements must be non-null (embedding vectors).
-  * Mismatched lengths score the common prefix.
+  * Semantics match the HoF form for equal-length inputs: left-to-right
+  * accumulation, zero-norm guard → 0.0. Elements must be non-null
+  * (embedding vectors). DOCUMENTED DIVERGENCE for mismatched lengths: the
+  * HoF form yields NULL (zip_with's null padding nulls the fold) while this
+  * expression scores the common prefix with full-vector norms — the useful
+  * answer for ANN; CatalystSpec pins the equal-length equivalence only.
   */
 case class ArrayCosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -23,9 +26,14 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // array<double> only (either nullability): ArrayData.getDouble on any
+  // other element type reads reinterpreted bytes instead of failing, so SQL
+  // callers must be stopped at analysis time.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)) ||
-        Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]))
+    if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(

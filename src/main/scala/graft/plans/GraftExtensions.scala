@@ -15,18 +15,27 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object LowerGraftWindow extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{
-    Add, Cast, Divide, Floor, Greatest, Least, Multiply, Subtract}
-  import org.apache.spark.sql.types.{DoubleType, LongType}
+    Add, Cast, Divide, Floor, Greatest, If, IsNull, Least, Multiply, Subtract}
+  import org.apache.spark.sql.types.LongType
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case GraftWindowIntensity(v, wc, ww) if wc.foldable && ww.foldable =>
+    // Null discipline: GraftWindowIntensity is null-intolerant (NULL in →
+    // NULL out), but Greatest/Least SKIP null inputs — an unguarded rewrite
+    // would turn NULL v into a number. Null literal bounds are rejected at
+    // rewrite time (eval of a foldable is cheap); a nullable v keeps the
+    // semantics via an explicit IsNull guard that whole-stage codegen
+    // compiles to one branch.
+    case GraftWindowIntensity(v, wc, ww)
+        if wc.foldable && ww.foldable &&
+          wc.eval(null) != null && ww.eval(null) != null =>
       val low = Subtract(wc, Divide(ww, Literal(2.0)))
       val high = Add(wc, Divide(ww, Literal(2.0)))
       val clipped = Least(Seq(Greatest(Seq(v, low)), high))
       val denom = Greatest(Seq(Subtract(high, low), Literal(1e-6)))
-      Cast(
+      val lowered = Cast(
         Floor(Multiply(Divide(Subtract(clipped, low), denom), Literal(255.0))),
         LongType)
+      if (v.nullable) If(IsNull(v), Literal(null, LongType), lowered) else lowered
   }
 }
 

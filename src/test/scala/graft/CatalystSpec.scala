@@ -45,6 +45,28 @@ class CatalystSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("lowered plan preserves NULL v (Greatest/Least null-skip guard)") {
+    // a nullable column with literal bounds fires LowerGraftWindow; the
+    // rewrite must not let Greatest/Least swallow the NULL into a number
+    spark.range(3)
+      .selectExpr("CASE WHEN id = 1 THEN NULL ELSE CAST(id * 100 AS DOUBLE) END AS v")
+      .createOrReplaceTempView("lower_null_t")
+    val rows = spark.sql(
+      "SELECT graft_window(v, CAST(100 AS DOUBLE), CAST(80 AS DOUBLE)) AS w FROM lower_null_t")
+      .collect()
+    assert(rows(1).isNullAt(0), "NULL v must stay NULL through the lowered plan")
+    assert(rows(0).getLong(0) == 0L && rows(2).getLong(0) == 255L)
+  }
+
+  test("graft_cosine rejects non-double arrays at analysis time") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_cosine")
+      || err.getMessage.toLowerCase.contains("array<double>"),
+      s"expected a type error, got: ${err.getMessage.take(200)}")
+  }
+
   test("non-foldable bounds keep the codegen expression (per-row wc/ww)") {
     val df = Seq((90.0, 100.0, 80.0), (90.0, 50.0, 20.0)).toDF("v", "wc", "ww")
     df.createOrReplaceTempView("perrow_t")
