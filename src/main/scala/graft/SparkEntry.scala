@@ -417,7 +417,7 @@ object SparkEntry {
     // engine-specific hash functions have no SQL oracle).
     "minhash_lsh_pairs" -> ((s, dir) => {
       Dedup.minHashDedupPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+          numHashes = 32, bands = 8, threshold = 0.5, shingleK = 3)
         .orderBy(col("id1"), col("id2"))
     }),
 

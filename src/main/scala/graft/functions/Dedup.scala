@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -14,16 +13,16 @@ object Dedup {
 
   // ------------------------------------------------------------ exact
   /** Exact dedup on the normalized-text fingerprint: keep the smallest id
-    * per fingerprint group. Window-free alternative (min+semi-join) would
-    * need two shuffles; rank-over-window is one shuffle keyed by fp.
+    * per fingerprint group. `min` partial-aggregates map-side, so a hot
+    * fingerprint (boilerplate duplicated millions of times — the normal
+    * case in web data) is collapsed before the shuffle; a rank-over-window
+    * formulation would funnel every copy of a hot fingerprint into one
+    * task.
     */
-  def exact(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fp"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
 
   // ------------------------------------------------------------ shingles
   /** Word k-shingles from a pre-split token array (distinct). Take tokens,
@@ -89,6 +88,11 @@ object Dedup {
 
   /** Exact shingle-Jaccard for candidate pairs: join each side's shingle set
     * size + intersection size. Only candidates pay this cost.
+    *
+    * The per-doc `sizes` frame has corpus cardinality — it must NEVER be
+    * broadcast (10⁹ docs ⇒ tens of GB on the driver). The joins are keyed
+    * by id, so AQE picks the strategy: sort-merge at scale, broadcast only
+    * if the measured size is genuinely small.
     */
   def verifyJaccard(candidates: DataFrame, shingleRows: DataFrame): DataFrame = {
     val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -99,8 +103,8 @@ object Dedup {
     candidates
       .join(inter, Seq("id1", "id2"), "left")
       .na.fill(0L, Seq("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1"))), Seq("id1"))
-      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2"))), Seq("id2"))
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
       .withColumn("jaccard",
         col("inter") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
   }

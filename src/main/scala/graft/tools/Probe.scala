@@ -19,27 +19,18 @@ object Probe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = Tables.documents(spark, sfDir)
-    val sh = t("shingles build+persist") {
-      val s = Dedup.docShingles(docs, col("doc_id"), col("text"), 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"[probe] shingle rows: ${s.count()}")
-      s
+    def pairs(bands: Int) = t(s"full pipeline bands=$bands") {
+      val p = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = bands, threshold = 0.5, shingleK = 3)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[probe] bands=$bands pairs: ${p.size}")
+      p
     }
-    val sig = t("signatures") {
-      val s = Dedup.minHashSignatures(sh, 32)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"[probe] sig rows: ${s.count()}")
-      s
-    }
-    val cand = t("candidates") {
-      val c = Dedup.lshCandidates(Dedup.lshBands(sig, 16, 2))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      println(s"[probe] candidate pairs: ${c.count()}")
-      c
-    }
-    t("verifyJaccard") {
-      println(s"[probe] verified: ${Dedup.verifyJaccard(cand, sh).filter(col("jaccard") >= 0.5).count()}")
-    }
+    val p16 = pairs(16)
+    spark.catalog.clearCache()
+    val p8 = pairs(8)
+    println(s"[probe] only-in-16: ${(p16 -- p8).size} ${(p16 -- p8).take(10)}")
+    println(s"[probe] only-in-8: ${(p8 -- p16).size}")
     spark.stop()
   }
 }

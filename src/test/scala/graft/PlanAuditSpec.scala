@@ -64,6 +64,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash: no hint-forced broadcast of corpus-cardinality frames") {
+    // verifyJaccard's per-doc sizes frame has one row per document; a
+    // broadcast() hint on it overrides autoBroadcastJoinThreshold and OOMs
+    // at 10^9 docs. Joins must stay keyed so AQE picks the strategy.
+    val qe = SparkEntry.queries("minhash_lsh_pairs")(spark, dir).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "minhash must not hint-broadcast per-doc frames")
+  }
+
+  test("dedup_exact: skew-immune partial aggregation, no window rank") {
+    // a hot fingerprint (boilerplate duplicated 10^8 times) lands in one
+    // task under row_number-over-window; min() partial-aggregates map-side
+    val plan = planOf("dedup_exact")
+    assert(!plan.contains("Window"), "dedup_exact ranks over a window")
+    assert(plan.contains("partial_min"), "dedup_exact lost map-side partial aggregation")
+  }
+
   test("text_analysis: single projection pipeline, no shuffle before the sort") {
     val plan = planOf("text_analysis")
     // exactly one Exchange: the final presentation sort
