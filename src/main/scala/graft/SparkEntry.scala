@@ -413,11 +413,14 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
-    // North-star: MinHash + LSH near-duplicate pairs (rows-only check —
-    // engine-specific hash functions have no SQL oracle).
+    // North-star: MinHash + LSH near-duplicate pairs. bands=16 (r=2) puts
+    // the S-curve midpoint at (1/16)^(1/2) = 0.25, well below the 0.5
+    // Jaccard threshold → ~99% candidate recall at J=0.5 (bands=8's 0.59
+    // midpoint silently dropped borderline pairs); the exact-Jaccard
+    // verify prunes the extra low-J candidates.
     "minhash_lsh_pairs" -> ((s, dir) => {
       Dedup.minHashDedupPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-          numHashes = 32, bands = 8, threshold = 0.5, shingleK = 3)
+          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
         .orderBy(col("id1"), col("id2"))
     }),
 

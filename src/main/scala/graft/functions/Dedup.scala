@@ -111,6 +111,14 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
     * candidates → exact-Jaccard filter at `threshold`.
+    *
+    * Pick `(bands, rowsPerBand = numHashes/bands)` so the banding S-curve
+    * midpoint `(1/bands)^(1/rowsPerBand)` sits AT OR BELOW `threshold` —
+    * candidate recall at the threshold is only ~50% at the midpoint and
+    * collapses below it, and the exact-Jaccard verify can only prune false
+    * positives, never recover missed candidates. Defaults: 8 bands of 4
+    * give midpoint ≈0.59 for the 0.8 default threshold; for a 0.5
+    * threshold use 16 bands of 2 (midpoint 0.25).
     */
   def minHashDedupPairs(docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** One (candidate, score) pair flowing through the top-k aggregation. */
 case class Scored(cos: Double, cId: Long)
@@ -40,8 +41,38 @@ object TopK {
     * and returns `(q_id, rank, c_id, cos)` with rank 1-based, cos rounded
     * to 6 places. The heavy lifting is the k-bounded [[TopKByScore]]
     * aggregation; the posexplode afterwards touches only |Q|·k rows.
+    *
+    * `c_id` may be any type. Integral ids flow through the aggregation
+    * buffer directly (widened to long). Other types (string UUIDs etc.)
+    * rank on a 64-bit `xxhash64` surrogate and join the original ids back
+    * over the |Q|·k survivors — a keyed join AQE sizes itself, never a
+    * corpus broadcast. Ties then break on the surrogate (deterministic,
+    * not lexicographic), and a 64-bit hash collision between two candidate
+    * ids could duplicate a rank row (~2⁻⁶⁴ per pair — documented, not
+    * guarded). `q_id` passes through the groupBy untouched at any type.
     */
   def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val integral = scored.schema("c_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral)
+      rankIntegral(scored.select(col("q_id"),
+        col("c_id").cast("long").as("c_id"), col("cos")), k)
+    else {
+      val ranked = rankIntegral(scored.select(col("q_id"),
+          xxhash64(col("c_id")).as("c_id"), col("cos")), k)
+        .withColumnRenamed("c_id", "__cid")
+      // distinct partial-aggregates map-side, so the mapping frame costs
+      // one pass over candidate ids; the join touches |Q|·k ranked rows
+      val mapping = scored.select(col("c_id")).distinct()
+        .select(col("c_id"), xxhash64(col("c_id")).as("__cid"))
+      ranked.join(mapping, Seq("__cid"))
+        .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+    }
+  }
+
+  private def rankIntegral(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKByScore(k), Encoders.product[Scored])
     scored
       .groupBy(col("q_id"))

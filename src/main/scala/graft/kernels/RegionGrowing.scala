@@ -102,7 +102,7 @@ object RegionGrowing {
     */
   def frontierJoin(pixels: DataFrame, seeds: DataFrame, threshold: Double,
       connectivity: Int = 8, maxRounds: Int = 10000, hops: Int = 4,
-      maxBroadcastRows: Long = 1000000L): DataFrame = {
+      maxBroadcastRows: Long = 1000000L, compactEvery: Int = 64): DataFrame = {
     val offsets =
       if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
       else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
@@ -167,7 +167,17 @@ object RegionGrowing {
         .localCheckpoint()
       prevSize = frontierSize
       frontierSize = newFrontier.count()
-      if (frontierSize > 0) layers ::= newFrontier
+      if (frontierSize > 0) {
+        layers ::= newFrontier
+        // Compact the accumulated layer list every `compactEvery` rounds: a
+        // thin 10⁹-pixel structure can take thousands of BFS rounds, and one
+        // union branch per round would grow the FINAL plan without bound
+        // (thousands-child Union → analyzer/codegen blow-up). Layers are
+        // disjoint, so a plain union preserves the mask; the localCheckpoint
+        // truncates the folded branch to one leaf.
+        if (layers.length >= compactEvery)
+          layers = List(layers.reduce(_.union(_)).localCheckpoint())
+      }
       prev = frontier
       frontier = newFrontier
       round += 1
@@ -243,7 +253,13 @@ object RegionGrowing {
     var oversizedIds = sized(settled).filter(col("over"))
       .select(col("image_id")).localCheckpoint()
     var result = settled.join(oversizedIds, Seq("image_id"), "left_anti")
-    var lastGrown: DataFrame = null
+    // Seed the θ-floor fallback with the PHASE-1 masks: the per-image
+    // reference keeps whatever mask the last grow produced when the shrink
+    // loop admits no pass (`region_growing.py:138-145`). With θ₀ ≤ 0.02 the
+    // while guard below is false on entry, `lastGrown` would stay empty,
+    // and the oversized images — already anti-joined out of `result` —
+    // would silently vanish from the output.
+    var lastGrown: DataFrame = settled
     while (!oversizedIds.isEmpty && shrinkTheta - 0.01 > 0.01 - 1e-9) {
       shrinkTheta -= 0.01
       val grown = growSubset(oversizedIds, shrinkTheta).localCheckpoint()
@@ -253,7 +269,7 @@ object RegionGrowing {
       oversizedIds = stillOver
       lastGrown = grown
     }
-    if (lastGrown != null && !oversizedIds.isEmpty)
+    if (!oversizedIds.isEmpty)
       result = result.union(lastGrown.join(oversizedIds, Seq("image_id"), "left_semi"))
     result
   }

@@ -195,8 +195,20 @@ object SlicePipeline {
   /** Write stub-equivalent DICOM fixture files (16-bit explicit VR LE;
     * every other file omits the preamble to exercise the force=True
     * fallback). MultiValue tags are converted from the stub's pydicom-repr
-    * form to wire-format `a\b`. */
+    * form to wire-format `a\b`.
+    *
+    * Idempotent and concurrent-safe against a SHARED fixture dir: each file
+    * is written to a per-writer temp name then ATOMIC_MOVE'd into place
+    * (`Files.write` alone is not atomic — a concurrent scan could read a
+    * truncated `.dcm` whose decode failure C3 silently drops, flaking the
+    * gate), and a `_COMPLETE` marker written last short-circuits re-runs so
+    * the m3 query's bench cost is scan+decode, not fixture generation.
+    * Two JVMs racing past the marker check both write — atomically, with
+    * identical deterministic content — so either interleaving is safe. */
   def writeDicomFixtures(spark: SparkSession, nImages: Int, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(dir, s"_COMPLETE_$nImages")
+    if (Files.exists(marker)) return
     new java.io.File(dir).mkdirs()
     spark.range(nImages.toLong).toDF("id").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -210,10 +222,15 @@ object SlicePipeline {
           }
           val bytes = graft.sources.Dicom.encode(
             wireTags, img.h, img.w, img.pixels, withPreamble = id % 2 == 0)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, img.fileName), bytes)
+          val tmp = Files.createTempFile(Paths.get(dir), s".${img.fileName}", ".tmp")
+          Files.write(tmp, bytes)
+          Files.move(tmp, Paths.get(dir, img.fileName),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         }
     }
+    val tmpMarker = Files.createTempFile(Paths.get(dir), "._COMPLETE", ".tmp")
+    Files.move(tmpMarker, marker,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Append-sink form (B2): `WRITE_APPEND` + create-if-needed ≙ parquet

@@ -45,6 +45,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("MinHash-LSH production banding (16x2) catches a borderline pair just above J=0.5") {
+    // A = a1..a20 (18 shingles), B = a1..a15 + five new tokens (18 shingles,
+    // 13 shared) → exact Jaccard = 13/23 ≈ 0.565: above the 0.5 threshold
+    // but below 0.59, the S-curve midpoint of the old bands=8 banding that
+    // silently dropped pairs like this. bands=16 (midpoint 0.25) must keep
+    // it as a candidate, and the verify must report the exact Jaccard.
+    val aToks = (1 to 20).map(i => s"tok$i")
+    val bToks = aToks.take(15) ++ (1 to 5).map(i => s"new$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+      numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+      .collect()
+    assert(pairs.length == 1, "borderline pair above threshold was dropped")
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 13.0 / 23.0) < 1e-6)
+  }
+
   test("SimHash: identical docs have distance 0; hamming blocked pairs returned") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zx9 qq7 kk3 mm1")).toDF("doc_id", "text")

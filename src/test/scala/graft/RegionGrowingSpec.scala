@@ -86,6 +86,34 @@ class RegionGrowingSpec extends AnyFunSuite {
     assert(counts(2L) == 1L, s"img2 shrunk to seed: $counts")   // lone seed at θ=0.09
   }
 
+  test("adaptiveFrontier keeps oversized images' phase-1 masks when θ₀ ≤ 0.02 (zero-trip shrink loop)") {
+    // constant 8x8 image: the whole image is admissible at ANY θ, so it is
+    // oversized (64 > 0.3·64) and the shrink loop at θ₀=0.01 never admits a
+    // pass (guard needs θ₀ > 0.02). The reference keeps the last grown mask
+    // (region_growing.py:138-145) — the image must survive with its full
+    // phase-1 mask, not vanish.
+    val pixels = (for { y <- 0 until 8; x <- 0 until 8 } yield (0L, y, x, 100))
+      .toDF("image_id", "y", "x", "v")
+    val seeds = Seq((0L, 4, 4)).toDF("image_id", "seed_y", "seed_x")
+    val masks = RegionGrowing.adaptiveFrontier(pixels, seeds,
+      initialThreshold = 0.01, maxThreshold = 0.3, connectivity = 4,
+      minFrac = 0.005, maxFrac = 0.3)
+    assert(masks.count() == 64L, "oversized image dropped by the zero-trip shrink loop")
+  }
+
+  test("frontierJoin compacts the layer list (bounded plan width on long corridors)") {
+    // 1x100 corridor, hops=2 → ~25 superlayer rounds; compactEvery=8 folds
+    // the accumulator repeatedly, so the FINAL plan's union width stays
+    // bounded instead of one branch per round.
+    val pixels = (0 until 100).map(x => (0L, 0, x, 100)).toDF("image_id", "y", "x", "v")
+    val seeds = Seq((0L, 0, 0)).toDF("image_id", "seed_y", "seed_x")
+    val mask = RegionGrowing.frontierJoin(pixels, seeds, threshold = 0.05,
+      connectivity = 4, hops = 2, compactEvery = 8)
+    val leaves = mask.queryExecution.logical.collectLeaves().size
+    assert(leaves <= 12, s"layer list not compacted: $leaves plan leaves")
+    assert(mask.count() == 100L)
+  }
+
   test("frontierJoin agrees with exact (no cap, no post-process) — SURVEY §5.4 cross-check") {
     val pixels = (for { y <- 0 until h; x <- 0 until w }
       yield (1L, y, x, img(y * w + x))).toDF("image_id", "y", "x", "v")

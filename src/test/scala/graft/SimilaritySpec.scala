@@ -47,6 +47,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L, 3L))
   }
 
+  test("cosineTopK with STRING ids: surrogate ranking joins the original ids back") {
+    val vecs = Seq(
+      ("q", Seq(1.0f, 0.0f)),
+      ("close", Seq(1.0f, 0.1f)),
+      ("mid", Seq(0.5f, 0.5f)),
+      ("far", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === "q")
+    val top = Similarity.cosineTopK(q, vecs, 3).orderBy("rank")
+      .select("c_id").as[String].collect().toSeq
+    assert(top == Seq("close", "mid", "far"))
+  }
+
   test("lshTopK recall: same-bucket exact dup is always found") {
     val vecs = (0L until 40L).map { i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat))

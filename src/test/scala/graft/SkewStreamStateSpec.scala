@@ -25,6 +25,32 @@ class SkewStreamStateSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("saltedSum spreads a hot key with CONSTANT values across >1 salt") {
+    // counting rows with value = lit(1) is the common case: a content-only
+    // salt hash(k, v) collapses to ONE salt and silently re-concentrates
+    // the hot key. The partition-id mix must keep it spread.
+    val hot = spark.range(1000).repartition(8)
+      .select(lit(1L).as("k"), lit(1.0).as("v"))
+    val nSalts = hot
+      .select(Skew.spreadSalt(Seq(col("k"), col("v")), 16).as("s"))
+      .distinct().count()
+    assert(nSalts > 1, s"constant-value hot key collapsed to $nSalts salt(s)")
+    // and the result is still exact
+    val r = Skew.saltedSum(hot, col("k"), col("v"), 16).collect()
+    assert(r.length == 1 && r.head.getDouble(1) == 1000.0 && r.head.getLong(2) == 1000L)
+  }
+
+  test("saltedJoin tolerates MapType columns on the big side (excluded from the salt)") {
+    val big = (1 to 100).map(i => (1L, i.toLong)).toDF("k", "payload")
+      .withColumn("tags", map(lit("a"), col("payload")))
+    val small = Seq((1L, "hot")).toDF("k", "label")
+    val plain = big.join(small, "k").select("k", "payload", "label")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", 4).select("k", "payload", "label")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 100)
+  }
+
   test("saltedSum equals plain aggregation") {
     val df = (1 to 500).map(i => (i % 3, i.toDouble)).toDF("k", "v")
     val plain = df.groupBy("k").agg(sum("v").as("sum"), count(lit(1)).as("n"))
