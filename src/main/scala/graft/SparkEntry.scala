@@ -129,8 +129,8 @@ object SparkEntry {
     // ---------------------------------------------------------------
     // M5 — dense-image kernel chain (D2 CLAHE → D3 blur → D12 Sobel) over
     // array-column images, per-image stats via the wide→long Generator
-    // (§2.K). Rows-only: kernel outputs have no SQL oracle; kernels are
-    // golden-tested in KernelsSpec.
+    // (§2.K). Kernel outputs have no closed SQL form — gated vs committed
+    // golden fixture; kernels also golden-tested in KernelsSpec.
     "m5_dense_kernels" -> ((s, dir) => {
       val dense = ImageOps.syntheticDense(s, 16, 32, 32)
         .withColumn("img", ImageOps.claheU8(col("img"), col("h"), col("w")))
@@ -146,7 +146,7 @@ object SparkEntry {
     // ---------------------------------------------------------------
     // G2 dense — adaptive region growing per image (UDF kernel), then
     // relational mask metrics over the exploded mask (area, exact contour
-    // perimeter E15, circularity E16). Rows-only.
+    // perimeter E15, circularity E16). Gated vs committed golden fixture.
     "g2_dense_segment" -> ((s, dir) => {
       ImageOps.syntheticDense(s, 16, 32, 32)
         .withColumn("mask", ImageOps.regionGrowAdaptive(
@@ -164,8 +164,8 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // E13 — BF score no-GT fallback per image (Sobel → Butterworth →
-    // Σ/(n·255)), dense-kernel path; rows-only (FFT kernel outputs have no
-    // SQL oracle; formula is golden-tested in KernelsSpec).
+    // Σ/(n·255)), dense-kernel path; fixture-gated (FFT kernel outputs
+    // have no SQL form; formula also golden-tested in KernelsSpec).
     "e13_bf_score" -> ((s, dir) => {
       ImageOps.syntheticDense(s, 16, 32, 32)
         .withColumn("mask", ImageOps.regionGrowAdaptive(
@@ -371,7 +371,7 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // North-star: embedding-cosine near-duplicate pairs via hyperplane-LSH
-    // buckets (rows-only: bucket hashing is engine-specific).
+    // buckets (fixture-gated: bucket hashing is engine-specific).
     "embedding_neardups" -> ((s, dir) => {
       // synthetic random embeddings top out near cos 0.46 — 0.3 keeps the
       // candidate-verify path non-trivially exercised
@@ -425,7 +425,7 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
-    // North-star: SimHash near-dup pairs (rows-only).
+    // North-star: SimHash near-dup pairs (fixture-gated).
     "simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(
           Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
@@ -434,7 +434,7 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
-    // North-star: LSH-bucketed ANN (rows-only; scale path for huge query sets).
+    // North-star: LSH-bucketed ANN (fixture-gated; scale path for huge query sets).
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -456,8 +456,8 @@ object SparkEntry {
         .orderBy(col("file_name"))
     }),
 
-    // M3 kernel outputs (CLAHE+blur+population stats) — rows-only check;
-    // exactness is covered by KernelsSpec/SlicePipelineSpec golden tests.
+    // M3 kernel outputs (CLAHE+blur+population stats) — fixture-gated;
+    // exactness also covered by KernelsSpec/SlicePipelineSpec golden tests.
     "m3_pipeline_stats" -> ((s, dir) => {
       SlicePipeline.run(s, 200).toDF().select(
         col("file_name"),
@@ -509,7 +509,7 @@ object SparkEntry {
     // ---------------------------------------------------------------
     // North-star multimodal: binary media columns + typed metadata; batched
     // per-partition feature extraction. Schema-level columns are
-    // oracle-checked; hash-derived stub features are rows-only.
+    // oracle-checked; stub-derived features are fixture-gated.
     "mm_media_schema" -> ((s, dir) => {
       Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
         .select(col("media_id"), col("kind"),
@@ -585,8 +585,9 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
-    // §2.I — HLL-style approximate distinct (engine-specific estimate →
-    // rows-only) alongside the exact distinct per group.
+    // §2.I — HLL-style approximate distinct (engine-specific estimate —
+    // fixture-gated; HLL merges are order-independent, so the estimate is
+    // deterministic) alongside the exact distinct per group.
     "i1_distinct_counts" -> ((s, dir) => {
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -597,8 +598,9 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // North-star: IVF ANN — k-means-lite inverted lists, queries probe the
-    // nProbe nearest centroid lists only (rows-only: centroid iterations
-    // are engine-specific float accumulations).
+    // nProbe nearest centroid lists only (fixture-gated: centroid
+    // iterations are engine-specific float accumulations, verified
+    // bit-stable across sessions and thread counts before gating).
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -685,7 +687,7 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // §2.I exact half — countDistinct per group (SQL-expressible, unlike the
-    // HLL estimate which stays rows-only in i1_distinct_counts).
+    // HLL estimate which is fixture-gated in i1_distinct_counts).
     "i1_distinct_exact" -> ((s, dir) => {
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -717,7 +719,7 @@ object SparkEntry {
     // E13 fallback normalization over the REAL Sobel edge kernel (reflect-101
     // borders) on a deterministic threshold mask: edge map → max-normalize →
     // Σ/(n·255). Everything in the no-GT BF-score path except the Butterworth
-    // transfer (golden-tested in KernelsSpec; rows-only gated below).
+    // transfer (golden-tested in KernelsSpec; fixture-gated below).
     "e13_bf_edges" -> ((s, dir) => {
       val dense = s.range(1).select(lit(0L).as("image_id"),
         lit(32).as("h"), lit(32).as("w"),
@@ -732,8 +734,8 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // D11 — Butterworth frequency-domain filter (advanced_metrics.py:24-47):
-    // rows-only (DFT outputs have no closed SQL form; kernel is golden-tested
-    // in KernelsSpec) but now driver-gated for rows/schema.
+    // fixture-gated (DFT outputs have no closed SQL form; kernel is
+    // golden-tested in KernelsSpec, end-to-end gated vs committed fixture).
     "d11_butterworth" -> ((s, dir) => {
       ImageOps.syntheticDense(s, 8, 32, 32)
         .withColumn("filtered", ImageOps.butterworthU8(
@@ -742,14 +744,173 @@ object SparkEntry {
           expr("aggregate(filtered, 0L, (a, v) -> a + v)").as("sum_filtered"),
           expr("aggregate(filtered, 0, (a, v) -> greatest(a, v))").as("max_filtered"))
         .orderBy(col("image_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // B1/B2/C3 — sink round-trip gate: real DICOM inputs (one corrupted)
+    // → per-record windowed-u8 PNG writes (B1, `dataflow_pipeline.py:
+    // 78-85`) + DOUBLE parquet append (B2, `:135-141`) into a fresh
+    // per-invocation temp dir; read both sinks back. The corrupt input must
+    // be absent from BOTH sinks (C3 silent drop, `:79-80`), every surviving
+    // file must count n_meta_rows=2 (append, never overwrite), and the PNG
+    // pixel aggregates must equal the closed-form windowing oracle —
+    // proving write → encode → decode → read = id on executor-written files.
+    "b1b2_sink_roundtrip" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory("graft_sink_")
+      val dcmDir = base.resolve("dcm").toString
+      val pngDir = base.resolve("png").toString
+      val tablePath = base.resolve("slice_table").toString
+      SlicePipeline.writeDicomFixtures(s, 50, dcmDir)
+      Files.write(Paths.get(dcmDir, "img_000037.dcm"),
+        "definitely not a dicom stream".getBytes("UTF-8")) // C3 input
+      SlicePipeline.writeWindowedPngs(s, dcmDir, pngDir)        // B1
+      SlicePipeline.appendFromDicomFiles(s, dcmDir, tablePath)  // B2 append 1
+      SlicePipeline.appendFromDicomFiles(s, dcmDir, tablePath)  // B2 append 2
+      import s.implicits._
+      val pngAgg = s.read.format("binaryFile").load(pngDir)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, bytes) =>
+            graft.kernels.Png.decodeGray(bytes).map { case (px, _, _) =>
+              val stem = path.split('/').last.replaceAll("\\.[^.]*$", "")
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < px.length) { sum += px(i); wsum += i.toLong * px(i); i += 1 }
+              (stem, px.length.toLong, sum, wsum)
+            }
+          }
+        }.toDF("file_name", "n_px", "sum_v", "weighted_sum")
+      val meta = s.read.parquet(tablePath)
+        .select(regexp_replace(col("file_name"), "\\.[^.]*$", "").as("file_name"))
+        .groupBy(col("file_name")).agg(count(lit(1)).as("n_meta_rows"))
+      pngAgg.join(meta, Seq("file_name"))
+        .orderBy(col("file_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // A2/A3/A4 unified dispatch — `load_medical_image` parity
+    // (`preprocessor.py:10-81`): ONE loader routes a mixed directory of
+    // .dcm/.nii/.png (plus one corrupt and one unknown-extension file,
+    // both dropped) through the real format decoders into a common
+    // min-max-u8 record; per-file aggregates vs the closed-form generator
+    // oracle prove all three decode paths end-to-end in one scan.
+    "unified_loader" -> ((s, dir) => {
+      import java.nio.file.Files
+      val mixDir = Files.createTempDirectory("graft_mixed_")
+      SlicePipeline.writeDicomFixtures(s, 4, mixDir.toString)
+      for (id <- 0 until 3) { // 5-slice 8x8 volumes; loader keeps slice z=2
+        val vox = Array.tabulate(5 * 8 * 8) { i =>
+          val z = i / 64; val y = (i % 64) / 8; val x = i % 8
+          ((z * 7 + y * 4 + x * 2 + id * 29) % 256).toDouble
+        }
+        Files.write(mixDir.resolve(s"vol_$id.nii"),
+          graft.sources.Nifti.encode(5, 8, 8, vox))
+      }
+      for (id <- 0 until 3) { // 16x16 grayscale PNGs
+        val px = Array.tabulate(256)(i => ((i / 16) * 5 + (i % 16) * 3 + id * 11) % 256)
+        graft.kernels.Png.encodeGray(px, 16, 16).foreach(b =>
+          Files.write(mixDir.resolve(s"pic_$id.png"), b))
+      }
+      Files.write(mixDir.resolve("broken.dcm"), Array[Byte](9, 9, 9))
+      Files.write(mixDir.resolve("notes.txt"), "not an image".getBytes("UTF-8"))
+      import s.implicits._
+      graft.sources.MedicalImages.load(s, mixDir.toString)
+        .map(m => (m.file_name, m.format, m.h.toLong, m.w.toLong,
+          m.pixels.length.toLong, m.pixels.map(_.toLong).sum))
+        .toDF("file_name", "format", "h", "w", "n_px", "sum_v")
+        .orderBy(col("file_name"))
     })
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query (same tables; the driver
-    * sorts columns by name then hash-compares values). Omitted for ops with
-    * engine-specific hashing (minhash/simhash/LSH) — rows-only check.
+    * sorts columns by name then hash-compares values).
+    *
+    * Two oracle families:
+    *  - CLOSED-FORM SQL re-deriving the result from the base tables /
+    *    generating formulas — the strongest gate (independent computation);
+    *  - GOLDEN FIXTURES (`SELECT * FROM read_parquet('fixtures/…')`) for
+    *    deterministic outputs with no SQL form (kernel chains like CLAHE /
+    *    Butterworth, LSH pair sets, HLL estimates). Fixtures are committed
+    *    single-file parquet written by [[graft.tools.FixtureGen]] at
+    *    sf0.01 (the driver's correctness SF) and verified bit-stable
+    *    across sessions AND thread counts before gating; a diff against
+    *    them is a regression unless the behavior change was intended (then
+    *    regenerate via FixtureGen and re-commit).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    def fixture(name: String, orderBy: String): (String, String) =
+      name -> s"SELECT * FROM read_parquet('/root/repo/fixtures/$name.parquet') ORDER BY $orderBy"
+    Map(
+    fixture("m3_pipeline_stats", "file_name"),
+    fixture("d11_butterworth", "image_id"),
+    fixture("e13_bf_score", "image_id"),
+    fixture("g2_dense_segment", "image_id"),
+    fixture("mm_media_features", "media_id"),
+    fixture("m5_dense_kernels", "image_id"),
+    fixture("minhash_lsh_pairs", "id1, id2"),
+    fixture("simhash_pairs", "id1, id2"),
+    fixture("embedding_neardups", "id1, id2"),
+    fixture("i1_distinct_counts", "source"),
+    fixture("ann_lsh_topk", "q_id, rank"),
+    fixture("ann_ivf_topk", "q_id, rank"),
+
+    "b1b2_sink_roundtrip" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(50) WHERE range <> 37),
+        |px AS (
+        |  SELECT i, CAST(p.range AS BIGINT) AS pos,
+        |         CAST((i * 131 + (CAST(p.range AS BIGINT) // 32) * 17
+        |               + (CAST(p.range AS BIGINT) % 32) * 7) % 4096 AS DOUBLE) AS v
+        |  FROM ids, range(1024) p),
+        |w AS (SELECT i,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(1000 + i % 500 AS DOUBLE) END AS wc,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(400 + i % 200 AS DOUBLE) END AS ww
+        |  FROM ids),
+        |b AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM px GROUP BY i),
+        |u AS (SELECT px.i, pos,
+        |  CASE WHEN wc IS NULL THEN
+        |    LEAST(GREATEST(CAST(FLOOR((v - mn) / GREATEST(mx - mn, 1e-6) * 255.0) AS BIGINT), 0), 255)
+        |  ELSE
+        |    LEAST(GREATEST(CAST(FLOOR(
+        |      (LEAST(GREATEST(v, wc - ww / 2), wc + ww / 2) - (wc - ww / 2))
+        |      / GREATEST((wc + ww / 2) - (wc - ww / 2), 1e-6) * 255.0) AS BIGINT), 0), 255)
+        |  END AS u8
+        |  FROM px JOIN w USING (i) JOIN b USING (i))
+        |SELECT printf('img_%06d', i) AS file_name, COUNT(*) AS n_px,
+        |  CAST(SUM(u8) AS BIGINT) AS sum_v,
+        |  CAST(SUM(pos * u8) AS BIGINT) AS weighted_sum,
+        |  CAST(2 AS BIGINT) AS n_meta_rows
+        |FROM u GROUP BY i ORDER BY file_name""".stripMargin,
+
+    "unified_loader" ->
+      """WITH dcm AS (
+        |  SELECT i, (i * 131 + (CAST(p.range AS BIGINT) // 32) * 17
+        |             + (CAST(p.range AS BIGINT) % 32) * 7) % 4096 AS v
+        |  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(4)), range(1024) p),
+        |dcmb AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM dcm GROUP BY i),
+        |dcma AS (
+        |  SELECT printf('img_%06d.dcm', i) AS file_name, 'dicom' AS format,
+        |         CAST(32 AS BIGINT) AS h, CAST(32 AS BIGINT) AS w, COUNT(*) AS n_px,
+        |         CAST(SUM(CAST(FLOOR((v - mn) / GREATEST(CAST(mx - mn AS DOUBLE), 1e-6) * 255.0) AS BIGINT)) AS BIGINT) AS sum_v
+        |  FROM dcm JOIN dcmb USING (i) GROUP BY i),
+        |nii AS (
+        |  SELECT id, (14 + (CAST(p.range AS BIGINT) // 8) * 4
+        |              + (CAST(p.range AS BIGINT) % 8) * 2 + id * 29) % 256 AS v
+        |  FROM (SELECT CAST(range AS BIGINT) AS id FROM range(3)), range(64) p),
+        |niib AS (SELECT id, MIN(v) AS mn, MAX(v) AS mx FROM nii GROUP BY id),
+        |niia AS (
+        |  SELECT printf('vol_%d.nii', id) AS file_name, 'nifti' AS format,
+        |         CAST(8 AS BIGINT) AS h, CAST(8 AS BIGINT) AS w, COUNT(*) AS n_px,
+        |         CAST(SUM(CAST(FLOOR((v - mn) / GREATEST(CAST(mx - mn AS DOUBLE), 1e-6) * 255.0) AS BIGINT)) AS BIGINT) AS sum_v
+        |  FROM nii JOIN niib USING (id) GROUP BY id),
+        |pnga AS (
+        |  SELECT printf('pic_%d.png', id) AS file_name, 'png' AS format,
+        |         CAST(16 AS BIGINT) AS h, CAST(16 AS BIGINT) AS w, COUNT(*) AS n_px,
+        |         CAST(SUM(((CAST(p.range AS BIGINT) // 16) * 5
+        |                   + (CAST(p.range AS BIGINT) % 16) * 3 + id * 11) % 256) AS BIGINT) AS sum_v
+        |  FROM (SELECT CAST(range AS BIGINT) AS id FROM range(3)), range(256) p
+        |  GROUP BY id)
+        |SELECT * FROM dcma UNION ALL SELECT * FROM niia UNION ALL SELECT * FROM pnga
+        |ORDER BY file_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
@@ -1342,5 +1503,6 @@ object SparkEntry {
         |FROM img i CROSS JOIN taps t
         |WHERE i.y - t.dy BETWEEN 1 AND 62 AND i.x - t.dx BETWEEN 1 AND 62
         |GROUP BY 1, 2, 3 ORDER BY y, x""".stripMargin
-  )
+    )
+  }
 }

@@ -238,6 +238,48 @@ object SlicePipeline {
   def runAndAppend(spark: SparkSession, nImages: Int, outPath: String): Unit =
     run(spark, nImages).write.mode("append").parquet(outPath)
 
+  /** B2 from real files: decode a DICOM dir and append the slice records to
+    * a parquet table (`WRITE_APPEND` + `CREATE_IF_NEEDED`,
+    * `dataflow_pipeline.py:135-141`). Called twice against the same path it
+    * must yield every record twice — append, never overwrite. */
+  def appendFromDicomFiles(spark: SparkSession, dicomDir: String, outPath: String): Unit =
+    runFromDicomFiles(spark, dicomDir).write.mode("append").parquet(outPath)
+
+  /** B1 gate path — per-record binary write from REAL inputs: binaryFile
+    * scan → [[graft.sources.Dicom.decode]] → intensity windowing → u8 →
+    * real PNG encode → one file per record (atomic temp+rename), executor-
+    * side like the DoFn (`dataflow_pipeline.py:75-85`). Undecodable inputs
+    * drop silently (C3, `:79-80`).
+    *
+    * Windowing-ONLY pixels (no CLAHE/blur) keep the write→read round-trip
+    * closed-form SQL-checkable — the driver's sink gate reads these PNGs
+    * back and checks per-file pixel aggregates against the stub formula.
+    * The full enhance chain's per-record write is [[writePngs]]
+    * (kernel-golden-tested; CLAHE has no SQL form). */
+  def writeWindowedPngs(spark: SparkSession, dicomDir: String, pngDir: String): Unit = {
+    import spark.implicits._
+    new java.io.File(pngDir).mkdirs()
+    spark.read.format("binaryFile").load(dicomDir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        it.foreach { case (path, bytes) =>
+          graft.sources.Dicom.decode(bytes).foreach { d =>
+            val wc = d.tags.get("WindowCenter").flatMap(tagToDouble)
+            val ww = d.tags.get("WindowWidth").flatMap(tagToDouble)
+            val u8 = ImageKernels.applyWindowing(d.pixels, wc, ww)
+            val stem = path.split('/').last.replaceAll("\\.[^.]*$", "")
+            graft.kernels.Png.encodeGray(u8, d.rows, d.cols).foreach { png =>
+              val tmp = Files.createTempFile(Paths.get(pngDir), s".$stem", ".tmp")
+              Files.write(tmp, png)
+              Files.move(tmp, Paths.get(pngDir, s"$stem.png"),
+                StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
+      }
+  }
+
   /** Analytic view over the slice table — the README's BigQuery examples
     * (`/root/reference/README.md:167-178`) as engine-native queries. */
   def avgIntensityByStudy(records: DataFrame, k: Int = 50): DataFrame =
