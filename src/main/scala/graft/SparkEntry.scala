@@ -425,6 +425,22 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: near-dup CLUSTERS — connected components over the live
+    // minhash pair graph (min-label propagation), canonical doc = smallest
+    // id in the component. The oracle recomputes reachability INDEPENDENTLY
+    // (DuckDB recursive CTE) over the committed pair fixture, so this gate
+    // is red if either the live pair set drifts from the fixture or the
+    // label propagation is wrong.
+    "neardup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashDedupPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), numHashes = 32, bands = 16,
+        threshold = 0.5, shingleK = 3)
+      Dedup.connectedComponents(pairs)
+        .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: SimHash near-dup pairs (fixture-gated).
     "simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(
@@ -853,6 +869,18 @@ object SparkEntry {
     fixture("i1_distinct_counts", "source"),
     fixture("ann_lsh_topk", "q_id, rank"),
     fixture("ann_ivf_topk", "q_id, rank"),
+
+    "neardup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id1, id2 FROM read_parquet('/root/repo/fixtures/minhash_lsh_pairs.parquet')),
+        |nodes AS (SELECT id1 AS id FROM e UNION SELECT id2 FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, CASE WHEN e.id1 = reach.r THEN e.id2 ELSE e.id1 END AS r
+        |  FROM reach JOIN e ON e.id1 = reach.r OR e.id2 = reach.r)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "b1b2_sink_roundtrip" ->
       """WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(50) WHERE range <> 37),

@@ -93,18 +93,31 @@ object Dedup {
     * broadcast (10⁹ docs ⇒ tens of GB on the driver). The joins are keyed
     * by id, so AQE picks the strategy: sort-merge at scale, broadcast only
     * if the measured size is genuinely small.
+    *
+    * `minJaccard` enables the SIZE-RATIO PREFILTER: J(A,B) ≤ |min|/|max|,
+    * so any pair with `least(sz1,sz2) < minJaccard·greatest(sz1,sz2)` can
+    * be discarded from two cheap size joins BEFORE the shingle-intersection
+    * join (the expensive stage — it explodes each pair into its shingle
+    * rows). Recall-generous bandings (16×2 admits candidates down to
+    * J≈0.25) send most false candidates through here; the prefilter drops
+    * them at size-lookup cost. Pairs that pass but share nothing still get
+    * `inter=0` via the left join.
     */
-  def verifyJaccard(candidates: DataFrame, shingleRows: DataFrame): DataFrame = {
+  def verifyJaccard(candidates: DataFrame, shingleRows: DataFrame,
+      minJaccard: Double = 0.0): DataFrame = {
     val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candidates
+    val sized = candidates
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .filter(least(col("sz1"), col("sz2"))
+        >= lit(minJaccard) * greatest(col("sz1"), col("sz2")))
+    val inter = sized.select(col("id1"), col("id2"))
       .join(shingleRows.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
       .join(shingleRows.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    candidates
+    sized
       .join(inter, Seq("id1", "id2"), "left")
       .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
       .withColumn("jaccard",
         col("inter") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
   }
@@ -135,7 +148,8 @@ object Dedup {
     val sig = minHashSignatures(sh, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
-    verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, sh, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -189,6 +203,48 @@ object Dedup {
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------ clustering
+  /** Near-duplicate CLUSTERS from a pair graph: connected components via
+    * iterative min-label propagation, entirely in DataFrame joins. Each
+    * node's label converges to the smallest doc_id reachable in its
+    * component; "keep one document per duplicate cluster" is then
+    * `filter(cluster_id === doc_id)`.
+    *
+    * Scale shape: one shuffle join per round keyed by node id (AQE-sized),
+    * `localCheckpoint` per round truncates lineage, round count is bounded
+    * by component DIAMETER — near-dup clusters are dense (every member
+    * pairs with most others), so diameters are small; a pathological
+    * 10⁶-long chain would want star-contraction, which real dup graphs
+    * don't need. Nodes appearing in no edge are their own cluster by
+    * definition and are not materialized.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // materialize the edge list ONCE before symmetrizing — the union's two
+    // branches would otherwise each re-evaluate the (possibly expensive)
+    // pair-producing pipeline upstream
+    val e = edges.select(col("id1"), col("id2")).localCheckpoint()
+    val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   // ------------------------------------------------------------ embeddings

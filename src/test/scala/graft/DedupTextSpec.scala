@@ -62,6 +62,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 13.0 / 23.0) < 1e-6)
   }
 
+  test("connectedComponents: min-label clusters over a chain and an isolated pair") {
+    // chain 3-7-9 (one component, min 3) + isolated pair 10-12 (min 10)
+    val edges = Seq((3L, 7L), (7L, 9L), (10L, 12L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 10L -> 10L, 12L -> 10L))
+  }
+
+  test("verifyJaccard size-ratio prefilter never drops a pair at or above the threshold") {
+    // A/B near-dups (J=13/23≈0.565); C is tiny (1 shingle) so the 0.5
+    // prefilter discards (A,C) by size ratio alone — and full verify (no
+    // prefilter) agrees it was sub-threshold anyway
+    val aToks = (1 to 20).map(i => s"tok$i")
+    val bToks = aToks.take(15) ++ (1 to 5).map(i => s"new$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")),
+      (3L, "tok1 tok2 tok3")).toDF("doc_id", "text")
+    val sh = Dedup.docShingles(docs, col("doc_id"), col("text"), 3)
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val filtered = Dedup.verifyJaccard(cand, sh, minJaccard = 0.5)
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val full = Dedup.verifyJaccard(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(filtered == full && full == Set((1L, 2L)))
+  }
+
   test("SimHash: identical docs have distance 0; hamming blocked pairs returned") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zx9 qq7 kk3 mm1")).toDF("doc_id", "text")
