@@ -804,6 +804,61 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // A7 — single-blob fetch (`gcp_utils.py:29-36` download_image_np):
+    // exactly one path loaded through the distributed source, decoded to an
+    // array; aggregates vs the generator oracle.
+    "a7_single_blob" -> ((s, dir) => {
+      import java.nio.file.Files
+      val blobDir = Files.createTempDirectory("graft_blob_")
+      val px = Array.tabulate(1024)(i => ((i / 32) * 3 + (i % 32) * 7) % 256)
+      graft.kernels.Png.encodeGray(px, 32, 32).foreach(b =>
+        Files.write(blobDir.resolve("blob_0.png"), b))
+      import s.implicits._
+      s.read.format("binaryFile").load(blobDir.resolve("blob_0.png").toString)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions(it => it.flatMap { case (p, bytes) =>
+          graft.kernels.Png.decodeGray(bytes).map { case (arr, h, w) =>
+            (p.split('/').last, h.toLong, w.toLong, arr.length.toLong,
+              arr.map(_.toLong).sum)
+          }
+        }).toDF("file_name", "h", "w", "n_px", "sum_v")
+    }),
+
+    // ---------------------------------------------------------------
+    // A8 — schema load (`dataflow_pipeline.py:49-57,123-124`): BQ-style
+    // schema JSON → Spark StructType, emitted field-per-row. The query
+    // hard-asserts the parsed schema equals the engine's declared
+    // sliceRecordSchema, and the oracle pins every field name / type /
+    // nullability — the engine's one declared schema, driver-gated.
+    "a8_schema_load" -> ((s, dir) => {
+      val json =
+        """{"fields":[
+          |{"name":"file_name","type":"STRING","mode":"REQUIRED"},
+          |{"name":"gcs_uri_raw","type":"STRING","mode":"REQUIRED"},
+          |{"name":"gcs_uri_processed","type":"STRING","mode":"REQUIRED"},
+          |{"name":"patient_id_hash","type":"STRING","mode":"NULLABLE"},
+          |{"name":"study_uid","type":"STRING","mode":"NULLABLE"},
+          |{"name":"series_uid","type":"STRING","mode":"NULLABLE"},
+          |{"name":"sop_instance_uid","type":"STRING","mode":"NULLABLE"},
+          |{"name":"modality","type":"STRING","mode":"NULLABLE"},
+          |{"name":"rows","type":"INT64","mode":"NULLABLE"},
+          |{"name":"cols","type":"INT64","mode":"NULLABLE"},
+          |{"name":"mean_intensity","type":"FLOAT","mode":"NULLABLE"},
+          |{"name":"std_intensity","type":"FLOAT","mode":"NULLABLE"},
+          |{"name":"window_center","type":"FLOAT","mode":"NULLABLE"},
+          |{"name":"window_width","type":"FLOAT","mode":"NULLABLE"},
+          |{"name":"processed_at","type":"TIMESTAMP","mode":"REQUIRED"}]}""".stripMargin
+      val st = graft.model.Schemas.bqJsonToStructType(json)
+      require(st == graft.model.Schemas.sliceRecordSchema,
+        "parsed BQ schema diverges from the declared slice-record schema")
+      import s.implicits._
+      st.fields.toSeq.zipWithIndex
+        .map { case (f, i) => (i.toLong, f.name, f.dataType.simpleString, f.nullable) }
+        .toDF("pos", "field_name", "spark_type", "nullable")
+        .orderBy(col("pos"))
+    }),
+
+    // ---------------------------------------------------------------
     // A2/A3/A4 unified dispatch — `load_medical_image` parity
     // (`preprocessor.py:10-81`): ONE loader routes a mixed directory of
     // .dcm/.nii/.png (plus one corrupt and one unknown-extension file,
@@ -908,6 +963,34 @@ object SparkEntry {
         |  CAST(SUM(pos * u8) AS BIGINT) AS weighted_sum,
         |  CAST(2 AS BIGINT) AS n_meta_rows
         |FROM u GROUP BY i ORDER BY file_name""".stripMargin,
+
+    "a7_single_blob" ->
+      """SELECT 'blob_0.png' AS file_name,
+        |  CAST(32 AS BIGINT) AS h, CAST(32 AS BIGINT) AS w,
+        |  COUNT(*) AS n_px,
+        |  CAST(SUM(((CAST(range AS BIGINT) // 32) * 3
+        |            + (CAST(range AS BIGINT) % 32) * 7) % 256) AS BIGINT) AS sum_v
+        |FROM range(1024)""".stripMargin,
+
+    "a8_schema_load" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'file_name', 'string', false),
+        |  (1, 'gcs_uri_raw', 'string', false),
+        |  (2, 'gcs_uri_processed', 'string', false),
+        |  (3, 'patient_id_hash', 'string', true),
+        |  (4, 'study_uid', 'string', true),
+        |  (5, 'series_uid', 'string', true),
+        |  (6, 'sop_instance_uid', 'string', true),
+        |  (7, 'modality', 'string', true),
+        |  (8, 'rows', 'bigint', true),
+        |  (9, 'cols', 'bigint', true),
+        |  (10, 'mean_intensity', 'double', true),
+        |  (11, 'std_intensity', 'double', true),
+        |  (12, 'window_center', 'double', true),
+        |  (13, 'window_width', 'double', true),
+        |  (14, 'processed_at', 'timestamp', false))
+        |  t(pos, field_name, spark_type, nullable)
+        |ORDER BY pos""".stripMargin,
 
     "unified_loader" ->
       """WITH dcm AS (
