@@ -396,6 +396,26 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star composite: CORPUS CURATION — the end-to-end shape a
+    // training-data pipeline runs: analyze → exact-dedup keep-canonical
+    // (skew-immune groupBy/min on the fingerprint) → quality filter →
+    // per-language counts/quality/token totals. One analyze pass feeds
+    // both the canonical-id aggregation and the keep side (persisted —
+    // two consumers), the semi-join is keyed so AQE sizes it.
+    "corpus_curation" -> ((s, dir) => {
+      val a = TextAnalysis.analyze(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val canon = a.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      a.join(canon, Seq("fp", "doc_id"), "left_semi")
+        .filter(col("quality") >= 0.5)
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: language ID heuristic (stopword-profile voting).
     "lang_id" -> ((s, dir) => {
       TextAnalysis.withLangId(Tables.documents(s, dir), col("text"))
@@ -1301,6 +1321,46 @@ object SparkEntry {
         |        c -> CAST(ord(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 144115188075855859) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    ROUND(
+        |      LEAST(LENGTH(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.4 +
+        |      (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |         ELSE CAST(LENGTH(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / LENGTH(text) END) * 5.0, 1.0)) * 0.3 +
+        |      LEAST((CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |           / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality,
+        |    md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |        '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','den','von','zu','mit','ist','des'], x))) AS DOUBLE) AS de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS DOUBLE) AS en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','se','las'], x))) AS DOUBLE) AS es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE) AS fr,
+        |  CAST(len(list_filter(toks, x -> list_contains(['o','a','de','que','e','do','da','em','um','para'], x))) AS DOUBLE) AS pt
+        |  FROM tl),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN GREATEST(de, en, es, fr, pt) <= 0 THEN 'und'
+        |       WHEN de = GREATEST(de, en, es, fr, pt) THEN 'de'
+        |       WHEN en = GREATEST(de, en, es, fr, pt) THEN 'en'
+        |       WHEN es = GREATEST(de, en, es, fr, pt) THEN 'es'
+        |       WHEN fr = GREATEST(de, en, es, fr, pt) THEN 'fr'
+        |       ELSE 'pt' END AS lang_pred
+        |  FROM sc),
+        |canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM t GROUP BY fp),
+        |kept AS (SELECT t.* FROM t JOIN canon USING (fp, doc_id) WHERE quality >= 0.5)
+        |SELECT l.lang_pred, COUNT(*) AS n_docs,
+        |  ROUND(AVG(k.quality), 6) AS avg_quality,
+        |  CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+        |FROM kept k JOIN l ON k.doc_id = l.doc_id
+        |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (
