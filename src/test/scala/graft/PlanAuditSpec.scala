@@ -81,6 +81,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_min"), "dedup_exact lost map-side partial aggregation")
   }
 
+  test("corpus_curation: skew-immune canonical-id aggregation, no forced broadcasts") {
+    // the canonical-id frame has one row per distinct fingerprint (corpus
+    // cardinality at 10^9 docs): the keep-canonical must be a map-side
+    // partial min + keyed semi-join AQE sizes itself, never a hint
+    val qe = SparkEntry.queries("corpus_curation")(spark, dir).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "corpus_curation must not hint-broadcast corpus-cardinality frames")
+    assert(qe.executedPlan.toString.contains("partial_min"),
+      "canonical-id selection lost map-side partial aggregation")
+  }
+
+  test("minhash: size-ratio prefilter runs before the shingle-intersection join") {
+    // the prefilter discards sub-threshold candidates from two cheap size
+    // joins; losing it sends every low-J candidate through the expensive
+    // intersection stage at scale
+    val plan = SparkEntry.queries("minhash_lsh_pairs")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("least(") && plan.contains("greatest("),
+      "verifyJaccard size-ratio prefilter missing from the plan")
+  }
+
   test("text_analysis: single projection pipeline, no shuffle before the sort") {
     val plan = planOf("text_analysis")
     // exactly one Exchange: the final presentation sort
