@@ -157,13 +157,25 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
     * xxhash64 values; bit b of the result = (sum > 0).
     *
-    * Computed ENTIRELY MAP-SIDE as a higher-order fold over the token
-    * array — zero shuffles, no explode, one xxhash64 per token (vs the
-    * explode + 64-conditional-sum groupBy formulation, whose hash
-    * aggregate carries 64 accumulator columns through a shuffle). At
-    * 100 TB the signature stage runs at scan speed.
+    * Computed ENTIRELY MAP-SIDE — zero shuffles, no explode — via the
+    * native codegen expression [[graft.plans.SimHash64]]: one fused loop
+    * per row inside whole-stage codegen. The equivalent higher-order fold
+    * ([[simHashHof]]) is CodegenFallback (interpreted lambda dispatch per
+    * token × 64 bits + a 64-long array per fold step); CatalystSpec pins
+    * the two bit-identical. At 100 TB the signature stage runs at scan
+    * speed.
     */
-  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame =
+  def simHash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(id.as("doc_id"),
+      call_function("graft_simhash",
+        regexp_extract_all(TextAnalysis.normalizeText(text), lit("\\S+"), lit(0)))
+        .as("simhash"))
+  }
+
+  /** Portable higher-order-function SimHash (the pre-codegen formulation,
+    * kept as the cross-check reference for CatalystSpec). */
+  def simHashHof(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"),
         regexp_extract_all(TextAnalysis.normalizeText(text), lit("\\S+"), lit(0)).as("__toks"))
       // SQL expr: the functions API restricts shift amounts to literals,

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
       GraftFunctions.cosineBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      GraftFunctions.simhashBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
   }
 }
@@ -76,11 +80,18 @@ object GraftFunctions {
     ArrayCosineSimilarity(children(0), children(1))
   }
 
+  val simhashBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 1, "graft_simhash(tokens)")
+    SimHash64(children(0))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

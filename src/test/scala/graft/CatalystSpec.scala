@@ -74,6 +74,21 @@ class CatalystSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(95L, 255L)) // (90-60)/80*255=95.6→95; 90 clips to high=60→255
   }
 
+  test("graft_simhash (codegen) is bit-identical to the higher-order fold") {
+    import graft.functions.Dedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+        (9004L, "ZzK 42 @@ ZzK")).toDF("doc_id", "text"))
+    val fast = Dedup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Dedup.simHashHof(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == hof)
+    assert(fast.nonEmpty)
+  }
+
   test("ConfusionAggregator (single pass) agrees with the relational aggregate") {
     val pairs = Seq((true, true), (true, false), (false, true),
       (false, false), (true, true), (false, false))
