@@ -61,7 +61,16 @@ object Similarity {
     * murmur3(d, p) — reproducible across runs with zero model state.
     * Bucket = integer of sign bits.
     */
-  def hyperplaneBucket(v: Column, nPlanes: Int): Column = {
+  def hyperplaneBucket(v: Column, nPlanes: Int): Column =
+    // native codegen form ([[graft.plans.HyperplaneBucket]]): memoized
+    // weight matrix + one fused multiply-add loop. Callers register graft
+    // functions on their session (the ANN entry points already do).
+    call_function("graft_hyperplane", v, lit(nPlanes))
+
+  /** Portable higher-order-function form (the pre-codegen formulation,
+    * kept as the cross-check reference for CatalystSpec — bit-identical
+    * to [[hyperplaneBucket]]). */
+  def hyperplaneBucketHof(v: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       GraftFunctions.simhashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane"),
+      GraftFunctions.hyperplaneBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
   }
 }
@@ -85,6 +89,11 @@ object GraftFunctions {
     SimHash64(children(0))
   }
 
+  val hyperplaneBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_hyperplane(vec, nPlanes)")
+    HyperplaneBucket(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
@@ -92,6 +101,8 @@ object GraftFunctions {
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane", hyperplaneBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

@@ -97,8 +97,22 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("hyperplaneBucket is deterministic and within [0, 2^nPlanes)") {
+    graft.plans.GraftFunctions.register(spark)
     val df = Seq(Seq(0.3, -1.2, 2.2), Seq(0.3, -1.2, 2.2)).toDF("v")
       .select(Similarity.hyperplaneBucket(col("v"), 6).as("b")).as[Long].collect()
     assert(df(0) == df(1) && df(0) >= 0 && df(0) < 64)
+  }
+
+  test("graft_hyperplane (codegen) is bit-identical to the higher-order fold") {
+    graft.plans.GraftFunctions.register(spark)
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+    for (np <- Seq(4, 6)) {
+      val diff = vecs.select(
+        Similarity.hyperplaneBucket(col("v"), np).as("fast"),
+        Similarity.hyperplaneBucketHof(col("v"), np).as("hof"))
+        .filter(col("fast") =!= col("hof")).count()
+      assert(diff == 0L, s"codegen bucket diverges from HoF at nPlanes=$np")
+    }
   }
 }
