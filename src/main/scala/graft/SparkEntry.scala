@@ -645,6 +645,23 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // §2.J custom keyed state — flatMapGroupsWithState running anomalies
+    // (per-user running mean, flag when value > 3x it), batch form of the
+    // identical streaming operator (StreamingSpec proves batch ≡ stream).
+    // Oracle: cumulative window AVG over the prior rows per user. The gate
+    // compares the per-event ANOMALY FLAG, not the float mean: DuckDB's
+    // windowed AVG accumulates ~1 ulp differently from the operator's
+    // sequential sum/n, so no decimal rendering of the mean is stable —
+    // while the flag compares v against 3x the mean, where a 1-ulp
+    // difference only matters on an exact tie (and the exact running
+    // means are pinned by SkewStreamStateSpec on closed-form fixtures).
+    "s1_running_anomalies" -> ((s, dir) => {
+      EventStreams.runningAnomalies(s, Tables.events(s, dir), factor = 3.0)
+        .select(col("user_id"), col("event_id"), col("value"), col("anomalous"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // Streaming-shape (batch form): tumbling 1-hour window aggregate over
     // events — the §2.J "roadmap realized" demo's batch-equivalent query.
     "w1_tumbling_window" -> ((s, dir) => {
@@ -1400,6 +1417,16 @@ object SparkEntry {
         |FROM scored
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "s1_running_anomalies" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value,
+        |    AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_mean
+        |  FROM events)
+        |SELECT user_id, event_id, value,
+        |  COALESCE(value > 3.0 * prior_mean, false) AS anomalous
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     "w1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,

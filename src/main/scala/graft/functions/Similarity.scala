@@ -96,7 +96,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
     val stride = math.max(1L, n / nCentroids)
-    var centroids = c.filter(col("c_id") % stride === 0).limit(nCentroids)
+    // seed from the nCentroids SMALLEST matching ids: orderBy+limit compiles
+    // to TakeOrdered, which is deterministic under any partitioning — a bare
+    // limit() takes whichever partitions answer first, so the seed set (and
+    // every downstream centroid) could differ across environments
+    var centroids = c.filter(col("c_id") % stride === 0)
+      .orderBy(col("c_id")).limit(nCentroids)
       .select((col("c_id") / stride).cast("int").as("cent_id"), col("cv").as("centroid"))
       .localCheckpoint()
     // Lloyd: assign to nearest centroid, recompute means (element-wise
