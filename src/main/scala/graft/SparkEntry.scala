@@ -535,6 +535,36 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // G2 DISTRIBUTED — adaptiveFrontier (per-image θ escalation + shrink
+    // over frontier joins, driver holds only image→θ metadata) on a
+    // three-image fixture exercising all three adaptation paths: image 0
+    // escalates twice (blob admitted at θ=0.2), image 1 needs no
+    // adaptation, image 2 is oversized at θ=0.1 and shrinks to the lone
+    // seed. The oracle states the expected masks closed-form from the
+    // fixture geometry.
+    "g2_frontier_adaptive" -> ((s, dir) => {
+      import s.implicits._
+      val px = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int)]()
+      for { y <- 0 until 12; x <- 0 until 12 } {
+        val v0 = if (y == 6 && x == 6) 100
+          else if (y >= 5 && y <= 7 && x >= 5 && x <= 7) 150 else 240
+        px += ((0L, y, x, v0))
+        val v1 = if (y >= 4 && y <= 8 && x >= 4 && x <= 8) 110 else 230
+        px += ((1L, y, x, if (y == 6 && x == 6) 100 else v1))
+        px += ((2L, y, x, if (y == 6 && x == 6) 100 else 124))
+      }
+      val pixels = px.toSeq.toDF("image_id", "y", "x", "v")
+      val seeds = Seq((0L, 6, 6), (1L, 6, 6), (2L, 6, 6))
+        .toDF("image_id", "seed_y", "seed_x")
+      RegionGrowing.adaptiveFrontier(pixels, seeds,
+          initialThreshold = 0.1, maxThreshold = 0.3, connectivity = 4,
+          minFrac = 0.05, maxFrac = 0.3)
+        .select(col("image_id"), col("y").cast("long").as("y"),
+          col("x").cast("long").as("x"))
+        .orderBy(col("image_id"), col("y"), col("x"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.J — session windows over events (gap 30 min), the streaming demo's
     // batch-equivalent; oracle = gaps-and-islands SQL.
     "w2_session_windows" -> ((s, dir) => {
@@ -1612,6 +1642,18 @@ object SparkEntry {
         |  FROM adm a JOIN grow g ON a.image_id = g.image_id
         |   AND abs(a.y - g.y) + abs(a.x - g.x) = 1)
         |SELECT image_id, y, x FROM grow ORDER BY image_id, y, x""".stripMargin,
+
+    "g2_frontier_adaptive" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS image_id, CAST(y.range AS BIGINT) AS y,
+        |         CAST(x.range AS BIGINT) AS x
+        |  FROM range(5, 8) y, range(5, 8) x
+        |  UNION ALL
+        |  SELECT 1, CAST(y.range AS BIGINT), CAST(x.range AS BIGINT)
+        |  FROM range(4, 9) y, range(4, 9) x
+        |  UNION ALL
+        |  SELECT 2, 6, 6)
+        |ORDER BY image_id, y, x""".stripMargin,
 
     "w2_session_windows" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
