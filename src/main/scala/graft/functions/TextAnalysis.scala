@@ -79,10 +79,22 @@ object TextAnalysis {
     */
   val RollingHashModulus: Long = 144115188075855859L // 2^57 - 13, prime
 
+  /** Portable form (no function registration needed) — the HoF fold.
+    * Hot paths ([[analyze]]) use the codegen [[rollingHashFromNormalized]]. */
   def rollingHash(text: Column): Column =
-    rollingHashFromNormalized(normalizeText(text))
+    rollingHashHofFromNormalized(normalizeText(text))
 
+  /** Native codegen form ([[graft.plans.RollingHash64]]): walks the
+    * UTF8String bytes in place — the HoF fold materializes a one-char-
+    * string array per character of every document. Callers must register
+    * the graft functions on the session ([[analyze]] does). Defined on
+    * the ASCII output of [[normalizeText]]. */
   def rollingHashFromNormalized(norm: Column): Column =
+    call_function("graft_rolling_hash", norm)
+
+  /** The HoF fold (pre-codegen formulation; cross-check reference —
+    * bit-identical on ASCII input, DedupTextSpec pins it). */
+  def rollingHashHofFromNormalized(norm: Column): Column =
     aggregate(
       split(norm, ""),
       lit(0L),
@@ -147,6 +159,7 @@ object TextAnalysis {
     * through intermediate columns so each tokenization runs once per row
     * (the naive single-projection form re-extracts tokens per metric). */
   def analyze(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession) // graft_rolling_hash
     val staged = docs
       .select(id.as("doc_id"), text.as("__text"))
       .withColumn("__t", regexp_extract_all(col("__text"), lit("\\S+"), lit(0)))

@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hyperplane"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane"),
       GraftFunctions.hyperplaneBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash"),
+      GraftFunctions.rollingHashBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
   }
 }
@@ -94,6 +98,11 @@ object GraftFunctions {
     HyperplaneBucket(children(0), children(1))
   }
 
+  val rollingHashBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 1, "graft_rolling_hash(normalized_text)")
+    RollingHash64(children(0))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
@@ -103,6 +112,8 @@ object GraftFunctions {
       "graft_simhash", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane", hyperplaneBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hash", rollingHashBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

@@ -130,6 +130,19 @@ class DedupTextSpec extends AnyFunSuite {
     assert(rows(0).getDouble(1) > rows(1).getDouble(1)) // english beats symbol soup
   }
 
+  test("graft_rolling_hash (codegen) is bit-identical to the HoF fold on normalized text") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("", "   ", "a", "Hello, World! 42").toDF("text"))
+      .select(TextAnalysis.normalizeText(col("text")).as("norm"))
+    val diff = docs.select(
+        TextAnalysis.rollingHashFromNormalized(col("norm")).as("fast"),
+        TextAnalysis.rollingHashHofFromNormalized(col("norm")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("fingerprint is case/punctuation-insensitive; rollingHash is order-sensitive") {
     val df = Seq(("Hello, World", "hello world", "world hello")).toDF("a", "b", "c")
       .select(TextAnalysis.fingerprint(col("a")).as("fa"),
