@@ -49,10 +49,13 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesFromTokens(col("__toks"), k)).as("shingle"))
 
   // ------------------------------------------------------------ MinHash
-  /** MinHash signature: for seed i, h_i(doc) = min over shingles of
-    * murmur3(shingle, i). Computed as ONE hash-aggregate over the exploded
-    * shingle table (k min-aggregates evaluated together) — a single shuffle
-    * keyed by doc_id, partial-aggregated map-side, instead of k passes.
+  /** MinHash signature from EXPLODED shingle rows: for seed i, h_i(doc) =
+    * min over shingles of murmur3(shingle, i), as one hash-aggregate (k
+    * min-aggregates together, partial-aggregated map-side). This is the
+    * pre-codegen formulation, kept as the cross-check reference
+    * (DedupTextSpec pins it equal to the map-side
+    * `graft_minhash_sig` expression the production pipeline uses — the
+    * expression also hashes each shingle string once instead of k times).
     */
   def minHashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
@@ -137,16 +140,36 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
       shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // The shingle table feeds signature building AND both sides of the
-    // Jaccard verification; signatures feed both sides of the bucket
-    // self-join. Without persisting, Catalyst re-derives each from the raw
-    // scan — 8 document scans per run. Persist the two shared frames: the
-    // signature table is tiny (numHashes longs per doc) and the shingle
-    // table is the one worth spilling to disk at scale.
-    val sh = docShingles(docs, id, text, shingleK)
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    // Stage the PER-DOC shingle array once (one tokenize+shingle pass) and
+    // persist it; every downstream consumer derives from it lazily:
+    //  - signatures come from the map-side codegen expression
+    //    graft_minhash_sig — a NARROW projection, replacing the historical
+    //    explode → shuffle → numHashes-partial-min aggregation (and its
+    //    numHashes re-hashings of every shingle string);
+    //  - the exploded (doc_id, shingle) table exists only for the Jaccard
+    //    verification joins, exploded on demand from the cached arrays.
+    // Null text is filtered at the SCAN (matching explode's null-skip in
+    // the exploded form); it is the only way to a null/empty shingle array
+    // (empty docs shingle to [""], same as before). Do NOT filter on a
+    // predicate over __sh here: predicate pushdown would substitute the
+    // whole shingle expression into the filter below the projection and
+    // re-evaluate it per row — measured 10x on the staging pass.
+    val staged = docs
+      .filter(text.isNotNull)
+      .select(id.as("doc_id"), split(TextAnalysis.normalizeText(text), " ").as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleK).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minHashSignatures(sh, numHashes)
+    // persist the (tiny) signature table: the h$i banding projection
+    // references __sig numHashes times, and without a materialization
+    // boundary the optimizer can inline the signature expression into
+    // every reference — recomputing it numHashes× per row
+    val sigArr = staged.select(col("doc_id"),
+        call_function("graft_minhash_sig", col("__sh"), lit(numHashes)).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sigArr.select(col("doc_id") +:
+      (0 until numHashes).map(i => col("__sig")(i).as(s"h$i")): _*)
+    val sh = staged.select(col("doc_id"), explode(col("__sh")).as("shingle"))
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
     verifyJaccard(cand, sh, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)

@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash"),
       GraftFunctions.rollingHashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      GraftFunctions.minhashSigBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
   }
 }
@@ -103,6 +107,11 @@ object GraftFunctions {
     RollingHash64(children(0))
   }
 
+  val minhashSigBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_minhash_sig(shingles, numHashes)")
+    MinHashSig(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
@@ -114,6 +123,8 @@ object GraftFunctions {
       "graft_hyperplane", hyperplaneBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", rollingHashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", minhashSigBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

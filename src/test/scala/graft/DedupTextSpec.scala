@@ -130,6 +130,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(rows(0).getDouble(1) > rows(1).getDouble(1)) // english beats symbol soup
   }
 
+  test("graft_minhash_sig (map-side codegen) equals the exploded min-aggregation signatures") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((9001L, "one two three four five"), (9003L, "short"))
+        .toDF("doc_id", "text"))
+    val staged = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val fast = staged.select(col("doc_id"),
+        expr("graft_minhash_sig(__sh, 32)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val agg = Dedup.minHashSignatures(
+        staged.select(col("doc_id"), explode(col("__sh")).as("shingle")), 32)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(i => r.getInt(i))).toMap
+    assert(fast.keySet == agg.keySet && fast.keySet.nonEmpty)
+    fast.foreach { case (id, s) => assert(s.toSeq == agg(id).toSeq, s"doc $id") }
+  }
+
   test("graft_rolling_hash (codegen) is bit-identical to the HoF fold on normalized text") {
     graft.plans.GraftFunctions.register(spark)
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
