@@ -130,6 +130,30 @@ class DedupTextSpec extends AnyFunSuite {
     assert(rows(0).getDouble(1) > rows(1).getDouble(1)) // english beats symbol soup
   }
 
+  test("connectedComponents equals a local union-find on seeded random graphs") {
+    val r = new scala.util.Random(7)
+    for (c <- 1 to 4) {
+      val edges = Seq.fill(30 + r.nextInt(15))(
+        (r.nextInt(40).toLong, r.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      // local reference: union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val root = find(p); parent(x) = root; root }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == expected, s"case $c: ${edges.take(5)}…")
+    }
+  }
+
   test("graft_minhash_sig (map-side codegen) equals the exploded min-aggregation signatures") {
     graft.plans.GraftFunctions.register(spark)
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
