@@ -30,6 +30,35 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q("h1_topk_avg")(spark, "/root/testdata/sf0.001")
 
+  // Fixture-writing queries (sinks, blob fetch, mixed-format loader) each
+  // need a fresh scratch directory per invocation — fresh because their
+  // semantics depend on starting empty (exactly-two appends, exact file
+  // sets). One JVM shutdown hook sweeps them all so repeated bench /
+  // correctness runs don't leak disk.
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      scratchDirs.forEach(p => rm(p.toFile))
+    }))
+    true
+  }
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    require(scratchHookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p
+  }
+
+  /** Committed golden-fixture parquet directory: `<working dir>/fixtures`
+    * (sbt runs from the repo root), overridable via `-Dgraft.fixtures.dir`
+    * for out-of-tree checkouts. */
+  private def fixturesDir: String =
+    sys.props.get("graft.fixtures.dir").getOrElse(
+      new java.io.File(sys.props("user.dir"), "fixtures").getAbsolutePath)
+
   private def q(name: String): (SparkSession, String) => DataFrame = queries(name)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -461,6 +490,21 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: near-dup clusters via ALTERNATING STAR CONTRACTION —
+    // the diameter-independent (O(log n)-round) connected-components
+    // algorithm, over the COMMITTED pair fixture so the gate isolates the
+    // clustering operator itself (the live pair set is gated by
+    // minhash_lsh_pairs / neardup_clusters). Same independent recursive-CTE
+    // reachability oracle: both implementations must agree with it — and
+    // therefore with each other.
+    "neardup_clusters_star" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet")
+      Dedup.connectedComponentsStar(pairs)
+        .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: SimHash near-dup pairs (fixture-gated).
     "simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(
@@ -840,7 +884,7 @@ object SparkEntry {
     // proving write → encode → decode → read = id on executor-written files.
     "b1b2_sink_roundtrip" -> ((s, dir) => {
       import java.nio.file.{Files, Paths}
-      val base = Files.createTempDirectory("graft_sink_")
+      val base = scratchDir("graft_sink_")
       val dcmDir = base.resolve("dcm").toString
       val pngDir = base.resolve("png").toString
       val tablePath = base.resolve("slice_table").toString
@@ -876,7 +920,7 @@ object SparkEntry {
     // array; aggregates vs the generator oracle.
     "a7_single_blob" -> ((s, dir) => {
       import java.nio.file.Files
-      val blobDir = Files.createTempDirectory("graft_blob_")
+      val blobDir = scratchDir("graft_blob_")
       val px = Array.tabulate(1024)(i => ((i / 32) * 3 + (i % 32) * 7) % 256)
       graft.kernels.Png.encodeGray(px, 32, 32).foreach(b =>
         Files.write(blobDir.resolve("blob_0.png"), b))
@@ -934,7 +978,7 @@ object SparkEntry {
     // oracle prove all three decode paths end-to-end in one scan.
     "unified_loader" -> ((s, dir) => {
       import java.nio.file.Files
-      val mixDir = Files.createTempDirectory("graft_mixed_")
+      val mixDir = scratchDir("graft_mixed_")
       SlicePipeline.writeDicomFixtures(s, 4, mixDir.toString)
       for (id <- 0 until 3) { // 5-slice 8x8 volumes; loader keeps slice z=2
         val vox = Array.tabulate(5 * 8 * 8) { i =>
@@ -977,7 +1021,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = {
     def fixture(name: String, orderBy: String): (String, String) =
-      name -> s"SELECT * FROM read_parquet('/root/repo/fixtures/$name.parquet') ORDER BY $orderBy"
+      name -> s"SELECT * FROM read_parquet('$fixturesDir/$name.parquet') ORDER BY $orderBy"
     Map(
     fixture("m3_pipeline_stats", "file_name"),
     fixture("d11_butterworth", "image_id"),
@@ -993,8 +1037,20 @@ object SparkEntry {
     fixture("ann_ivf_topk", "q_id, rank"),
 
     "neardup_clusters" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT id1, id2 FROM read_parquet('/root/repo/fixtures/minhash_lsh_pairs.parquet')),
+      s"""WITH RECURSIVE e AS (
+        |  SELECT id1, id2 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')),
+        |nodes AS (SELECT id1 AS id FROM e UNION SELECT id2 FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, CASE WHEN e.id1 = reach.r THEN e.id2 ELSE e.id1 END AS r
+        |  FROM reach JOIN e ON e.id1 = reach.r OR e.id2 = reach.r)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "neardup_clusters_star" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT id1, id2 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')),
         |nodes AS (SELECT id1 AS id FROM e UNION SELECT id2 FROM e),
         |reach AS (
         |  SELECT id, id AS r FROM nodes

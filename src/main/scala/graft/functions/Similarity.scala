@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * All vector math uses `zip_with`/`aggregate` higher-order functions —
   * evaluated per-row inside codegen, no UDF serialization.
+  *
+  * CACHE CONTRACT: `ivfTopK` persists the keyed corpus and inverted lists
+  * and returns a LAZY frame (unpersisting before materialization would
+  * recompute Lloyd per consumer; materializing eagerly would hide the plan
+  * from callers). Sessions running many queries clear between runs —
+  * `Bench`/`Verify`/`Probe`/`FixtureGen` call `catalog.clearCache()`.
   */
 object Similarity {
 
@@ -53,7 +59,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k)
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 
   /** Random-hyperplane sign bucket: plane p's normal component for
@@ -136,7 +142,7 @@ object Similarity {
     val scored = probes.join(inverted, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k)
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 
   /** Nearest-centroid assignment (centroids broadcast). A min-over-struct
@@ -166,6 +172,6 @@ object Similarity {
       .withColumn("bucket", hyperplaneBucket(col("cv"), nPlanes))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k)
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 }

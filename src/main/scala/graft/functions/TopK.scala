@@ -50,8 +50,19 @@ object TopK {
     * not lexicographic), and a 64-bit hash collision between two candidate
     * ids could duplicate a rank row (~2⁻⁶⁴ per pair — documented, not
     * guarded). `q_id` passes through the groupBy untouched at any type.
+    *
+    * `candidateIds` (a frame with a `c_id` column, normally the corpus id
+    * projection) supplies the surrogate→id mapping for the non-integral
+    * path. Pass it whenever the scored pipeline is expensive or
+    * nondeterministic: deriving the mapping from `scored` itself would
+    * evaluate that whole pipeline a second time, and if it is
+    * nondeterministic the second evaluation's ids can diverge from the
+    * ranked rows. The join is `left` + a runtime assertion, so a surrogate
+    * that lost its mapping fails the query loudly instead of silently
+    * dropping a rank row.
     */
-  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  def rankTopK(scored: DataFrame, k: Int,
+      candidateIds: Option[DataFrame] = None): DataFrame = {
     val integral = scored.schema("c_id").dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -65,9 +76,12 @@ object TopK {
         .withColumnRenamed("c_id", "__cid")
       // distinct partial-aggregates map-side, so the mapping frame costs
       // one pass over candidate ids; the join touches |Q|·k ranked rows
-      val mapping = scored.select(col("c_id")).distinct()
+      val mapping = candidateIds.getOrElse(scored).select(col("c_id")).distinct()
         .select(col("c_id"), xxhash64(col("c_id")).as("__cid"))
-      ranked.join(mapping, Seq("__cid"))
+      ranked.join(mapping, Seq("__cid"), "left")
+        .filter(coalesce(assert_true(col("c_id").isNotNull,
+          lit("rankTopK: ranked surrogate has no id mapping — " +
+            "nondeterministic scored pipeline? pass candidateIds")), lit(true)))
         .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
     }
   }

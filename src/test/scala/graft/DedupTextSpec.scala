@@ -151,7 +151,25 @@ class DedupTextSpec extends AnyFunSuite {
       val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
       assert(got == expected, s"case $c: ${edges.take(5)}…")
+      // star contraction must agree with both on the same graphs
+      val star = Dedup.connectedComponentsStar(edges.toDF("id1", "id2"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(star == expected, s"star case $c: ${edges.take(5)}…")
     }
+  }
+
+  test("connectedComponentsStar: long chain converges in O(log n) rounds; propagation throws") {
+    // a 120-node chain has diameter 119 — min-label propagation cannot
+    // finish inside 10 rounds and must REFUSE to return the wrong labels...
+    val chain = (0L until 119L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 10).collect()
+    }
+    // ...while star contraction needs only ~log2(120) alternations
+    val star = Dedup.connectedComponentsStar(chain, maxRounds = 10)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(star == (0L to 119L).map(_ -> 0L).toMap,
+      "every chain node must label to 0")
   }
 
   test("graft_minhash_sig (map-side codegen) equals the exploded min-aggregation signatures") {
