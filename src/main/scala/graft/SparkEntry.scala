@@ -462,6 +462,21 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // Same brute-force ANN contract, ranked through the CUSTOM CATALYST
+    // PLAN NODE (GraftTopKPerKey: logical node + planner strategy +
+    // partial/final physical operators — map-side k-bound in Tungsten row
+    // format, one hash exchange placed by EnsureRequirements). Gated
+    // against the same independent DuckDB window-rank oracle as
+    // ann_cosine_topk, so aggregator path ≡ plan-node path ≡ SQL.
+    "ann_cosine_topk_native" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.cosineTopKNative(queries, emb, 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: MinHash + LSH near-duplicate pairs. bands=16 (r=2) puts
     // the S-curve midpoint at (1/16)^(1/2) = 0.25, well below the 0.5
     // Jaccard threshold → ~99% candidate recall at J=0.5 (bands=8's 0.59
@@ -614,6 +629,21 @@ object SparkEntry {
     "w2_session_windows" -> ((s, dir) => {
       EventStreams.sessionCounts(Tables.events(s, dir), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---------------------------------------------------------------
+    // §2.J — STREAMING DEDUP (at-least-once ingest repair), batch form:
+    // 10% of events are re-delivered, dropDuplicates(event_id) removes the
+    // copies, then per-type order-independent exact aggregates. The oracle
+    // aggregates the CLEAN table directly — the gate is red unless dedup
+    // removes exactly the injected copies and nothing else. The real-stream
+    // form (dropDuplicatesWithinWatermark with bounded state) is pinned
+    // equal in StreamingSpec.
+    "w3_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val redelivered = ev.filter(col("event_id") % 10 === 0)
+      EventStreams.dedupedTypeCounts(ev.union(redelivered))
+        .orderBy(col("event_type"))
     }),
 
     // ---------------------------------------------------------------
@@ -1504,6 +1534,28 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
+    // identical independent oracle: the plan-node ranking must reproduce
+    // the window-rank semantics exactly (incl. cos-desc / id-asc ties)
+    "ann_cosine_topk_native" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank,
+        |       c_id, ROUND(cos, 6) AS cos
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     "s1_running_anomalies" ->
       """WITH w AS (
         |  SELECT user_id, event_id, value,
@@ -1518,6 +1570,13 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // the clean table, aggregated directly — dedup must exactly undo the
+    // injected redelivery
+    "w3_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_event_id,
+        |  ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a3_volume_slice" ->
       """WITH vol AS (

@@ -323,7 +323,6 @@ object Dedup {
     * throws rather than return an unconverged (wrong) labeling.
     */
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
-    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // orient u > v once; self-loops drop, duplicates collapse
     var e = edges.select(col("id1"), col("id2"))
       .filter(col("id1") =!= col("id2"))

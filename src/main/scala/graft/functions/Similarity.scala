@@ -62,6 +62,27 @@ object Similarity {
     TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 
+  /** [[cosineTopK]] with the ranking planned through the CUSTOM PLAN NODE
+    * ([[graft.plans.GraftTopKPerKey]] → partial/final physical operators)
+    * instead of the typed Aggregator: rows stay UnsafeRows end to end, at
+    * most k rows per (query, partition) reach the one hash exchange, and
+    * no posexplode/re-projection runs after the merge. Same result
+    * contract as [[cosineTopK]] (rank 1-based, ties cos-desc then id-asc,
+    * cos rounded to 6), and any id type works directly — the operator
+    * never moves ids through an aggregation buffer, so there is no
+    * integral restriction and no surrogate mapping.
+    */
+  def cosineTopKNative(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        keyCols = Seq("q_id"), orderBy = Seq(("cos", false), ("c_id", true)), k = k)
+      .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Random-hyperplane sign bucket: plane p's normal component for
     * dimension d is a deterministic pseudo-random ±value derived from
     * murmur3(d, p) — reproducible across runs with zero model state.

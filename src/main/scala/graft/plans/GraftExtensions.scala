@@ -71,6 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       GraftFunctions.minhashSigBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
+    ext.injectPlannerStrategy(_ => GraftTopKStrategy)
   }
 }
 
@@ -128,5 +129,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow
+    if (!spark.experimental.extraStrategies.contains(GraftTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftTopKStrategy
   }
 }

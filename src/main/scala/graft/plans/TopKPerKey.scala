@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** WHOLE-OPERATOR Catalyst extension: top-k rows per key as a first-class
+  * plan node — logical node + planner [[SparkStrategy]] + two physical
+  * operators, the (c)-tier of the extension ladder (compose < custom
+  * Expression < custom plan node).
+  *
+  * Why a plan node instead of the typed-Aggregator formulation
+  * ([[graft.functions.TopKByScore]]): the aggregator pays for generality —
+  * every surviving row is serialized into an aggregation buffer object,
+  * merged through Catalyst's ObjectHashAggregate, then re-exploded
+  * (posexplode) and re-projected. The physical operator keeps rows as
+  * UnsafeRows end to end: the PARTIAL operator runs inside each input
+  * partition and forwards at most k rows per (key, partition) — the same
+  * map-side bound that makes the aggregator scale (exchange carries
+  * O(|keys|·k·partitions) rows, never the full scored set) — and the FINAL
+  * operator declares `ClusteredDistribution(key)`, so `EnsureRequirements`
+  * inserts exactly one hash exchange between them, merges the per-partition
+  * survivors, and appends the 1-based `rank` column. No row ever leaves
+  * Tungsten format; ranking needs no window and no object aggregation.
+  *
+  * Ordering is an arbitrary `Seq[SortOrder]` over the child's columns
+  * (ties included), so the operator is not tied to ANN scoring — any
+  * "top-k per group by some ordering" query can plan through it.
+  */
+case class GraftTopKPerKey(
+    keys: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  require(keys.nonEmpty, "need at least one key column")
+  require(ordering.nonEmpty, "need an ordering")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftTopKPerKey =
+    copy(child = newChild)
+}
+
+/** Planner rule: logical [[GraftTopKPerKey]] → partial + final physical
+  * operators. The exchange between them is NOT planned here — the final
+  * operator's required distribution lets `EnsureRequirements` (and AQE)
+  * place and size it.
+  */
+object GraftTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftTopKPerKey(keys, ordering, k, rankAttr, child) =>
+      GraftTopKPerKeyFinalExec(keys, ordering, k, rankAttr,
+        GraftTopKPerKeyPartialExec(keys, ordering, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared per-key bounded-buffer logic: an open-addressed map from the
+  * key's UnsafeRow to a buffer that is pruned back to k whenever it
+  * doubles — amortized O(log k) per row, at most 2k row copies live per
+  * key.
+  */
+private[plans] final class TopKBuffers(
+    keyProj: UnsafeProjection,
+    cmp: Ordering[InternalRow],
+    k: Int) {
+  private val map = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var buf = map.get(key)
+    if (buf == null) {
+      buf = new scala.collection.mutable.ArrayBuffer[InternalRow](k + 1)
+      map.put(key.copy(), buf)
+    }
+    buf += row.copy()
+    if (buf.length >= 2 * k) {
+      val pruned = buf.sortInPlace()(cmp).take(k)
+      buf.clear()
+      buf ++= pruned
+    }
+  }
+
+  /** (key, top-k rows in order) pairs. */
+  def drain(): Iterator[(InternalRow, Seq[InternalRow])] = {
+    val it = map.entrySet().iterator()
+    new Iterator[(InternalRow, Seq[InternalRow])] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (InternalRow, Seq[InternalRow]) = {
+        val e = it.next()
+        (e.getKey, e.getValue.sortInPlace()(cmp).take(k).toSeq)
+      }
+    }
+  }
+}
+
+/** Map-side phase: forwards at most k rows per key per input partition,
+  * in Tungsten format, with no required distribution — it runs where the
+  * data already is. This is what bounds the exchange. */
+case class GraftTopKPerKeyPartialExec(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val order = ordering
+    val limit = k
+    child.execute().mapPartitions({ iter =>
+      val buffers = new TopKBuffers(
+        UnsafeProjection.create(keyExprs, childOutput),
+        RowOrdering.create(order, childOutput), limit)
+      iter.foreach(buffers.insert)
+      // forward survivors unranked; the final phase re-merges anyway
+      buffers.drain().flatMap(_._2)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side phase: requires clustering by key (EnsureRequirements
+  * inserts the one hash exchange), merges the per-partition survivors,
+  * and emits each key's final top-k with a 1-based `rank` appended. */
+case class GraftTopKPerKeyFinalExec(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val order = ordering
+    val limit = k
+    val outAttrs = output
+    child.execute().mapPartitions({ iter =>
+      val buffers = new TopKBuffers(
+        UnsafeProjection.create(keyExprs, childOutput),
+        RowOrdering.create(order, childOutput), limit)
+      iter.foreach(buffers.insert)
+      val project = UnsafeProjection.create(outAttrs, childOutput :+ rankAttr)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      buffers.drain().flatMap { case (_, rows) =>
+        rows.iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, (i + 1).toLong)
+          project(joined(row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKPerKeyFinalExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-level entry point. */
+object TopKPerKey {
+
+  /** Top-k rows per key group under `orderBy` (each `(column, ascending)`),
+    * with a `rank` column appended (1-based within the key group).
+    * Plans through the custom operator pair; requires
+    * [[GraftFunctions.register]] (or `GraftExtensions` at builder time)
+    * to have injected [[GraftTopKStrategy]] into the session.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val ordering = orderBy.map { case (name, asc) =>
+      if (asc) SortOrder(attr(name), org.apache.spark.sql.catalyst.expressions.Ascending)
+      else SortOrder(attr(name), org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    val rankAttr = AttributeReference("rank", LongType, nullable = false)()
+    GraftPlanBridge.ofRows(df.sparkSession,
+      GraftTopKPerKey(keyCols.map(attr), ordering, k, rankAttr, analyzed))
+  }
+}

@@ -36,6 +36,51 @@ object EventStreams {
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming EXACT-DEDUP (at-least-once ingest repair): duplicate
+    * deliveries are dropped on `event_id` before a per-type aggregation.
+    * Batch/stream shared definition; the aggregates are chosen to be
+    * ORDER-INDEPENDENT AND EXACT (counts, distinct counts, min/max) so the
+    * result is bit-stable whichever duplicate copy survives and in
+    * whatever order partitions merge.
+    *
+    * `withinWatermark = true` uses `dropDuplicatesWithinWatermark` — the
+    * form a 24/7 stream needs: dedup state is EVICTED once the watermark
+    * passes an event's timestamp, so state size is bounded by the
+    * redelivery horizon instead of growing with every event ever seen
+    * (plain `dropDuplicates` state is unbounded on a stream). On batch
+    * input both forms are plain exact dedup.
+    */
+  def dedupedTypeCounts(events: DataFrame, withinWatermark: Boolean = false): DataFrame = {
+    val deduped =
+      if (withinWatermark) events.dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    deduped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // count_distinct doesn't stream; min/max are exact, order-free,
+        // and any failed dedup shows up in n
+        max(col("event_id")).as("max_event_id"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"))
+  }
+
+  /** Run [[dedupedTypeCounts]] as a real streaming query (file source →
+    * watermark → within-watermark dedup → aggregation → memory sink).
+    * Callers `processAllAvailable()` then read table `name`. */
+  def startDedupStream(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    dedupedTypeCounts(raw.withWatermark("ts", "10 minutes"), withinWatermark = true)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState` — the shape the
     * reference's roadmap streaming would need for cross-event logic:
     * per-user running totals with an anomaly flag when a value exceeds
