@@ -274,23 +274,27 @@ object Dedup {
     // branches would otherwise each re-evaluate the (possibly expensive)
     // pair-producing pipeline upstream
     val e = edges.select(col("id1"), col("id2")).localCheckpoint()
+    // lazy checkpoints from here on: each round's ONE action (the changed
+    // count) materializes the round's frame — no separate checkpoint jobs
     val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
       .union(e.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).localCheckpoint(false)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // carry the old label through the checkpointed frame so the changed
+      // count is a plain filter over materialized blocks, not another join
+      val next = labels.withColumnRenamed("label", "old").join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          col("old"))
+        .localCheckpoint(false)
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     if (changed > 0)
@@ -329,6 +333,7 @@ object Dedup {
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .distinct().localCheckpoint()
+    var nE = e.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -342,7 +347,7 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       // ---- small-star over the (u > v)-oriented edges
       val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = ls.join(minsS, Seq("u"))
@@ -352,10 +357,13 @@ object Dedup {
           struct(col("u"), col("m").as("v")))).as("edge"))
         .select(col("edge.u"), col("edge.v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
-      val grew = ss.join(e, Seq("u", "v"), "left_anti").count()
-      val shrank = e.join(ss, Seq("u", "v"), "left_anti").count()
-      converged = grew == 0 && shrank == 0
+        .distinct().localCheckpoint(false)
+      // ONE action per round: the count materializes ls and ss (both lazy
+      // checkpoints). |ss| = |e| AND ss ∖ e = ∅ ⟺ ss = e, so the anti-join
+      // only runs on rounds whose edge count already matches.
+      val nSS = ss.count()
+      converged = nSS == nE && ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+      nE = nSS
       e = ss
       round += 1
     }

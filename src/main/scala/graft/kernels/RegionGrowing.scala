@@ -123,10 +123,15 @@ object RegionGrowing {
     // The admissible set is the threshold band around each seed value —
     // typically a small fraction of the image. Each round pays ONE shuffle
     // (the candidate distinct) when the band broadcasts.
+    // LAZY checkpoint + count: the count materializes the checkpoint blocks
+    // in the same job, so every loop frame costs ONE action instead of an
+    // eager-checkpoint job plus a count job. Iterative operators run
+    // hundreds of rounds; halving the per-round action count halves the
+    // scheduler overhead that dominates them between data-bound stages.
     val admissibleBase = pixels.join(seedVals.hint("broadcast"), "image_id")
       .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
       .select(col("image_id"), col("y"), col("x"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val admissible = maybeBroadcast(admissibleBase, admissibleBase.count())
 
     // BFS-layer invariant: a neighbour of a layer-k pixel has BFS distance
@@ -135,7 +140,7 @@ object RegionGrowing {
     // constant-size instead of growing with the region, and the full mask
     // is the (disjoint) union of layers, assembled once at the end.
     val seed0 = seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x"))
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the frontier count below
     var layers = List(seed0)
     var prev = seed0.limit(0)
     var prevSize = 0L
@@ -164,9 +169,9 @@ object RegionGrowing {
       val newFrontier = acc.distinct()
         .join(maybeBroadcast(frontier, frontierSize), Seq("image_id", "y", "x"), "left_anti")
         .join(maybeBroadcast(prev, prevSize), Seq("image_id", "y", "x"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevSize = frontierSize
-      frontierSize = newFrontier.count()
+      frontierSize = newFrontier.count() // materializes the checkpoint
       if (frontierSize > 0) {
         layers ::= newFrontier
         // Compact the accumulated layer list every `compactEvery` rounds: a
@@ -176,7 +181,7 @@ object RegionGrowing {
         // disjoint, so a plain union preserves the mask; the localCheckpoint
         // truncates the folded branch to one leaf.
         if (layers.length >= compactEvery)
-          layers = List(layers.reduce(_.union(_)).localCheckpoint())
+          layers = List(layers.reduce(_.union(_)).localCheckpoint(false))
       }
       prev = frontier
       frontier = newFrontier
@@ -207,8 +212,11 @@ object RegionGrowing {
     // global (every still-adapting image re-grows at the same θ), so the
     // loop trip count is bounded by the θ grid (~(maxθ−θ₀)/0.05 + θ₀/0.01
     // rounds), never by the number of images.
+    // every loop frame below is a LAZY checkpoint: the one loop-condition
+    // action per round (`isEmpty` on the adapt set) materializes the whole
+    // round's chain, instead of an eager-checkpoint job per frame
     val pxCounts = pixels.groupBy(col("image_id"))
-      .agg(count(lit(1)).as("n_px")).localCheckpoint()
+      .agg(count(lit(1)).as("n_px")).localCheckpoint(false)
 
     def growSubset(ids: DataFrame, theta: Double): DataFrame =
       frontierJoin(
@@ -227,13 +235,13 @@ object RegionGrowing {
     // and θ < maxθ: θ += 0.05; regrow`). An image settles the round it
     // stops being undersized — or the round θ tops out.
     var theta = initialThreshold
-    var pending = pxCounts.select(col("image_id")).localCheckpoint()
+    var pending = pxCounts.select(col("image_id")).localCheckpoint(false)
     var settled: DataFrame = null
     var done = false
     while (!done) {
-      val grown = growSubset(pending, theta).localCheckpoint()
-      val sz = sized(grown).localCheckpoint()
-      val undersizedIds = sz.filter(col("under")).select(col("image_id")).localCheckpoint()
+      val grown = growSubset(pending, theta).localCheckpoint(false)
+      val sz = sized(grown).localCheckpoint(false)
+      val undersizedIds = sz.filter(col("under")).select(col("image_id")).localCheckpoint(false)
       // reference checks θ < maxθ BEFORE incrementing, so θ may overshoot
       // maxθ by one step (region_growing.py:134-136) — preserved
       val escalate = theta < maxThreshold - 1e-9 && !undersizedIds.isEmpty
@@ -244,14 +252,14 @@ object RegionGrowing {
       if (escalate) { theta += 0.05; pending = undersizedIds }
       else done = true
     }
-    settled = settled.localCheckpoint()
+    settled = settled.localCheckpoint(false)
 
     // phase 2: shrink oversized, restarting from the initial threshold.
     // Still-oversized images when θ hits the floor keep their last grown
     // mask, exactly like the per-image reference loop.
     var shrinkTheta = initialThreshold
     var oversizedIds = sized(settled).filter(col("over"))
-      .select(col("image_id")).localCheckpoint()
+      .select(col("image_id")).localCheckpoint(false)
     var result = settled.join(oversizedIds, Seq("image_id"), "left_anti")
     // Seed the θ-floor fallback with the PHASE-1 masks: the per-image
     // reference keeps whatever mask the last grow produced when the shrink
@@ -262,9 +270,9 @@ object RegionGrowing {
     var lastGrown: DataFrame = settled
     while (!oversizedIds.isEmpty && shrinkTheta - 0.01 > 0.01 - 1e-9) {
       shrinkTheta -= 0.01
-      val grown = growSubset(oversizedIds, shrinkTheta).localCheckpoint()
+      val grown = growSubset(oversizedIds, shrinkTheta).localCheckpoint(false)
       val stillOver = sized(grown).filter(col("over"))
-        .select(col("image_id")).localCheckpoint()
+        .select(col("image_id")).localCheckpoint(false)
       result = result.union(grown.join(stillOver, Seq("image_id"), "left_anti"))
       oversizedIds = stillOver
       lastGrown = grown
