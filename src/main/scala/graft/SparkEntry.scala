@@ -477,6 +477,32 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: per-language QUALITY QUANTILES — the distribution a
+    // curation pipeline thresholds against. Exact quantiles, computed
+    // scale-aware: quality is rounded to 6 decimals, so a (lang, quality)
+    // COUNT histogram (map-side partial aggregation, ≤10⁶ distinct values
+    // per group) feeds Spark's WEIGHTED percentile — the aggregation buffer
+    // holds the bounded histogram, never a per-group list of raw rows,
+    // which is what plain percentile() would collect at 10⁹ docs.
+    "quality_quantiles" -> ((s, dir) => {
+      // one analyze pass feeds both histograms (persisted — two consumers;
+      // callers clearCache between runs per the Dedup/Similarity contract)
+      val a = TextAnalysis.analyze(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("lang_pred"), col("quality"), col("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qHist = a.groupBy(col("lang_pred"), col("quality")).agg(count(lit(1)).as("cnt"))
+      val qq = qHist.groupBy(col("lang_pred")).agg(
+        sum(col("cnt")).as("n_docs"),
+        round(expr("percentile(quality, 0.25, cnt)"), 6).as("q25"),
+        round(expr("percentile(quality, 0.5, cnt)"), 6).as("q50"),
+        round(expr("percentile(quality, 0.9, cnt)"), 6).as("q90"))
+      val tHist = a.groupBy(col("lang_pred"), col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      val mt = tHist.groupBy(col("lang_pred")).agg(
+        round(expr("percentile(n_tokens, 0.5, cnt)"), 6).as("median_tokens"))
+      qq.join(mt, Seq("lang_pred")).orderBy(col("lang_pred"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: MinHash + LSH near-duplicate pairs. bands=16 (r=2) puts
     // the S-curve midpoint at (1/16)^(1/2) = 0.25, well below the 0.5
     // Jaccard threshold → ~99% candidate recall at J=0.5 (bands=8's 0.59
@@ -1494,6 +1520,44 @@ object SparkEntry {
         |  CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
         |FROM kept k JOIN l ON k.doc_id = l.doc_id
         |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
+
+    "quality_quantiles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    ROUND(
+        |      LEAST(LENGTH(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.4 +
+        |      (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |         ELSE CAST(LENGTH(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / LENGTH(text) END) * 5.0, 1.0)) * 0.3 +
+        |      LEAST((CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |           / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM documents),
+        |tl AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','den','von','zu','mit','ist','des'], x))) AS DOUBLE) AS de,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS DOUBLE) AS en,
+        |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','se','las'], x))) AS DOUBLE) AS es,
+        |  CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE) AS fr,
+        |  CAST(len(list_filter(toks, x -> list_contains(['o','a','de','que','e','do','da','em','um','para'], x))) AS DOUBLE) AS pt
+        |  FROM tl),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN GREATEST(de, en, es, fr, pt) <= 0 THEN 'und'
+        |       WHEN de = GREATEST(de, en, es, fr, pt) THEN 'de'
+        |       WHEN en = GREATEST(de, en, es, fr, pt) THEN 'en'
+        |       WHEN es = GREATEST(de, en, es, fr, pt) THEN 'es'
+        |       WHEN fr = GREATEST(de, en, es, fr, pt) THEN 'fr'
+        |       ELSE 'pt' END AS lang_pred
+        |  FROM sc),
+        |j AS (SELECT l.lang_pred, t.quality, t.n_tokens FROM t JOIN l USING (doc_id))
+        |SELECT lang_pred, COUNT(*) AS n_docs,
+        |  ROUND(quantile_cont(quality, 0.25), 6) AS q25,
+        |  ROUND(quantile_cont(quality, 0.5), 6) AS q50,
+        |  ROUND(quantile_cont(quality, 0.9), 6) AS q90,
+        |  ROUND(quantile_cont(CAST(n_tokens AS DOUBLE), 0.5), 6) AS median_tokens
+        |FROM j GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (

@@ -53,6 +53,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ivf.contains("ObjectHashAggregate"), "ivf lost the k-bounded aggregation")
   }
 
+  test("ann_cosine_topk_native: ranks through the custom plan-node pair, not a window") {
+    val plan = planOf("ann_cosine_topk_native")
+    assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
+      "native ANN ranking lost the custom physical operators")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(!plan.contains("Window"), "native ranking must not fall back to a window")
+  }
+
+  test("quality_quantiles: weighted percentile over a histogram, never raw value lists") {
+    // plain percentile() buffers every group member; the histogram
+    // pre-aggregation partial-aggregates map-side and bounds the buffer at
+    // the distinct-value count
+    val plan = planOf("quality_quantiles")
+    assert(plan.contains("partial_count"),
+      "histogram stage lost map-side partial aggregation")
+    assert(!plan.contains("collect_list"), "quantiles must not collect raw values")
+  }
+
   test("no query plans a CartesianProduct") {
     // cartesian = quadratic blow-up at scale; the only nested-loop joins
     // allowed are broadcast ones (tiny side)
