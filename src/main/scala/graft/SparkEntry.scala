@@ -658,6 +658,44 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // AS-OF JOIN — temporal alignment (last view before each purchase, per
+    // user): one union + window pass, a single hash shuffle on the key —
+    // never the per-key cross product a range theta-join would explode
+    // into. The right side pre-dedups to one row per (user, ts). Oracle =
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    // the same semantics.
+    "f5_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val viewsRaw = ev.filter(col("event_type") === "view")
+      val viewKeep = viewsRaw.groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
+      val views = viewsRaw.join(viewKeep, Seq("user_id", "ts", "event_id"), "left_semi")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Relational.asofJoin(purchases, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("purchase_value"),
+          col("asof.event_id").as("view_event_id"),
+          round(col("asof.value"), 6).as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // §2.J — STREAM-STREAM INTERVAL JOIN (click→view attribution), batch
+    // form: same-user views in the 6 hours before each click. The shared
+    // definition runs unchanged on two watermarked streams, where the
+    // event-time range condition bounds both sides' join state
+    // (StreamingSpec pins stream ≡ batch).
+    "w4_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStreams.clickViewAttribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"), horizon = "6 hours")
+        .orderBy(col("click_id"), col("view_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.J — STREAMING DEDUP (at-least-once ingest repair), batch form:
     // 10% of events are re-delivered, dropDuplicates(event_id) removes the
     // copies, then per-type order-independent exact aggregates. The oracle
@@ -1634,6 +1672,29 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "f5_asof_join" ->
+      """WITH vkeep AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |v AS (SELECT k.user_id, k.ts, k.event_id, e.value
+        |      FROM vkeep k JOIN events e ON e.event_id = k.event_id),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, ROUND(p.value, 6) AS purchase_value,
+        |       v.event_id AS view_event_id, ROUND(v.value, 6) AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "w4_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id, v.event_id AS view_id,
+        |  ROUND(v.value, 6) AS view_value
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.user_id = v.user_id
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |ORDER BY click_id, view_id""".stripMargin,
 
     // the clean table, aggregated directly — dedup must exactly undo the
     // injected redelivery

@@ -177,6 +177,46 @@ object Relational {
         ((col("id") * 2654435761L) % 256).cast("long").as("v"))
   }
 
+  // ---------------------------------------------------------------- as-of join
+  /** AS-OF JOIN (left): for every left row, attach the single latest right
+    * row with `right.ts ≤ left.ts` per key — the temporal-alignment join
+    * (price-at-trade-time, last-view-before-purchase) Spark has no native
+    * operator for.
+    *
+    * NOT a range join: a `l.ts >= r.ts` theta-join explodes to the full
+    * per-key cross product before a rank prunes it. This formulation tags
+    * both sides, unions them, and takes one `last(right, ignoreNulls)`
+    * window pass ordered by `(ts, side)` — a SINGLE hash-partition shuffle
+    * on the key plus a per-partition sort, linear in the input, which is
+    * the canonical distributed as-of shape. Right rows sort before left
+    * rows at equal timestamps, so an exactly-simultaneous right row
+    * matches (`≤`, not `<`).
+    *
+    * The right payload rides as one struct column (null on left-tagged
+    * rows), so all its fields come from the SAME matched row. Output =
+    * every left column + `asof` struct (null when no right row precedes).
+    * Callers must pre-dedup the right side to one row per (key, ts) —
+    * with duplicates the surviving row is tie-order-dependent.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      asofCol: String = "asof"): DataFrame = {
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val l = left.select(col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val r = right.select(col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn(asofCol, last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col(asofCol))
+  }
+
   /** Deterministic smooth multi-image gradient `(image_id, y, x, v)` with
     * `v = (4y + 2x) mod 256` — smoothly varying so a threshold band forms a
     * CONNECTED region (the region-growing fixture; noise images fragment).

@@ -81,6 +81,42 @@ object EventStreams {
       .start()
   }
 
+  /** STREAM-STREAM INTERVAL JOIN (click→view attribution): each click
+    * pairs with the same user's views in the preceding `horizon`
+    * (inclusive both ends). Batch/stream shared definition — in batch it
+    * plans as a keyed join plus a time filter; on two watermarked streams
+    * the event-time range condition is exactly what Spark needs to bound
+    * and evict both sides' join state, so state size is O(horizon's worth
+    * of events), not the stream history. */
+  def clickViewAttribution(clicks: DataFrame, views: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    clicks.alias("c").join(views.alias("v"),
+        col("c.user_id") === col("v.user_id") &&
+          col("v.ts") >= col("c.ts") - expr(s"INTERVAL $horizon") &&
+          col("v.ts") <= col("c.ts"))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), round(col("v.value"), 6).as("view_value"))
+
+  /** Run [[clickViewAttribution]] as a real two-stream join (both sides
+    * watermarked file streams, append sink). */
+  def startAttributionStream(spark: SparkSession, dir: String, name: String,
+      horizon: String = "10 minutes"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String) = spark.readStream
+      .schema(StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === eventType)
+      .withWatermark("ts", "30 minutes")
+    clickViewAttribution(side("click"), side("view"), horizon)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState` — the shape the
     * reference's roadmap streaming would need for cross-event logic:
     * per-user running totals with an anomaly flag when a value exceeds

@@ -75,4 +75,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) == 10L)  // out-of-mask unchanged
     assert(rows(0).getLong(1) == 255L && rows(1).getLong(1) == 255L)
   }
+
+  test("asofJoin: latest earlier right row per key; equal ts matches; no-match is null") {
+    val left = Seq(
+      (1L, 100L, 10L), // after right rows at 5 and 10 → matches ts=10 (equal ts counts)
+      (1L, 101L, 7L),  // between 5 and 10 → matches ts=5
+      (1L, 102L, 3L),  // before every right row → null
+      (2L, 103L, 50L)) // key with no right rows at all → null
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, 900L, 5L, 0.5), (1L, 901L, 10L, 0.9))
+      .toDF("user_id", "r_id", "ts", "score")
+    val got = Relational.asofJoin(left, right, "user_id", "ts")
+      .select(col("event_id"),
+        col("asof.r_id").as("r_id"), col("asof.score").as("score"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      (100L, Some(901L), Some(0.9)),
+      (101L, Some(900L), Some(0.5)),
+      (102L, None, None),
+      (103L, None, None)))
+  }
 }

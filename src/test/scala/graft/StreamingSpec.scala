@@ -60,6 +60,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val batch = EventStreams.clickViewAttribution(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"), horizon = "6 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("events_join_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStreams.startAttributionStream(spark, streamDir.toString,
+      "attr_stream_test", horizon = "6 hours")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty, "fixture produced no attribution pairs — widen the horizon")
+    } finally q.stop()
+  }
+
   test("session windows: gap splits sessions, events within gap merge") {
     import spark.implicits._
     val events = Seq(
