@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MaskAlgebra, Relational, SlicePipeline, Stencil}
+import graft.operators.{MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.kernels.{ImageOps, RegionGrowing}
 import graft.sources.Tables
@@ -655,6 +655,30 @@ object SparkEntry {
     "w2_session_windows" -> ((s, dir) => {
       EventStreams.sessionCounts(Tables.events(s, dir), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---------------------------------------------------------------
+    // SKEW TOOLKIT, driver-gated: saltedJoin scatters the big side across
+    // sub-keys (small side replicated per salt) and saltedSum two-phase
+    // aggregates per (key, salt) then per key — event_type has only 5
+    // values, so every key is a hot key here. Salts must never leak into
+    // results: the oracle is the PLAIN group-by over the clean table, so
+    // any row lost/duplicated by salting breaks the count and any
+    // mis-combined partial breaks the sum. Decimal arithmetic keeps the
+    // two-phase sum bit-equal to DuckDB's sequential one.
+    "skew_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val dim = Seq(("click", 1L), ("error", 2L), ("purchase", 3L),
+        ("signup", 4L), ("view", 5L)).toDF("event_type", "type_rank")
+      val joined = Skew.saltedJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")), dim,
+        "event_type", salts = 8)
+      Skew.saltedSum(joined, col("event_type"),
+          col("value").cast("decimal(18,6)"), salts = 16, out = "sum_value")
+        .select(col("event_type"),
+          round(col("sum_value").cast("double"), 6).as("sum_value"), col("n"))
+        .orderBy(col("event_type"))
     }),
 
     // ---------------------------------------------------------------
@@ -1672,6 +1696,12 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "f5_asof_join" ->
       """WITH vkeep AS (
