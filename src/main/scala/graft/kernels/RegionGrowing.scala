@@ -102,7 +102,8 @@ object RegionGrowing {
     */
   def frontierJoin(pixels: DataFrame, seeds: DataFrame, threshold: Double,
       connectivity: Int = 8, maxRounds: Int = 10000, hops: Int = 4,
-      maxBroadcastRows: Long = 1000000L, compactEvery: Int = 64): DataFrame = {
+      maxBroadcastRows: Long = 1000000L, compactEvery: Int = 64,
+      initial: Option[DataFrame] = None): DataFrame = {
     val offsets =
       if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
       else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
@@ -139,7 +140,15 @@ object RegionGrowing {
     // — not the whole visited set. The per-round anti-join stays
     // constant-size instead of growing with the region, and the full mask
     // is the (disjoint) union of layers, assembled once at the end.
-    val seed0 = seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x"))
+    // BFS start: the seed pixel, or — when regrowing at a WIDER band — a
+    // caller-provided already-grown mask (`initial`). Starting from a set S
+    // is equivalent to starting from the seed whenever S is connected to
+    // the seed inside the band and S ⊆ band; the escalation path in
+    // [[adaptiveFrontier]] satisfies both (the band is monotone in θ), and
+    // skips re-walking the region it already grew. The BFS-distance dedup
+    // proof below is distance-from-set, so it is start-set agnostic.
+    val seed0 = initial.getOrElse(
+        seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x")))
       .localCheckpoint(false) // materialized by the frontier count below
     var layers = List(seed0)
     var prev = seed0.limit(0)
@@ -218,11 +227,17 @@ object RegionGrowing {
     val pxCounts = pixels.groupBy(col("image_id"))
       .agg(count(lit(1)).as("n_px")).localCheckpoint(false)
 
-    def growSubset(ids: DataFrame, theta: Double): DataFrame =
+    // `from`: masks already grown at a NARROWER band — escalation resumes
+    // the BFS from them instead of re-walking the whole region from the
+    // seed (sound because the band is monotone in θ; see frontierJoin).
+    // Phase 2's shrink passes never reuse (the band contracts there).
+    def growSubset(ids: DataFrame, theta: Double,
+        from: Option[DataFrame] = None): DataFrame =
       frontierJoin(
         pixels.join(ids, Seq("image_id"), "left_semi"),
         seeds.join(ids, Seq("image_id"), "left_semi"),
-        theta, connectivity)
+        theta, connectivity,
+        initial = from.map(_.join(ids, Seq("image_id"), "left_semi")))
     // (image_id, n_mask, over/under flags) for one grown round
     def sized(grown: DataFrame): DataFrame =
       grown.groupBy(col("image_id")).agg(count(lit(1)).as("n_mask"))
@@ -237,9 +252,10 @@ object RegionGrowing {
     var theta = initialThreshold
     var pending = pxCounts.select(col("image_id")).localCheckpoint(false)
     var settled: DataFrame = null
+    var fromMasks: Option[DataFrame] = None
     var done = false
     while (!done) {
-      val grown = growSubset(pending, theta).localCheckpoint(false)
+      val grown = growSubset(pending, theta, fromMasks).localCheckpoint(false)
       val sz = sized(grown).localCheckpoint(false)
       val undersizedIds = sz.filter(col("under")).select(col("image_id")).localCheckpoint(false)
       // reference checks θ < maxθ BEFORE incrementing, so θ may overshoot
@@ -249,7 +265,7 @@ object RegionGrowing {
         if (escalate) grown.join(undersizedIds, Seq("image_id"), "left_anti")
         else grown
       settled = if (settled == null) settleNow else settled.union(settleNow)
-      if (escalate) { theta += 0.05; pending = undersizedIds }
+      if (escalate) { theta += 0.05; pending = undersizedIds; fromMasks = Some(grown) }
       else done = true
     }
     settled = settled.localCheckpoint(false)

@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.kernels.RegionGrowing
+import graft.operators.Relational
 
 /** G1/G2 semantics incl. the reference's quirks
   * (`/root/reference/region_growing.py:6-147`), plus the exact-vs-distributed
@@ -123,5 +125,23 @@ class RegionGrowingSpec extends AnyFunSuite {
     val exact = RegionGrowing.exact(img, h, w, 2, 2, 0.05, 4, Int.MaxValue, postProcess = false)
     val exactSet = (for { y <- 0 until h; x <- 0 until w if exact(y * w + x) == 1 } yield (y, x)).toSet
     assert(dist == exactSet)
+  }
+
+  test("frontierJoin resumed from a narrower-band mask equals growing from the seed") {
+    // the adaptiveFrontier escalation contract: band(θ) ⊆ band(θ'), so
+    // BFS from the θ-mask inside band(θ') reaches exactly the θ'-region
+    val pixels = Relational.gradientImage(spark, 1, 16, 16)
+      .select(col("image_id"), col("y").cast("int").as("y"),
+        col("x").cast("int").as("x"), col("v").cast("int").as("v"))
+    val seeds = Seq((0L, 3, 3)).toDF("image_id", "seed_y", "seed_x")
+    val narrow = RegionGrowing.frontierJoin(pixels, seeds, threshold = 0.04, connectivity = 4)
+    val fromSeed = RegionGrowing.frontierJoin(pixels, seeds, threshold = 0.12, connectivity = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    val resumed = RegionGrowing.frontierJoin(pixels, seeds, threshold = 0.12,
+        connectivity = 4, initial = Some(narrow.select(col("image_id"), col("y"), col("x"))))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(narrow.count() > 1, "narrow-band mask should exceed the bare seed")
+    assert(resumed == fromSeed)
+    assert(fromSeed.size > narrow.count(), "wider band must strictly grow in this fixture")
   }
 }
