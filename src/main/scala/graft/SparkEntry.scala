@@ -658,6 +658,23 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: DETERMINISTIC corpus split — train/validation/test
+    // assignment from a content-independent id hash (TextAnalysis.
+    // splitAssign), so the same document lands in the same split on any
+    // engine, partitioning, or run. The oracle recomputes the rolling-hash
+    // bucket in DuckDB — reproducible sampling is the gate itself.
+    "corpus_split" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      docs.select(col("source"), col("text"),
+          TextAnalysis.splitAssign(col("doc_id")).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // ---------------------------------------------------------------
     // SKEW TOOLKIT, driver-gated: saltedJoin scatters the big side across
     // sub-keys (small side replicated per salt) and saltedSum two-phase
     // aggregates per (key, salt) then per key — event_type has only 5
@@ -1696,6 +1713,23 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "corpus_split" ->
+      """WITH b AS (
+        |  SELECT source, text,
+        |    (list_reduce(
+        |       list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859) % 100) AS bucket
+        |  FROM documents),
+        |s AS (SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split,
+        |  LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens FROM b)
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -155,6 +155,23 @@ object TextAnalysis {
       .withColumn(out, langPredFromScores(col("__lang_scores")))
       .drop("__lang_toks", "__lang_scores")
 
+  /** Deterministic train/validation/test assignment — ENGINE-REPRODUCIBLE
+    * sampling for data mixes: the bucket is the rolling-hash fold of the
+    * id rendered as a string (content-independent, so exact duplicates can
+    * land in different splits and leak detection stays meaningful), mod
+    * 100. Unlike `rand()`/`sampleBy`, the same row maps to the same split
+    * on any engine, any partitioning, any run — the property a
+    * reproducible holdout needs. Requires `graft_rolling_hash` registered
+    * (callers via [[graft.plans.GraftFunctions.register]]).
+    */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val bucket = pmod(rollingHashFromNormalized(id.cast("string")), lit(100L))
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("validation"))
+      .otherwise(lit("test"))
+  }
+
   /** Per-document text-analysis projection over a documents table. Staged
     * through intermediate columns so each tokenization runs once per row
     * (the naive single-projection form re-extracts tokens per metric). */

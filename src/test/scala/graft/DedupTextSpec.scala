@@ -172,6 +172,21 @@ class DedupTextSpec extends AnyFunSuite {
       "every chain node must label to 0")
   }
 
+  test("splitAssign: partitioning-independent, roughly 80/10/10") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = spark.range(1000).toDF("doc_id")
+    val s1 = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.splitAssign(col("doc_id")).as("split"))
+    val s2 = docs.repartition(7).select(col("doc_id"),
+      graft.functions.TextAnalysis.splitAssign(col("doc_id")).as("split"))
+    assert(s1.collect().toSet == s2.collect().toSet,
+      "split assignment must not depend on partitioning")
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 700 && counts("train") < 900, s"skewed split: $counts")
+    assert(counts.values.sum == 1000L)
+  }
+
   test("graft_minhash_sig (map-side codegen) equals the exploded min-aggregation signatures") {
     graft.plans.GraftFunctions.register(spark)
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
