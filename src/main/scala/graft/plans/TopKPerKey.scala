@@ -40,7 +40,8 @@ case class GraftTopKPerKey(
     ordering: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    flushRows: Int = 4 << 20) extends UnaryNode {
   require(k > 0, "k must be positive")
   require(keys.nonEmpty, "need at least one key column")
   require(ordering.nonEmpty, "need an ordering")
@@ -58,9 +59,9 @@ case class GraftTopKPerKey(
   */
 object GraftTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GraftTopKPerKey(keys, ordering, k, rankAttr, child) =>
+    case GraftTopKPerKey(keys, ordering, k, rankAttr, child, flushRows) =>
       GraftTopKPerKeyFinalExec(keys, ordering, k, rankAttr,
-        GraftTopKPerKeyPartialExec(keys, ordering, k, planLater(child))) :: Nil
+        GraftTopKPerKeyPartialExec(keys, ordering, k, planLater(child), flushRows)) :: Nil
     case _ => Nil
   }
 }
@@ -75,6 +76,11 @@ private[plans] final class TopKBuffers(
     cmp: Ordering[InternalRow],
     k: Int) {
   private val map = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+  private var rows = 0
+
+  /** Rows currently buffered (≤ 2k per key) — the partial operator's
+    * memory-bound flush trigger. */
+  def bufferedRows: Int = rows
 
   def insert(row: InternalRow): Unit = {
     val key = keyProj(row)
@@ -84,8 +90,10 @@ private[plans] final class TopKBuffers(
       map.put(key.copy(), buf)
     }
     buf += row.copy()
+    rows += 1
     if (buf.length >= 2 * k) {
       val pruned = buf.sortInPlace()(cmp).take(k)
+      rows -= buf.length - pruned.length
       buf.clear()
       buf ++= pruned
     }
@@ -106,12 +114,26 @@ private[plans] final class TopKBuffers(
 
 /** Map-side phase: forwards at most k rows per key per input partition,
   * in Tungsten format, with no required distribution — it runs where the
-  * data already is. This is what bounds the exchange. */
+  * data already is. This is what bounds the exchange.
+  *
+  * MEMORY BOUND: the per-key buffers live in an in-process map whose size
+  * is (distinct keys in this partition) × ≤2k rows. When the buffered row
+  * count passes `flushRows`, the operator FLUSHES — emits the current
+  * survivors downstream and starts a fresh map. Sound because the final
+  * phase re-merges: any row in the partition's true per-key top-k is in
+  * the top-k of every batch that contains it, so the union of batch
+  * survivors is a superset of the partition's survivors and the final
+  * merge recovers the exact result. A flush trades extra exchange rows
+  * (≤k more per key per flush) for bounded memory — the same
+  * degrade-gracefully contract hash aggregation gets from spilling, with
+  * no disk involved.
+  */
 case class GraftTopKPerKeyPartialExec(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    flushRows: Int = 4 << 20) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
@@ -122,13 +144,25 @@ case class GraftTopKPerKeyPartialExec(
     val keyExprs = keys
     val order = ordering
     val limit = k
+    val flushAt = flushRows
     child.execute().mapPartitions({ iter =>
-      val buffers = new TopKBuffers(
-        UnsafeProjection.create(keyExprs, childOutput),
-        RowOrdering.create(order, childOutput), limit)
-      iter.foreach(buffers.insert)
-      // forward survivors unranked; the final phase re-merges anyway
-      buffers.drain().flatMap(_._2)
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def refill(): Unit = {
+          val buffers = new TopKBuffers(
+            UnsafeProjection.create(keyExprs, childOutput),
+            RowOrdering.create(order, childOutput), limit)
+          while (iter.hasNext && buffers.bufferedRows < flushAt)
+            buffers.insert(iter.next())
+          // forward survivors unranked; the final phase re-merges anyway
+          out = buffers.drain().flatMap(_._2)
+        }
+        override def hasNext: Boolean = {
+          while (!out.hasNext && iter.hasNext) refill()
+          out.hasNext
+        }
+        override def next(): InternalRow = { hasNext; out.next() }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -138,7 +172,10 @@ case class GraftTopKPerKeyPartialExec(
 
 /** Reduce-side phase: requires clustering by key (EnsureRequirements
   * inserts the one hash exchange), merges the per-partition survivors,
-  * and emits each key's final top-k with a 1-based `rank` appended. */
+  * and emits each key's final top-k with a 1-based `rank` appended.
+  * Memory here is inherently bounded by its own OUTPUT: the exchange
+  * delivers ≤ k·(upstream partitions + flushes) rows per key, and the
+  * buffers prune to ≤2k per key as they merge. */
 case class GraftTopKPerKeyFinalExec(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
@@ -187,7 +224,8 @@ object TopKPerKey {
     * to have injected [[GraftTopKStrategy]] into the session.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
-      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderBy: Seq[(String, Boolean)], k: Int,
+      flushRows: Int = 4 << 20): DataFrame = {
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(
@@ -199,6 +237,6 @@ object TopKPerKey {
     }
     val rankAttr = AttributeReference("rank", LongType, nullable = false)()
     GraftPlanBridge.ofRows(df.sparkSession,
-      GraftTopKPerKey(keyCols.map(attr), ordering, k, rankAttr, analyzed))
+      GraftTopKPerKey(keyCols.map(attr), ordering, k, rankAttr, analyzed, flushRows))
   }
 }

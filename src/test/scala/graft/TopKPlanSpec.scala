@@ -69,6 +69,19 @@ class TopKPlanSpec extends AnyFunSuite {
       "plan-node path must not fall back to window/aggregator ranking")
   }
 
+  test("memory-bound flush path: tiny flushRows still yields the exact result") {
+    // flushRows=8 forces many emit-and-clear cycles inside every partition;
+    // the final merge must recover exactly the unflushed answer
+    val unflushed = TopKPerKey.topKPerKey(
+        scoredFixture, Seq("q_id"), Seq(("cos", false), ("c_id", true)), 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val flushed = TopKPerKey.topKPerKey(
+        scoredFixture, Seq("q_id"), Seq(("cos", false), ("c_id", true)), 5,
+        flushRows = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(flushed == unflushed)
+  }
+
   test("map-side bound: each input partition forwards at most k rows per key") {
     // count rows crossing the exchange by running the partial phase's
     // contract directly: 4 partitions × 3 keys × k=3 caps the exchange
