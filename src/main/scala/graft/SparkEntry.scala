@@ -515,6 +515,26 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: N-GRAM JACCARD, standalone gate — exact 3-shingle
+    // Jaccard for every pair of a deterministic 10% doc sample (1225
+    // pairs at sf0.01), including zero-overlap pairs (exercises the
+    // left-join inter=0 path). The oracle re-derives shingling,
+    // intersection, and union sizes from scratch in DuckDB list algebra.
+    // In the dedup pipeline this same verifyJaccard runs only on LSH
+    // candidates; here it is gated directly over a dense pair set.
+    "jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val sh = Dedup.docShingles(docs, col("doc_id"), col("text"), 3)
+      val ids = docs.select(col("doc_id"))
+      val cand = ids.select(col("doc_id").as("id1"))
+        .join(ids.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+      Dedup.verifyJaccard(cand, sh)
+        .select(col("id1"), col("id2"), col("sz1"), col("sz2"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: near-dup CLUSTERS — connected components over the live
     // minhash pair graph (min-label propagation), canonical doc = smallest
     // id in the component. The oracle recomputes reachability INDEPENDENTLY
@@ -1713,6 +1733,34 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |           (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |                 ELSE CAST([] AS VARCHAR[]) END)
+        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT s1.doc_id AS id1, s2.doc_id AS id2, s1.sz AS sz1, s2.sz AS sz2
+        |  FROM sz s1 JOIN sz s2 ON s1.doc_id < s2.doc_id)
+        |SELECT p.id1, p.id2, p.sz1, p.sz2, COALESCE(i.inter, 0) AS inter,
+        |  ROUND(COALESCE(i.inter, 0)
+        |        / CAST(p.sz1 + p.sz2 - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard
+        |FROM pairs p LEFT JOIN inter i USING (id1, id2)
+        |ORDER BY id1, id2""".stripMargin,
 
     "corpus_split" ->
       """WITH b AS (
