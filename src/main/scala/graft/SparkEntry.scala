@@ -81,6 +81,19 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // E — hierarchical totals via ROLLUP: (flag, status), per-flag, and
+    // grand total in ONE pass (Expand + partial aggregation — map-side
+    // combine still applies to every grouping set; no second scan).
+    "j2_rollup_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,4)"), 2).cast("double").as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---------------------------------------------------------------
     // H1 — top-k by aggregate (README flagship shape).
     "h1_topk_avg" -> ((s, dir) => {
       Relational.topKByAvg(Tables.events(s, dir), col("user_id"), col("value"), 50, "avg_value")
@@ -1310,6 +1323,12 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j2_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(ROUND(CAST(SUM(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "h1_topk_avg" ->
       """SELECT user_id, ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
