@@ -81,6 +81,21 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // K — the SQL surface of the Catalyst extensions: a pure `spark.sql`
+    // text query calling the registered graft functions (graft_window is
+    // also LOWERED by the optimizer rule since its bounds are literals;
+    // graft_rolling_hash runs the codegen byte-walk). The oracle
+    // re-derives both from first principles in DuckDB.
+    "sql_graft_functions" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Relational.syntheticImage(s, 64, 64).createOrReplaceTempView("graft_px_sql")
+      s.sql("""SELECT y, x,
+        graft_window(CAST(v AS DOUBLE), CAST(100.0 AS DOUBLE), CAST(80.0 AS DOUBLE)) AS v_windowed,
+        graft_rolling_hash(CAST(v AS STRING)) AS v_fp
+        FROM graft_px_sql ORDER BY y, x""")
+    }),
+
+    // ---------------------------------------------------------------
     // E — hierarchical totals via ROLLUP: (flag, status), per-flag, and
     // grand total in ONE pass (Expand + partial aggregation — map-side
     // combine still applies to every grouping set; no second scan).
@@ -1323,6 +1338,21 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_graft_functions" ->
+      """WITH p AS (
+        |  SELECT CAST(range AS BIGINT) // 64 AS y, CAST(range AS BIGINT) % 64 AS x,
+        |         CAST((range * 2654435761) % 256 AS BIGINT) AS v
+        |  FROM range(4096))
+        |SELECT y, x,
+        |  CAST(FLOOR((LEAST(GREATEST(CAST(v AS DOUBLE), 60.0), 140.0) - 60.0)
+        |             / 80.0 * 255.0) AS BIGINT) AS v_windowed,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(CAST(v AS VARCHAR), '.'),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 144115188075855859) AS v_fp
+        |FROM p ORDER BY y, x""".stripMargin,
 
     "j2_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

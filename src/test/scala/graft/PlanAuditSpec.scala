@@ -71,6 +71,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"), "quantiles must not collect raw values")
   }
 
+  test("hot scan paths stay inside WholeStageCodegen") {
+    // the brief's codegen rule: map-side pipelines must not fall out of
+    // codegen (a CodegenFallback expression in the hot path interprets
+    // per row at 100 TB). AQE only applies codegen per executed stage, so
+    // materialize first and read the final plan (codegen'd operators
+    // carry the `*(n)` prefix).
+    for (name <- Seq("text_analysis", "d1_windowing", "d1_windowing_expr",
+        "c1_metadata_projection", "lang_id", "corpus_split", "sql_graft_functions")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize THIS df's adaptive plan (write() would clone it)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"$name fell out of codegen:\n${plan.take(600)}")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // cartesian = quadratic blow-up at scale; the only nested-loop joins
     // allowed are broadcast ones (tiny side)
