@@ -563,6 +563,19 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: BOILERPLATE DETECTION — the 20 highest-document-frequency
+    // 3-shingles (docShingles de-dups within a doc, so the count IS doc
+    // frequency). Shape at scale: explode → map-side partial count →
+    // TakeOrderedAndProject; ties break on the shingle text so the cut at
+    // k is deterministic across engines.
+    "boilerplate_ngrams" -> ((s, dir) => {
+      Dedup.docShingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: near-dup CLUSTERS — connected components over the live
     // minhash pair graph (min-label propagation), canonical doc = smallest
     // id in the component. The oracle recomputes reachability INDEPENDENTLY
@@ -1782,6 +1795,24 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "boilerplate_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |           (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |                 ELSE CAST([] AS VARCHAR[]) END)
+        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+        |SELECT shingle, COUNT(*) AS df FROM e
+        |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
 
     "jaccard_pairs" ->
       """WITH d AS (
