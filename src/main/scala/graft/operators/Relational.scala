@@ -197,6 +197,13 @@ object Relational {
     * every left column + `asof` struct (null when no right row precedes).
     * Callers must pre-dedup the right side to one row per (key, ts) —
     * with duplicates the surviving row is tie-order-dependent.
+    *
+    * Skew note: one window partition holds ONE key's full history, so a
+    * single pathological key (10⁹ rows) serializes into one task's
+    * external sort — the accepted trade of every windowed as-of; if that
+    * key exists, pre-split its history by coarse time range and stitch
+    * the per-range results (each range seeded with the previous range's
+    * last right row).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       asofCol: String = "asof"): DataFrame = {
