@@ -103,7 +103,8 @@ object RegionGrowing {
   def frontierJoin(pixels: DataFrame, seeds: DataFrame, threshold: Double,
       connectivity: Int = 8, maxRounds: Int = 10000, hops: Int = 4,
       maxBroadcastRows: Long = 1000000L, compactEvery: Int = 64,
-      initial: Option[DataFrame] = None): DataFrame = {
+      initial: Option[DataFrame] = None,
+      admissiblePool: Option[DataFrame] = None): DataFrame = {
     val offsets =
       if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
       else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
@@ -116,11 +117,6 @@ object RegionGrowing {
     def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
       if (rows <= maxBroadcastRows) broadcast(df) else df
 
-    // seed values → admissible pixel set for each image (one broadcast join)
-    val seedVals = seeds.join(pixels,
-        seeds("image_id") === pixels("image_id") &&
-        seeds("seed_y") === pixels("y") && seeds("seed_x") === pixels("x"))
-      .select(pixels("image_id"), pixels("v").as("seed_v"))
     // The admissible set is the threshold band around each seed value —
     // typically a small fraction of the image. Each round pays ONE shuffle
     // (the candidate distinct) when the band broadcasts.
@@ -129,9 +125,23 @@ object RegionGrowing {
     // eager-checkpoint job plus a count job. Iterative operators run
     // hundreds of rounds; halving the per-round action count halves the
     // scheduler overhead that dominates them between data-bound stages.
-    val admissibleBase = pixels.join(seedVals.hint("broadcast"), "image_id")
-      .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
-      .select(col("image_id"), col("y"), col("x"))
+    // When the caller supplies `admissiblePool` — a precomputed
+    // (image_id, y, x, delta) band superset (see [[adaptiveFrontier]]) —
+    // the band is a filter over the pool instead of a fresh scan+join of
+    // the pixel table: the whole θ schedule then reads pixels ONCE.
+    val admissibleBase = admissiblePool
+      .map(_.filter(col("delta") <= threshold)
+        .select(col("image_id"), col("y"), col("x")))
+      .getOrElse {
+        // seed values → admissible pixel set per image (one broadcast join)
+        val seedVals = seeds.join(pixels,
+            seeds("image_id") === pixels("image_id") &&
+            seeds("seed_y") === pixels("y") && seeds("seed_x") === pixels("x"))
+          .select(pixels("image_id"), pixels("v").as("seed_v"))
+        pixels.join(seedVals.hint("broadcast"), "image_id")
+          .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
+          .select(col("image_id"), col("y"), col("x"))
+      }
       .localCheckpoint(false)
     val admissible = maybeBroadcast(admissibleBase, admissibleBase.count())
 
@@ -227,6 +237,23 @@ object RegionGrowing {
     val pxCounts = pixels.groupBy(col("image_id"))
       .agg(count(lit(1)).as("n_px")).localCheckpoint(false)
 
+    // ONE pixel scan for the WHOLE θ schedule: precompute each pixel's
+    // seed distance and keep the superset band at the largest θ any pass
+    // can use (the escalation may overshoot maxθ by one 0.05 step — the
+    // reference's own quirk). Every grow pass filters this pool instead
+    // of re-scanning and re-joining the pixel table; at 10⁹ pixels that
+    // turns ~8 full scans into one.
+    val maxTheta = math.max(initialThreshold, maxThreshold + 0.05) + 1e-9
+    val seedVals = seeds.join(pixels,
+        seeds("image_id") === pixels("image_id") &&
+        seeds("seed_y") === pixels("y") && seeds("seed_x") === pixels("x"))
+      .select(pixels("image_id"), pixels("v").as("seed_v"))
+    val pool = pixels.join(seedVals.hint("broadcast"), "image_id")
+      .withColumn("delta", abs(col("v") / 255.0 - col("seed_v") / 255.0))
+      .filter(col("delta") <= maxTheta)
+      .select(col("image_id"), col("y"), col("x"), col("delta"))
+      .localCheckpoint(false)
+
     // `from`: masks already grown at a NARROWER band — escalation resumes
     // the BFS from them instead of re-walking the whole region from the
     // seed (sound because the band is monotone in θ; see frontierJoin).
@@ -237,7 +264,8 @@ object RegionGrowing {
         pixels.join(ids, Seq("image_id"), "left_semi"),
         seeds.join(ids, Seq("image_id"), "left_semi"),
         theta, connectivity,
-        initial = from.map(_.join(ids, Seq("image_id"), "left_semi")))
+        initial = from.map(_.join(ids, Seq("image_id"), "left_semi")),
+        admissiblePool = Some(pool.join(ids, Seq("image_id"), "left_semi")))
     // (image_id, n_mask, over/under flags) for one grown round
     def sized(grown: DataFrame): DataFrame =
       grown.groupBy(col("image_id")).agg(count(lit(1)).as("n_mask"))
