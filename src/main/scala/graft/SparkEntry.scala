@@ -96,6 +96,23 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // H — latest-3 events PER USER through the custom plan node with a
+    // TIMESTAMP ordering and multiple payload columns: the generic
+    // "last-n per key" query every session store runs, and proof the
+    // operator is not tied to ANN scoring. Map-side k-bound again means
+    // at most 3 rows per (user, partition) reach the exchange — a window
+    // would shuffle every event.
+    "h5_latest_per_user" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val ev = Tables.events(s, dir).filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      graft.plans.TopKPerKey.topKPerKey(ev,
+          keyCols = Seq("user_id"), orderBy = Seq(("ts", false), ("event_id", false)), k = 3)
+        .select(col("user_id"), col("rank"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // E — hierarchical totals via ROLLUP: (flag, status), per-flag, and
     // grand total in ONE pass (Expand + partial aggregation — map-side
     // combine still applies to every grouping set; no second scan).
@@ -1351,6 +1368,16 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h5_latest_per_user" ->
+      """SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS BIGINT) AS rank,
+        |  event_id, event_type
+        |FROM events WHERE user_id % 10 = 0
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) <= 3
+        |ORDER BY user_id, rank""".stripMargin,
 
     "sql_graft_functions" ->
       """WITH p AS (
