@@ -580,6 +580,19 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: CHARACTER-SHINGLE profile — the shingling for scripts
+    // whitespace cannot segment, beside the word form for comparison.
+    // Distinct 5-char and word-3-gram counts per sampled doc; the oracle
+    // re-derives both from scratch with DuckDB string/list algebra.
+    "char_shingles" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          size(Dedup.charShingles(col("text"), 5)).cast("long").as("n_char_shingles"),
+          size(Dedup.shingles(col("text"), 3)).cast("long").as("n_word_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: BOILERPLATE DETECTION — the 20 highest-document-frequency
     // 3-shingles (docShingles de-dups within a doc, so the count IS doc
     // frequency). Shape at scale: explode → map-side partial count →
@@ -1822,6 +1835,22 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "char_shingles" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, norm, regexp_extract_all(norm, '\S+') AS toks FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN LENGTH(norm) < 5 THEN (CASE WHEN LENGTH(norm) > 0 THEN 1 ELSE 0 END)
+        |       ELSE len(list_distinct(list_transform(range(LENGTH(norm) - 4),
+        |              i -> norm[i+1:i+5]))) END AS BIGINT) AS n_char_shingles,
+        |  CAST(CASE WHEN len(toks) < 3 THEN (CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)
+        |       ELSE len(list_distinct(list_transform(range(len(toks) - 2),
+        |              i -> array_to_string(toks[i+1:i+3], ' ')))) END AS BIGINT) AS n_word_shingles
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "boilerplate_ngrams" ->
       """WITH d AS (

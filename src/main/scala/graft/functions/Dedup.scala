@@ -50,6 +50,23 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesFromTokens(split(TextAnalysis.normalizeText(text), " "), k)
 
+  /** CHARACTER k-shingles (distinct) over the normalized text — the
+    * shingling for scripts whitespace tokenization cannot segment (CJK,
+    * Thai) and for short-text dedup where word 3-grams are too coarse.
+    * Same fallback shape as the word form: a text shorter than k shingles
+    * to itself; empty text to no shingles. Pure column algebra
+    * (sequence + substr inside codegen), so it slots into the same
+    * minhash/Jaccard pipelines as [[shinglesFromTokens]].
+    */
+  def charShingles(text: Column, k: Int = 5): Column = {
+    val norm = TextAnalysis.normalizeText(text)
+    val n = length(norm)
+    when(n < k, when(n > 0, array(norm)).otherwise(array()))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), n - k + 1),
+        i => substr(norm, i, lit(k)))))
+  }
+
   /** Explode docs into `(doc_id, shingle)` rows; tokenization happens once
     * per document behind a projection boundary. */
   def docShingles(docs: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame =

@@ -172,6 +172,24 @@ class DedupTextSpec extends AnyFunSuite {
       "every chain node must label to 0")
   }
 
+  test("charShingles: unsegmented text shingles; near-dup overlap ranks above unrelated") {
+    // no whitespace at all — word shingling yields ONE shingle, char
+    // shingling still produces len-k+1 windows
+    val solid = Seq((9L, "abcdefgh")).toDF("doc_id", "text")
+      .select(Dedup.charShingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)
+    assert(solid == Seq("abcde", "bcdef", "cdefg", "defgh"))
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), explode(Dedup.charShingles(col("text"), 5)).as("shingle"))
+    val j = Dedup.verifyJaccard(Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2"), sh)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(j((1L, 2L)) > 0.5, s"near-dup pair too low: $j")
+    assert(j((1L, 3L)) < 0.1, s"unrelated pair too high: $j")
+  }
+
   test("splitAssign: partitioning-independent, roughly 80/10/10") {
     graft.plans.GraftFunctions.register(spark)
     val docs = spark.range(1000).toDF("doc_id")
