@@ -585,10 +585,15 @@ object SparkEntry {
     // Distinct 5-char and word-3-gram counts per sampled doc; the oracle
     // re-derives both from scratch with DuckDB string/list algebra.
     "char_shingles" -> ((s, dir) => {
+      // stage __norm/__toks as real columns: the shingle lambdas reference
+      // them per window, and an inlined normalize expression re-runs its
+      // regexes per position (measured 10x+)
       Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .withColumn("__norm", TextAnalysis.normalizeText(col("text")))
+        .withColumn("__toks", split(col("__norm"), " "))
         .select(col("doc_id"),
-          size(Dedup.charShingles(col("text"), 5)).cast("long").as("n_char_shingles"),
-          size(Dedup.shingles(col("text"), 3)).cast("long").as("n_word_shingles"))
+          size(Dedup.charShinglesFromNormalized(col("__norm"), 5)).cast("long").as("n_char_shingles"),
+          size(Dedup.shinglesFromTokens(col("__toks"), 3)).cast("long").as("n_word_shingles"))
         .orderBy(col("doc_id"))
     }),
 

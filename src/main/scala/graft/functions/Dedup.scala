@@ -58,8 +58,17 @@ object Dedup {
     * (sequence + substr inside codegen), so it slots into the same
     * minhash/Jaccard pipelines as [[shinglesFromTokens]].
     */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val norm = TextAnalysis.normalizeText(text)
+  def charShingles(text: Column, k: Int = 5): Column =
+    charShinglesFromNormalized(TextAnalysis.normalizeText(text), k)
+
+  /** Hot-path form over an ALREADY-STAGED normalized column. The window
+    * lambda references `norm` once per position — if `norm` is the raw
+    * normalize expression instead of a real column, Catalyst inlines the
+    * double regex into every window and the shingling goes quadratic in
+    * document length (measured 10x+ on the profile query). Stage with
+    * `withColumn` first; the convenience [[charShingles]] is for one-off
+    * short strings only. */
+  def charShinglesFromNormalized(norm: Column, k: Int = 5): Column = {
     val n = length(norm)
     when(n < k, when(n > 0, array(norm)).otherwise(array()))
       .otherwise(array_distinct(transform(
