@@ -172,6 +172,19 @@ class DedupTextSpec extends AnyFunSuite {
       "every chain node must label to 0")
   }
 
+  test("dedup pipelines tolerate pathological inputs (null, empty, 1-token, unicode)") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "word"),
+      (4L, "héllo wörld ünïcode"), (5L, "héllo wörld ünïcode"))
+      .toDF("doc_id", "text")
+    // null text drops at the scan; only the unicode duplicates pair up
+    val pairs = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+        numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((4L, 5L)))
+    // exact dedup: null, empty, "word", unicode-normalized → 4 fingerprints
+    assert(Dedup.exact(docs, col("doc_id"), col("text")).count() == 4L)
+  }
+
   test("charShingles: unsegmented text shingles; near-dup overlap ranks above unrelated") {
     // no whitespace at all — word shingling yields ONE shingle, char
     // shingling still produces len-k+1 windows
