@@ -1232,6 +1232,84 @@ object SparkEntry {
           m.pixels.length.toLong, m.pixels.map(_.toLong).sum))
         .toDF("file_name", "format", "h", "w", "n_px", "sum_v")
         .orderBy(col("file_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // SESSIONIZATION (batch): gap-based sessions per user — lag → boundary
+    // flag → prefix sum, ONE key shuffle for the whole history (operator
+    // scaladoc: Relational.sessionize). 6-hour gap matches this fixture's
+    // event density (median per-user gap ≈7 h). Session aggregates use
+    // decimal sums so the two-phase distributed total is bit-equal to the
+    // oracle's sequential one. Streaming twin: w2_session_windows.
+    "s2_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      Relational.sessionize(ev, col("user_id"), col("ts"), gapSeconds = 21600L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // ---------------------------------------------------------------
+    // PIVOT (wide report): revenue by order priority × year, with the
+    // pivot domain passed EXPLICITLY — with values supplied Spark plans a
+    // single-pass pivot aggregate; omitting them adds a whole extra
+    // distinct-scan job just to discover the columns, which at 100 TB is
+    // the difference between one shuffle and two full reads.
+    "j3_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("o_year", concat(lit("y"), year(col("o_orderdate"))))
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_year", (1995 to 2001).map("y" + _))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---------------------------------------------------------------
+    // POINT-IN-INTERVAL JOIN through the bucketed equi-join path
+    // (Relational.pointInIntervalJoin): orders falling inside monthly
+    // 10-day promo windows. The oracle is DuckDB's native range join over
+    // the SAME windows — an independent implementation of the non-equi
+    // semantics the bucketing must reproduce exactly (boundary days
+    // included, no duplicate pairs from multi-bucket intervals).
+    "f6_range_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val windows = o.select(date_trunc("month", col("o_orderdate")).as("w_start"))
+        .distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 9 DAYS"))
+      Relational.pointInIntervalJoin(
+          o.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+          "o_orderdate", windows, "w_start", "w_end",
+          bucketWidthUs = 5L * 86400L * 1000000L)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6)
+            .as("revenue"))
+        .orderBy(col("w_start"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TF-IDF top-3 terms per document (TextAnalysis.tfidfTopTerms):
+    // explode → tf → df rollup → keyed join, ranked through the custom
+    // TopKPerKey plan node. Selection ranks on integers only (tf DESC,
+    // df ASC, term ASC); the floating tfidf is a reported value — so the
+    // chosen rows are engine-reproducible and the gate is exact.
+    "tfidf_topterms" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Unigram surprisal (perplexity-ish quality signal,
+    // TextAnalysis.unigramSurprisal): corpus unigram model → per-doc mean
+    // negative log-prob. Model frame joins on term (AQE broadcasts small
+    // vocabularies); the oracle recomputes the same model sequentially.
+    "unigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2235,7 +2313,78 @@ object SparkEntry {
         |  ROUND(SQRT(CAST(SUM(i.v * t.wx) * SUM(i.v * t.wx) + SUM(i.v * t.wy) * SUM(i.v * t.wy) AS DOUBLE)), 6) AS magnitude
         |FROM img i CROSS JOIN taps t
         |WHERE i.y - t.dy BETWEEN 1 AND 62 AND i.x - t.dx BETWEEN 1 AND 62
-        |GROUP BY 1, 2, 3 ORDER BY y, x""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY y, x""".stripMargin,
+
+    "s2_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |f AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events, MIN(ts) AS session_start,
+        |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "j3_pivot" -> {
+      val cells = (1995 to 2001).map(y =>
+        s"ROUND(CAST(SUM(CASE WHEN year(o_orderdate) = $y THEN " +
+          s"CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS y$y")
+        .mkString(",\n  ")
+      s"SELECT o_orderpriority,\n  $cells\nFROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    },
+
+    "f6_range_join" ->
+      """WITH w AS (
+        |  SELECT DISTINCT date_trunc('month', o_orderdate) AS w_start,
+        |    date_trunc('month', o_orderdate) + INTERVAL 9 DAY AS w_end
+        |  FROM orders)
+        |SELECT w.w_start, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM orders o JOIN w ON o.o_orderdate BETWEEN w.w_start AND w.w_end
+        |GROUP BY w.w_start ORDER BY w.w_start""".stripMargin,
+
+    "tfidf_topterms" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS term FROM d),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df_docs ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df_docs,
+        |  ROUND(tf * LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / df_docs), 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "unigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS term FROM d),
+        |m AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM m)
+        |SELECT t.doc_id, COUNT(*) AS n_terms,
+        |  ROUND(SUM(LN((SELECT total FROM tot) / cnt)) / COUNT(*), 6) AS avg_nll
+        |FROM t JOIN m USING (term)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
     )
   }
 }

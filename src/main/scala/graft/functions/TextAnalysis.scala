@@ -172,6 +172,65 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Normalized whitespace terms of a document, as an array column. */
+  def terms(text: Column): Column =
+    regexp_extract_all(normalizeText(text), lit("\\S+"), lit(0))
+
+  /** TF-IDF TOP-K TERMS per document — the classic corpus-characterization
+    * query (keyword extraction, topic labeling at ingest time).
+    *
+    * Shape at scale: explode → `(doc, term)` tf aggregate (ONE shuffle on
+    * `(doc_id, term)`, map-side combined); document frequency is a second
+    * partial-aggregated rollup of the tf frame (never re-reads the corpus);
+    * the tf⋈df join is keyed on `term` so AQE broadcasts the vocabulary
+    * when it is small and shuffles when it is web-scale. The per-doc top-k
+    * plans through the custom [[graft.plans.TopKPerKey]] operator — at
+    * most k rows per (doc, partition) reach the exchange, where a window
+    * rank would shuffle every `(doc, term)` row.
+    *
+    * Ranking is on `(tf DESC, df ASC, term ASC)` — all integer/string, so
+    * the selected rows are exactly reproducible on any engine; the
+    * floating `tfidf = tf · ln(N/df)` is a reported VALUE, never a sort
+    * key. Requires [[graft.plans.GraftFunctions.register]] (planner
+    * strategy injection).
+    */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(terms(text)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "term").crossJoin(broadcast(n))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        keyCols = Seq("doc_id"),
+        orderBy = Seq(("tf", false), ("df_docs", true), ("term", true)), k = k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df_docs"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")), 6)
+          .as("tfidf"))
+  }
+
+  /** UNIGRAM SURPRISAL quality signal: per-document mean negative log
+    * probability of its terms under the corpus unigram distribution — the
+    * cheap "perplexity-ish" filter pretraining pipelines run before a real
+    * LM scores anything (gibberish and boilerplate sit at the two extremes).
+    *
+    * Two passes over the exploded terms (global term counts, then a keyed
+    * re-join), both partial-aggregated; the `(term, cnt)` model frame joins
+    * on `term` — AQE broadcasts it for natural-language vocabularies. The
+    * per-doc mean divides AFTER the sum so each document is one row in the
+    * final aggregate.
+    */
+  def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(terms(text)).as("term"))
+    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total"))
+    toks.join(model, "term").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(log(col("total").cast("double") / col("cnt"))).as("__nll_sum"))
+      .select(col("doc_id"), col("n_terms"),
+        round(col("__nll_sum") / col("n_terms"), 6).as("avg_nll"))
+  }
+
   /** Per-document text-analysis projection over a documents table. Staged
     * through intermediate columns so each tokenization runs once per row
     * (the naive single-projection form re-extracts tokens per metric). */

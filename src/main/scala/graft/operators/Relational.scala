@@ -224,6 +224,70 @@ object Relational {
       .select(col("__l.*"), col(asofCol))
   }
 
+  // ---------------------------------------------------------------- sessionize
+  /** GAP-BASED SESSIONIZATION (batch): append a per-key 1-based
+    * `session_idx` — a new session starts where the gap from the previous
+    * row (same key, `ts` order) exceeds `gapSeconds`. Classic log-pipeline
+    * prefix-sum formulation: lag → boundary flag → running sum, so a key's
+    * whole history streams through ONE hash shuffle + per-partition sort
+    * and no per-session state is ever materialized — at 100 TB the cost is
+    * the same single exchange a `groupBy(key)` would pay, regardless of
+    * how many sessions a key splits into. Both window frames share the
+    * same (partition, order) spec, so Spark plans one Exchange + one Sort
+    * feeding two Window operators.
+    *
+    * Tie safety: rows with equal `(key, ts)` get the same `session_idx`
+    * whichever way the sort breaks the tie (the lag-diff at a tie is 0),
+    * so downstream per-session aggregates are deterministic.
+    * Streaming twin: [[graft.streaming.EventStreams]] session windows (w2).
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
+      out: String = "session_idx"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    val us = unix_micros(ts)
+    val prev = lag(us, 1).over(w)
+    val boundary = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn(out,
+      sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  // ---------------------------------------------------------------- range join
+  /** POINT-IN-INTERVAL JOIN via a bucketed equi-join — the scale path for
+    * the non-equi `pt BETWEEN start AND end` theta-join Spark would
+    * otherwise plan as BroadcastNestedLoop (fine for tiny interval sets,
+    * fatal once intervals number in the millions). Both sides map into
+    * fixed-width time buckets: a point lands in exactly one bucket, an
+    * interval is exploded to every bucket it touches, and the join becomes
+    * `point.bucket = interval.bucket AND pt BETWEEN start AND end` — a
+    * plain hash-shuffle equi-join Catalyst/AQE can size, broadcast, or
+    * skew-split like any other. No pair is emitted twice (each point has
+    * one bucket), so no post-dedup.
+    *
+    * Pick `bucketWidthUs` near the TYPICAL interval length: replication
+    * factor is ~(len/width + 1) per interval, while a too-wide bucket
+    * degrades toward per-bucket cross products. Output = every point
+    * column + every interval column.
+    */
+  def pointInIntervalJoin(points: DataFrame, pt: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucket width must be positive")
+    // TIMESTAMP_NTZ columns (parquet without tz annotation) cast through
+    // the session zone — pinned UTC by every graft entry point, so the
+    // bucket boundaries are engine-independent.
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val iv = intervals.withColumn("__iv_bucket",
+      explode(sequence(
+        floor(us(col(startCol)) / bucketWidthUs).cast("long"),
+        floor(us(col(endCol)) / bucketWidthUs).cast("long"))))
+    val p = points.withColumn("__pt_bucket",
+      floor(us(col(pt)) / bucketWidthUs).cast("long"))
+    p.join(iv,
+        p("__pt_bucket") === iv("__iv_bucket") &&
+          p(pt) >= iv(startCol) && p(pt) <= iv(endCol))
+      .drop("__pt_bucket", "__iv_bucket")
+  }
+
   /** Deterministic smooth multi-image gradient `(image_id, y, x, v)` with
     * `v = (4y + 2x) mod 256` — smoothly varying so a threshold band forms a
     * CONNECTED region (the region-growing fixture; noise images fragment).
