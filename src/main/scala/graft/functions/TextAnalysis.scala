@@ -196,7 +196,11 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val toks = docs.select(id.as("doc_id"), explode(terms(text)).as("term"))
+    // tf feeds BOTH the df rollup and the scoring join — persist so the
+    // corpus is tokenized once, not once per branch. Cache contract: lives
+    // until the session's next clearCache (Verify/Bench clear per query).
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(docFreq, "term").crossJoin(broadcast(n))
@@ -213,20 +217,25 @@ object TextAnalysis {
     * cheap "perplexity-ish" filter pretraining pipelines run before a real
     * LM scores anything (gibberish and boilerplate sit at the two extremes).
     *
-    * Two passes over the exploded terms (global term counts, then a keyed
-    * re-join), both partial-aggregated; the `(term, cnt)` model frame joins
-    * on `term` — AQE broadcasts it for natural-language vocabularies. The
-    * per-doc mean divides AFTER the sum so each document is one row in the
-    * final aggregate.
+    * Everything downstream of the one explode works on the per-doc term
+    * counts `(doc, term, tf)` — orders of magnitude smaller than the raw
+    * token stream, and the token-level sum is recovered exactly as
+    * `Σ tf·ln(total/cnt)`. That compact frame is persisted and feeds both
+    * the model rollup and the scoring join (the corpus is scanned and
+    * tokenized ONCE); the `(term, cnt)` model joins on `term` — AQE
+    * broadcasts it for natural-language vocabularies. Cache contract as
+    * [[tfidfTopTerms]].
     */
   def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"), explode(terms(text)).as("term"))
-    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
-    toks.join(model, "term").crossJoin(broadcast(total))
+    tf.join(model, "term").crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        sum(log(col("total").cast("double") / col("cnt"))).as("__nll_sum"))
+      .agg(sum(col("tf")).as("n_terms"),
+        sum(col("tf") * log(col("total").cast("double") / col("cnt"))).as("__nll_sum"))
       .select(col("doc_id"), col("n_terms"),
         round(col("__nll_sum") / col("n_terms"), 6).as("avg_nll"))
   }

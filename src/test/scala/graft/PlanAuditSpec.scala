@@ -98,6 +98,48 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s2_sessionize: both window passes share one key exchange") {
+    // lag-flag and prefix-sum use the same (partition, order) spec — Spark
+    // must plan ONE Exchange+Sort feeding two Window operators. A second
+    // hash exchange means the specs diverged and the key's history
+    // shuffles twice at 100 TB. (Total exchanges: hash for the windows +
+    // the aggregate's reuse of it + range for the final ORDER BY.)
+    val plan = planOf("s2_sessionize")
+    assert("\\bWindow\\b".r.findAllIn(plan).length >= 2, "expected two window ops")
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1, s"sessionize grew $hashExchanges hash exchanges; want 1")
+  }
+
+  test("f6_range_join: bucketed equi-join, never a nested-loop range join") {
+    // the operator's whole point: the non-equi BETWEEN must ride a bucket
+    // equi-key, so no BroadcastNestedLoopJoin may appear
+    val plan = planOf("f6_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a nested-loop theta-join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), "bucket equi-join missing")
+  }
+
+  test("tfidf_topterms: ranks through the custom plan node, tokenizes once") {
+    val plan = planOf("tfidf_topterms")
+    assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
+      "per-doc top-k lost the custom physical operators")
+    assert(!plan.contains("Window"), "tfidf ranks via a window exchange")
+    assert(plan.contains("InMemoryTableScan"),
+      "shared tf frame must be persisted (corpus tokenized once, not per branch)")
+  }
+
+  test("unigram_surprisal: scoring joins the compact tf frame, not raw tokens") {
+    // NOTE on counting: InMemoryTableScan PRINTS its cached subtree, so
+    // the explode text appears once per cache reader — count the readers,
+    // not the explode. Both the model rollup and the scoring join must
+    // read the persisted tf frame (≥2 scans), which is what guarantees
+    // the corpus is tokenized once.
+    val plan = planOf("unigram_surprisal")
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      "model and scoring branches must both read the persisted tf frame")
+  }
+
   test("minhash: no hint-forced broadcast of corpus-cardinality frames") {
     // verifyJaccard's per-doc sizes frame has one row per document; a
     // broadcast() hint on it overrides autoBroadcastJoinThreshold and OOMs
