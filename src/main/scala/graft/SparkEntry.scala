@@ -1310,6 +1310,95 @@ object SparkEntry {
     "unigram_surprisal" -> ((s, dir) => {
       TextAnalysis.unigramSurprisal(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // NEAR-DUP CANONICAL SELECTION — the step after clustering: keep the
+    // BEST-QUALITY member of every near-dup cluster (not the min-id, which
+    // corpus_curation uses for exact dups). Clusters come from the
+    // committed pair fixture (isolates this operator; the live pair set is
+    // gated by minhash_lsh_pairs) via the O(log n) star CC; singletons are
+    // their own cluster. The representative is picked through TopKPerKey
+    // k=1 ranked on (rounded quality DESC, doc_id ASC) — the rounded
+    // quality is engine-pinned by the text_analysis gate, so selection is
+    // exact. The member frame feeds both the pick and the size rollup →
+    // persisted, corpus scored once.
+    "neardup_canonical" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.connectedComponentsStar(
+        s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet"))
+      val member = docs
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rep = graft.plans.TopKPerKey.topKPerKey(member,
+          keyCols = Seq("cluster_id"),
+          orderBy = Seq(("quality", false), ("doc_id", true)), k = 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+          col("quality").as("best_quality"))
+      val sizes = member.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      rep.join(sizes, "cluster_id").orderBy(col("cluster_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Deterministic STRATIFIED SAMPLE (per-language rates): hash-bucket
+    // membership, so the sample is reproducible across engines/runs —
+    // verified here by the oracle literally recomputing the same sample in
+    // DuckDB. Map-side filter, no shuffle before the aggregate.
+    "corpus_sample_stratified" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), col("lang"),
+          col("doc_id"), fractions = Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---------------------------------------------------------------
+    // BOUNDED INVERTED INDEX: per-term document frequency + a k-bounded
+    // posting SAMPLE (5 smallest doc_ids) for the 20 highest-df terms.
+    // The sample rides TopKPerKey — at most k postings per (term,
+    // partition) ever reach an exchange, where collect_list would pull a
+    // stopword's full corpus-sized posting list into one aggregation
+    // buffer. Postings emit as a comma-joined string (engine-comparable).
+    "inverted_index" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val dt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.terms(col("text"))).as("term"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+      val sample = graft.plans.TopKPerKey.topKPerKey(dt,
+          keyCols = Seq("term"), orderBy = Seq(("doc_id", true)), k = 5)
+        .groupBy(col("term"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("sample_postings"))
+      dfreq.join(sample, "term")
+        .orderBy(col("df_docs").desc, col("term"))
+        .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // NTILE decile report WITHOUT the single-partition window an
+    // unpartitioned `ntile() OVER (ORDER BY …)` plans: spend deciles ride
+    // Relational.globalNtile — distributed range-sort global rank + SQL-
+    // standard bucket sizing. The order (decimal spend DESC, user_id) is
+    // total, so bucketing is engine-exact; the oracle is DuckDB's NATIVE
+    // NTILE — an independent implementation that must agree bucket for
+    // bucket.
+    "j4_user_deciles" -> ((s, dir) => {
+      val spend = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("spend"))
+      Relational.globalNtile(spend,
+          Seq(col("spend").desc, col("user_id")), n = 10, out = "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("spend")).cast("double"), 6).as("total_spend"),
+          round(max(col("spend")).cast("double"), 6).as("top_spend"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -2371,6 +2460,82 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df_docs,
         |  ROUND(tf * LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / df_docs), 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "neardup_canonical" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT id1, id2 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')),
+        |nodes AS (SELECT id1 AS id FROM e UNION SELECT id2 FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, CASE WHEN e.id1 = reach.r THEN e.id2 ELSE e.id1 END AS r
+        |  FROM reach JOIN e ON e.id1 = reach.r OR e.id2 = reach.r),
+        |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      LEAST(LENGTH(regexp_extract_all(text, '\\S+')) / 100.0, 1.0) * 0.4 +
+        |      (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |         ELSE CAST(LENGTH(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) / LENGTH(text) END) * 5.0, 1.0)) * 0.3 +
+        |      LEAST((CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\\S+')) = 0 THEN 0.0
+        |      ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\\S+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |           / LENGTH(regexp_extract_all(LOWER(text), '\\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM documents),
+        |m AS (
+        |  SELECT q.doc_id, COALESCE(lab.cluster_id, q.doc_id) AS cluster_id, q.quality
+        |  FROM q LEFT JOIN lab USING (doc_id)),
+        |r AS (
+        |  SELECT cluster_id, doc_id, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM m),
+        |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM m GROUP BY 1)
+        |SELECT r.cluster_id, r.doc_id AS canonical_id, r.quality AS best_quality,
+        |  sz.n_members
+        |FROM r JOIN sz USING (cluster_id) WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    (list_reduce(
+        |       list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859)
+        |     % 1000003 * 2654435761 % 1000000007 % 1000) AS bucket
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM b
+        |WHERE bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "inverted_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS term FROM d),
+        |g AS (
+        |  SELECT term, COUNT(*) AS df_docs,
+        |    array_to_string(list_sort(list(doc_id ORDER BY doc_id))[1:5], ',') AS sample_postings
+        |  FROM t GROUP BY term)
+        |SELECT term, df_docs, sample_postings FROM g
+        |ORDER BY df_docs DESC, term LIMIT 20""".stripMargin,
+
+    "j4_user_deciles" ->
+      """WITH spend AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS spend
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+        |  FROM spend)
+        |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_users,
+        |  ROUND(CAST(SUM(spend) AS DOUBLE), 6) AS total_spend,
+        |  ROUND(CAST(MAX(spend) AS DOUBLE), 6) AS top_spend
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "unigram_surprisal" ->
       """WITH d AS (

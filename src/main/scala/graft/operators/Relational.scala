@@ -224,6 +224,63 @@ object Relational {
       .select(col("__l.*"), col(asofCol))
   }
 
+  // ---------------------------------------------------------------- global rank
+  /** DISTRIBUTED GLOBAL RANK — `row_number() OVER (ORDER BY …)` without
+    * the single-partition window Spark plans for an unpartitioned ORDER BY
+    * (which serializes the whole input through one task's sort). Classic
+    * two-phase shape instead: range-repartition on the sort key, sort
+    * within partitions (a normal distributed total sort), then
+    * `zipWithIndex` stitches per-partition offsets with one tiny
+    * extra job (per-partition counts — the same job any global
+    * numbering, including RDD.zipWithIndex, must run).
+    *
+    * `sort` must be a TOTAL order (fully tie-broken): global rank is then
+    * unique and independent of where the range boundaries land, so the
+    * result is reproducible across thread counts and engines. The
+    * zipWithIndex hop exits codegen for one pass (rows bridge through the
+    * RDD API) — the price of offsets Spark SQL cannot express; everything
+    * above returns to a normal DataFrame.
+    */
+  def withGlobalRank(df: DataFrame, sort: Seq[Column], out: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sort: _*).sortWithinPartitions(sort: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types
+        .StructField(out, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /** Distributed NTILE over a total order — SQL-standard bucket sizing
+    * (first `N mod n` buckets take the extra row) computed from the
+    * [[withGlobalRank]] rank plus a broadcast row count, never a
+    * single-partition window. Gated against DuckDB's native NTILE as an
+    * independent implementation of the same semantics.
+    */
+  def globalNtile(df: DataFrame, sort: Seq[Column], n: Int,
+      out: String = "bucket"): DataFrame = {
+    require(n > 0)
+    val ranked = withGlobalRank(df, sort, "__rank")
+    val total = df.agg(count(lit(1)).as("__n"))
+    // Column./ is DOUBLE division — integer-divide exactly instead:
+    // (a - a mod b)/b is an exact multiple, so the double round-trip is
+    // lossless for any realistic count (< 2^53)
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    // q = N div n rows per small bucket; the first r = N mod n buckets
+    // take q+1 rows; ceil(a/b) = (a+b-1) div b
+    val q = idiv(col("__n"), lit(n.toLong))
+    val r = col("__n") % n
+    val cut = r * (q + 1)
+    val bucket = when(col("__rank") <= cut,
+        idiv(col("__rank") + q, q + 1))
+      .otherwise(r + idiv(col("__rank") - cut + q - 1, q))
+    ranked.crossJoin(broadcast(total))
+      .withColumn(out, bucket.cast("long"))
+      .drop("__rank", "__n")
+  }
+
   // ---------------------------------------------------------------- sessionize
   /** GAP-BASED SESSIONIZATION (batch): append a per-key 1-based
     * `session_idx` — a new session starts where the gap from the previous

@@ -80,6 +80,51 @@ class SessionRangeSpec extends AnyFunSuite {
     assert(math.abs(tfidf - math.rint(2.0 * math.log(2.0) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("withGlobalRank/globalNtile agree with Spark's own window forms") {
+    // the distributed two-phase rank must be indistinguishable from
+    // row_number()/ntile() over a single-partition window (which is what
+    // it replaces at scale); 23 rows across 10 buckets exercises the
+    // uneven first-r-buckets sizing, dup values exercise the tie-break
+    val df = Seq.tabulate(23)(i => ((i * 7) % 13, i.toLong)).toDF("v", "id")
+    val sort = Seq(col("v").desc, col("id"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sort: _*)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .select(col("id"), col("rank"), col("bucket"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaOps = Relational.globalNtile(df, sort, 10)
+      .join(Relational.withGlobalRank(df, sort), Seq("id", "v"))
+      .select(col("id"), col("rank"), col("bucket"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(viaOps == viaWindow)
+  }
+
+  test("globalNtile: fewer rows than buckets → one row per bucket") {
+    val df = Seq(5L, 3L, 9L).toDF("v")
+    val got = Relational.globalNtile(df, Seq(col("v")), 10)
+      .select(col("v"), col("bucket")).as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (5L, 2L), (9L, 3L)))
+  }
+
+  test("stratifiedSample: deterministic membership, per-stratum rates, default") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+          .otherwise("fr").as("lang"))
+    def run() = TextAnalysis.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "de" -> 0.2), default = 0.0)
+    val a = run().select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val b = run().select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(a == b, "same rows must be kept on every run")
+    val byLang = run().groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    assert(!byLang.contains("fr"), "default 0.0 must drop the unlisted stratum")
+    assert(math.abs(byLang("en") / 667.0 - 0.5) < 0.1, s"en rate ${byLang("en")}/667")
+    assert(math.abs(byLang("de") / 667.0 - 0.2) < 0.1, s"de rate ${byLang("de")}/667")
+  }
+
   test("unigramSurprisal: closed-form mean NLL on a two-term corpus") {
     // corpus: a a a b → p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
