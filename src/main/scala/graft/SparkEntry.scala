@@ -1399,6 +1399,82 @@ object SparkEntry {
           round(sum(col("spend")).cast("double"), 6).as("total_spend"),
           round(max(col("spend")).cast("double"), 6).as("top_spend"))
         .orderBy(col("decile"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Gopher-style repetition signals (TextAnalysis.repetitionSignals):
+    // duplicate-token fraction + most-frequent unigram/bigram shares per
+    // doc. Argmin-struct selection — no per-doc gram list materializes,
+    // tie-breaks engine-exact.
+    "quality_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Benchmark decontamination (TextAnalysis.decontaminationHits): docs
+    // sharing an 8-gram with the held-out slice (doc_id % 5 = 0 — a split
+    // that provably straddles this corpus's near-dup structure, so the
+    // gate has real positives). Oracle re-derives the same shingle overlap
+    // from scratch in DuckDB list algebra.
+    "decontaminate" -> ((s, dir) => {
+      TextAnalysis.decontaminationHits(Tables.documents(s, dir), col("doc_id"),
+          col("text"), isBench = col("doc_id") % 5 === 0, n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Bigram surprisal (TextAnalysis.bigramSurprisal): mean −ln P(w2|w1)
+    // under the corpus conditional-bigram model — the model-free upgrade
+    // of unigram_surprisal.
+    "bigram_surprisal" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Per-dimension embedding statistics (Similarity.dimStats): the
+    // quantization/drift profiling pass. Exchange carries
+    // O(dims · partitions) rows — the exploded stream never shuffles.
+    "emb_dim_stats" -> ((s, dir) => {
+      Similarity.dimStats(Tables.embeddings(s, dir), col("embedding"))
+        .orderBy(col("dim"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CUBE over (returnflag, linestatus) — all four grouping sets in one
+    // pass (Expand keeps partial aggregation map-side), beside j2's ROLLUP
+    // and j3's pivot. DECIMAL(18,6) per-row casts make the two-phase sum
+    // exactly equal DuckDB's sequential one.
+    "j5_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---------------------------------------------------------------
+    // PER-SOURCE DOCUMENT CAP — the "max N docs per domain" curation rule,
+    // keeping the top-quality members: TopKPerKey on a second payload
+    // (source key, quality ordering) — ≤k docs per (source, partition)
+    // reach the exchange, where a window rank would shuffle the corpus.
+    // Ranked on (rounded quality DESC, doc_id ASC); the rounded quality is
+    // engine-pinned by the text_analysis gate, so selection is exact.
+    "source_cap_topk" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      graft.plans.TopKPerKey.topKPerKey(docs,
+          keyCols = Seq("source"),
+          orderBy = Seq(("quality", false), ("doc_id", true)), k = 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+        .orderBy(col("source"), col("rank"))
     })
   )
 
@@ -2549,7 +2625,113 @@ object SparkEntry {
         |SELECT t.doc_id, COUNT(*) AS n_terms,
         |  ROUND(SUM(LN((SELECT total FROM tot) / cnt)) / COUNT(*), 6) AS avg_nll
         |FROM t JOIN m USING (term)
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT doc_id, SUM(c) AS n_terms, COUNT(*) AS n_distinct,
+        |    SUM(c * LENGTH(term)) AS term_chars
+        |  FROM tf GROUP BY 1),
+        |topu AS (
+        |  SELECT doc_id, term AS top_word, c AS top_c
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, term) AS rn FROM tf)
+        |  WHERE rn = 1),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM d WHERE len(toks) >= 2),
+        |bf AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |topb AS (
+        |  SELECT doc_id, gram AS top_bigram, c AS top_bc
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM bf)
+        |  WHERE rn = 1)
+        |SELECT u.doc_id, u.n_terms,
+        |  ROUND(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_terms, 6) AS dup_word_frac,
+        |  topu.top_word,
+        |  ROUND(CAST(topu.top_c AS DOUBLE) / u.n_terms, 6) AS top_word_frac,
+        |  COALESCE(topb.top_bigram, '') AS top_bigram,
+        |  ROUND(COALESCE(CAST(topb.top_bc * (LENGTH(topb.top_bigram) - 1) AS DOUBLE) / u.term_chars, 0.0), 6) AS top_bigram_char_frac
+        |FROM uni u JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' '))) AS g
+        |    FROM d WHERE len(toks) >= 8)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0)
+        |SELECT s.doc_id, COUNT(*) AS n_hits
+        |FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "bigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram,
+        |         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1
+        |  FROM d WHERE len(toks) >= 2),
+        |bf AS (SELECT doc_id, gram, w1, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |m12 AS (SELECT gram, SUM(tf) AS c12 FROM bf GROUP BY 1),
+        |m1 AS (SELECT w1, SUM(tf) AS c1 FROM bf GROUP BY 1)
+        |SELECT bf.doc_id, SUM(tf) AS n_bigrams,
+        |  ROUND(SUM(tf * LN(CAST(c1 AS DOUBLE) / c12)) / SUM(tf), 6) AS avg_nll
+        |FROM bf JOIN m12 USING (gram) JOIN m1 USING (w1)
+        |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
+
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT dim, COUNT(*) AS n_vecs,
+        |  ROUND(AVG(x), 6) AS mean_val,
+        |  ROUND(STDDEV_POP(x), 6) AS std_val,
+        |  MIN(x) AS min_val, MAX(x) AS max_val
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "j5_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "source_cap_topk" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    ROUND(
+        |      LEAST(LENGTH(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.4 +
+        |      (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |         ELSE CAST(LENGTH(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / LENGTH(text) END) * 5.0, 1.0)) * 0.3 +
+        |      LEAST((CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |           / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+        |  FROM q)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
     )
   }
 }

@@ -195,4 +195,26 @@ object Similarity {
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
     TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
+
+  /** PER-DIMENSION CORPUS STATISTICS over an embedding column — the
+    * profiling pass feature-store/quantization work starts from (dead
+    * dimensions, per-dim scale for scalar quantization, distribution drift
+    * between corpus snapshots). Dimensions are 1-based.
+    *
+    * Shape at scale: `posexplode` fans each vector into (dim, value) rows
+    * map-side; the aggregate partial-combines per partition, so the one
+    * exchange carries O(dims · partitions) rows regardless of corpus size
+    * — never the exploded stream. min/max are exact; mean/stddev round to
+    * 6dp (partition-order float-sum jitter is ~1e-13 relative, far inside
+    * the rounding).
+    */
+  def dimStats(emb: DataFrame, vec: Column): DataFrame =
+    emb.select(posexplode(vec.cast("array<double>")).as(Seq("__d0", "x")))
+      .select((col("__d0") + 1).as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("x")), 6).as("mean_val"),
+        round(stddev_pop(col("x")), 6).as("std_val"),
+        min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"))
 }

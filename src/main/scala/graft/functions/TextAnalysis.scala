@@ -270,6 +270,130 @@ object TextAnalysis {
     df.filter(bucket < threshold)
   }
 
+  /** GOPHER-STYLE REPETITION SIGNALS — the repetition filters pretraining
+    * pipelines run before anything model-based (Rae et al. 2021 §A1.1
+    * style): per document, the duplicate-token fraction, the most-frequent
+    * unigram with its token fraction, and the most-frequent word bigram
+    * with its CHARACTER fraction (repeated boilerplate shows up in the
+    * char mass of the top n-gram long before it dominates token counts).
+    *
+    * Selection tie-breaks are (count DESC, gram ASC) encoded as
+    * `min(struct(-count, gram))` — a partial-aggregating argmin, so the
+    * chosen gram is engine-exact and no per-doc gram list ever
+    * materializes. Shape at scale: one corpus scan stages tokens AND
+    * bigrams in a single projection (persisted — the alternative is
+    * re-running the tokenizer per branch); each branch is
+    * explode → (doc, gram) count (ONE shuffle, map-side combined) →
+    * per-doc argmin rollup. Docs with zero tokens produce no row (no
+    * signal to report), matching the oracle's unnest semantics.
+    *
+    * Cache contract as [[tfidfTopTerms]].
+    */
+  def repetitionSignals(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val d = docs.select(id.as("doc_id"), terms(text).as("__toks"))
+      .withColumn("__bigrams",
+        when(size(col("__toks")) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = d.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val uni = tf.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_terms"),
+      count(lit(1)).as("__n_distinct"),
+      sum(col("c") * length(col("term"))).as("__term_chars"),
+      min(struct((-col("c")).as("nc"), col("term").as("t"))).as("__top"))
+    val topb = d.select(col("doc_id"), explode(col("__bigrams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("__topb"))
+    uni.join(topb, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_terms"),
+        round(lit(1.0) - col("__n_distinct").cast("double") / col("n_terms"), 6)
+          .as("dup_word_frac"),
+        col("__top.t").as("top_word"),
+        round((-col("__top.nc")).cast("double") / col("n_terms"), 6)
+          .as("top_word_frac"),
+        coalesce(col("__topb.g"), lit("")).as("top_bigram"),
+        round(coalesce(
+          ((-col("__topb.nc")) * (length(col("__topb.g")) - 1)).cast("double")
+            / col("__term_chars"), lit(0.0)), 6).as("top_bigram_char_frac"))
+  }
+
+  /** BENCHMARK DECONTAMINATION — flag training documents that share any
+    * word n-gram with a held-out evaluation set (the n-gram-overlap
+    * protocol of GPT-2/GPT-3-era data work; n=8 is the conventional
+    * window). Returns `(doc_id, n_hits)` for contaminated non-benchmark
+    * docs, where n_hits counts the DISTINCT benchmark shingles the doc
+    * contains.
+    *
+    * Shape at scale: shingles are deduped per-doc map-side
+    * (`array_distinct` before the explode — never a global distinct over
+    * the token stream); the benchmark side is one `distinct` shuffle over
+    * the (small) eval slice; the containment test is a single equi-join
+    * keyed on the shingle — AQE broadcasts the benchmark set when it fits,
+    * and degrades to a hash join (never a corpus broadcast) when it
+    * doesn't. The corpus is scanned once.
+    */
+  def decontaminationHits(docs: DataFrame, id: Column, text: Column,
+      isBench: Column, n: Int = 8): DataFrame = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    val sh = docs
+      .select(id.as("doc_id"), isBench.as("__is_bench"), terms(text).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("__is_bench"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))).as("g"))
+    val bench = sh.filter(col("__is_bench")).select(col("g")).distinct()
+    sh.filter(!col("__is_bench"))
+      .join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** BIGRAM SURPRISAL — the conditional-bigram upgrade of
+    * [[unigramSurprisal]]: per document, the mean negative log conditional
+    * probability −ln P(w₂|w₁) of its bigrams under the corpus bigram model
+    * (P = c(w₁w₂)/c(w₁·), counts over bigram positions). No smoothing is
+    * needed: every scored bigram is in the model by construction (the
+    * corpus includes the document). Gibberish scores high (unseen-ish
+    * transitions), templated boilerplate scores near zero.
+    *
+    * Shape at scale: mirror of [[unigramSurprisal]] one level up — bigrams
+    * come out of one `zip_with` projection (no positional self-join of the
+    * token stream), the per-doc bigram counts `(doc, gram, w1, tf)` frame
+    * is persisted and feeds BOTH model rollups and the scoring join, and
+    * the token-level sum is recovered exactly as Σ tf·ln(c₁/c₁₂). Joins
+    * are keyed on gram/w1 — AQE broadcasts small vocabularies. Docs with
+    * fewer than 2 tokens have no bigrams and produce no row. Cache
+    * contract as [[tfidfTopTerms]].
+    */
+  def bigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = docs.select(id.as("doc_id"), terms(text).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(concat(a, lit(" "), b).as("gram"), a.as("w1")))).as("bg"))
+      .select(col("doc_id"), col("bg.gram").as("gram"), col("bg.w1").as("w1"))
+    val bf = bg.groupBy(col("doc_id"), col("gram"), col("w1"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m12 = bf.groupBy(col("gram")).agg(sum(col("tf")).as("c12"))
+    val m1 = bf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    bf.join(m12, "gram").join(m1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * log(col("c1").cast("double") / col("c12"))).as("__nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__nll") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
   /** Per-document text-analysis projection over a documents table. Staged
     * through intermediate columns so each tokenization runs once per row
     * (the naive single-projection form re-extracts tokens per metric). */

@@ -184,4 +184,43 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
     assert(exchanges <= 1, s"map-side text analysis must not shuffle; got $exchanges:\n${plan.take(400)}")
   }
+
+  test("quality_repetition: argmin-struct selection, never a per-doc window rank") {
+    // top-gram picks are min(struct(-c, gram)) partial aggregations; a
+    // Window would shuffle every (doc, gram) row to rank per doc, and a
+    // collect_list would buffer a doc's whole gram set
+    val plan = planOf("quality_repetition")
+    assert(!plan.contains("Window"), "top-gram selection fell back to a window rank")
+    assert(plan.contains("partial_min"), "argmin selection lost map-side partial aggregation")
+    assert(!plan.contains("collect_list"), "gram lists must never materialize")
+    assert(plan.contains("InMemoryTableScan"),
+      "staged token/bigram frame must be persisted (corpus tokenized once)")
+  }
+
+  test("emb_dim_stats: explode stays map-side; exchange carries dims, not values") {
+    // partial aggregation must sit between Generate (posexplode) and the
+    // one hash exchange — the exploded stream itself never shuffles
+    val plan = planOf("emb_dim_stats")
+    assert(plan.contains("Generate"), "posexplode missing")
+    assert(plan.contains("partial_avg") || plan.contains("partial_count"),
+      "per-dimension stats lost map-side partial aggregation")
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1, s"dim stats grew $hashExchanges hash exchanges; want 1")
+  }
+
+  test("source_cap_topk: caps through the custom plan node, not a window") {
+    val plan = planOf("source_cap_topk")
+    assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
+      "per-source cap lost the custom physical operators")
+    assert(!plan.contains("Window"), "per-source cap fell back to a window rank")
+  }
+
+  test("decontaminate: benchmark side broadcasts, corpus never does") {
+    // the shingle containment join is keyed on the shingle; the bench set
+    // (the small side) may broadcast, but a corpus-side broadcast or a
+    // nested-loop join is a 100-TB failure
+    val plan = planOf("decontaminate")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join on the shingle")
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Similarity, TextAnalysis}
+
+/** Repetition signals, benchmark decontamination, bigram surprisal, and
+  * embedding dimension statistics (north-star corpus operators). */
+class TextSignalsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionSignals: hand-computed fractions, deterministic tie-breaks") {
+    val docs = Seq(
+      (1L, "a a a b"),       // top word a (3/4), bigrams: "a a"x2, "a b"x1
+      (2L, "x y"),           // all distinct, tie on bigram count -> none to break
+      (3L, "solo"),          // single token: no bigram -> '' / 0.0
+      (4L, "t t")            // top bigram "t t": chars 2*1 / term_chars 2 = 1.0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r.length == 4)
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_terms") == 4)
+    assert(d1.getAs[Double]("dup_word_frac") == 0.5) // 1 - 2/4
+    assert(d1.getAs[String]("top_word") == "a")
+    assert(d1.getAs[Double]("top_word_frac") == 0.75)
+    assert(d1.getAs[String]("top_bigram") == "a a")
+    // 2 occurrences * 2 chars / 4 total term chars
+    assert(d1.getAs[Double]("top_bigram_char_frac") == 1.0)
+    val d2 = r(1)
+    assert(d2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(d2.getAs[String]("top_word") == "x") // count tie -> lexicographic min
+    val d3 = r(2)
+    assert(d3.getAs[String]("top_bigram") == "" &&
+      d3.getAs[Double]("top_bigram_char_frac") == 0.0)
+    val d4 = r(3)
+    assert(d4.getAs[Double]("top_bigram_char_frac") == 1.0)
+  }
+
+  test("repetitionSignals: empty docs emit no row; partitioning-invariant") {
+    val docs = Seq((1L, ""), (2L, "  "), (3L, "w w w")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(3L))
+    val r7 = TextAnalysis.repetitionSignals(docs.repartition(7), col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r1.map(_.toString).toSeq == r7.map(_.toString).toSeq)
+  }
+
+  test("decontaminationHits: only overlapping train docs, distinct shingles count once") {
+    val eight = "q w e r t y u i"
+    val docs = Seq(
+      (0L, s"$eight tail tail"),                // bench
+      (1L, s"head $eight"),                     // train: 1 distinct hit
+      (2L, s"$eight mid $eight"),               // train: same shingle twice -> 1 hit
+      (3L, "nothing shared here at all in this document"), // train: clean
+      (4L, "short doc")                         // under n tokens: ignored
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminationHits(docs, col("doc_id"), col("text"),
+        isBench = col("doc_id") === 0, n = 8)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("bigramSurprisal: hand-computed conditional model, short docs dropped") {
+    // corpus bigrams: "a b"x2, "a c"x1 -> c1(a)=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprisal(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r.length == 3) // doc 4 has no bigrams
+    val nll12 = BigDecimal(math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val nll3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(r(0).getAs[Double]("avg_nll")) == nll12)
+    assert(BigDecimal(r(1).getAs[Double]("avg_nll")) == nll12)
+    assert(BigDecimal(r(2).getAs[Double]("avg_nll")) == nll3)
+    assert(r.forall(_.getAs[Long]("n_bigrams") == 1L))
+  }
+
+  test("dimStats: exact stats per 1-based dimension") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(3.0f, 30.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.dimStats(emb, col("embedding")).orderBy("dim").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Int]("dim") == 1 && r(0).getAs[Long]("n_vecs") == 2)
+    assert(r(0).getAs[Double]("mean_val") == 2.0)
+    assert(r(0).getAs[Double]("std_val") == 1.0) // stddev_pop of {1,3}
+    assert(r(0).getAs[Double]("min_val") == 1.0 && r(0).getAs[Double]("max_val") == 3.0)
+    assert(r(1).getAs[Double]("mean_val") == 20.0 && r(1).getAs[Double]("std_val") == 10.0)
+  }
+}
