@@ -1475,6 +1475,47 @@ object SparkEntry {
           orderBy = Seq(("quality", false), ("doc_id", true)), k = 3)
         .select(col("source"), col("rank"), col("doc_id"), col("quality"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Event debounce (Relational.debounce): drop rows within 6h of the
+    // same (user, type)'s previous event — lag-diff form, one key
+    // exchange. Output is the full kept stream (stronger gate than a
+    // count rollup).
+    "s4_debounce" -> ((s, dir) => {
+      Relational.debounce(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts"), col("value")),
+          keys = Seq(col("user_id"), col("event_type")),
+          ts = col("ts"), tie = col("event_id"), minGapSeconds = 21600L)
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Int8 scalar-quantization error profile (Similarity.scalarQuantError):
+    // per-dim reconstruction error against the corpus range; floor(u+0.5)
+    // half-up rounding is engine-portable where round() is not.
+    "emb_quantize" -> ((s, dir) => {
+      Similarity.scalarQuantError(Tables.embeddings(s, dir), col("embedding"))
+        .orderBy(col("dim"))
+    }),
+
+    // ---------------------------------------------------------------
+    // GROUPING SETS through the spark.sql TEXT surface (parse → analyze →
+    // Expand), beside j2 ROLLUP and j5 CUBE: per-flag and per-status
+    // margins plus the grand total in one pass, never a UNION of scans.
+    "j6_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id() AS INT) AS gid,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+          ROUND(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     })
   )
 
@@ -2731,7 +2772,44 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
         |  FROM q)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
-        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+    "s4_debounce" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts, value
+        |FROM w
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > CAST(21600 AS BIGINT) * 1000000
+        |ORDER BY event_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.dim, x, mn, mx,
+        |    CASE WHEN mx = mn THEN x
+        |      ELSE mn + LEAST(255.0, FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5)) * (mx - mn) / 255.0
+        |    END AS deq
+        |  FROM e JOIN st USING (dim))
+        |SELECT dim, ROUND(MIN(mn), 6) AS dim_min, ROUND(MIN(mx), 6) AS dim_max,
+        |  ROUND(AVG(ABS(x - deq)), 6) AS avg_abs_err,
+        |  ROUND(MAX(ABS(x - deq)), 6) AS max_abs_err
+        |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "j6_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
     )
   }
 }

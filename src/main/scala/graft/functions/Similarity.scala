@@ -196,6 +196,39 @@ object Similarity {
     TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 
+  /** INT8 SCALAR-QUANTIZATION ERROR PROFILE — the feasibility pass before
+    * shipping a quantized index: per dimension, affine-quantize to 256
+    * levels against the corpus per-dim range and report the
+    * reconstruction error. The rounding is `floor(u + 0.5)` (explicit
+    * half-up — engine-portable, unlike bankers'-rounding `round`);
+    * constant dimensions quantize to themselves (zero error), never a
+    * 0/0.
+    *
+    * Shape at scale: two corpus scans (one for per-dim ranges, one for
+    * the error pass) — deliberately NOT a cached exploded stream, which
+    * would pin dims× the corpus in memory; the 64-row range frame joins
+    * back keyed on `dim`, which AQE broadcasts. Both aggregations
+    * partial-combine map-side, so each exchange carries
+    * O(dims · partitions).
+    */
+  def scalarQuantError(emb: DataFrame, vec: Column): DataFrame = {
+    def exploded = emb.select(posexplode(vec.cast("array<double>")).as(Seq("__d0", "x")))
+      .select((col("__d0") + 1).as("dim"), col("x"))
+    val ranges = exploded.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = least(lit(255.0),
+      floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5))
+    val deq = when(col("mx") === col("mn"), col("x"))
+      .otherwise(col("mn") + code * (col("mx") - col("mn")) / 255.0)
+    exploded.join(ranges, "dim")
+      .select(col("dim"), col("mn"), col("mx"), abs(col("x") - deq).as("err"))
+      .groupBy(col("dim"))
+      .agg(round(min(col("mn")), 6).as("dim_min"),
+        round(min(col("mx")), 6).as("dim_max"),
+        round(avg(col("err")), 6).as("avg_abs_err"),
+        round(max(col("err")), 6).as("max_abs_err"))
+  }
+
   /** PER-DIMENSION CORPUS STATISTICS over an embedding column — the
     * profiling pass feature-store/quantization work starts from (dead
     * dimensions, per-dim scale for scalar quantization, distribution drift

@@ -308,6 +308,28 @@ object Relational {
       sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  // ---------------------------------------------------------------- debounce
+  /** EVENT DEBOUNCE (telemetry cleanup): keep a row only when it is the
+    * key's first, or arrived more than `minGapSeconds` after the key's
+    * PREVIOUS row (`ts` order, `tie` disambiguates equal timestamps) —
+    * the standard lag-diff formulation, which drops rapid-fire
+    * duplicates/retries while keeping the stream's shape. (A stateful
+    * "reset on keep" debounce chains differently; the lag form is the one
+    * with an exact closed SQL equivalent, so it gates hash-for-hash.)
+    *
+    * Scale shape as [[sessionize]]: the key's history streams through ONE
+    * hash exchange + per-partition sort; the filter is a map-side
+    * post-window predicate. Streaming twin: within-watermark dedup (w3).
+    */
+  def debounce(df: DataFrame, keys: Seq[Column], ts: Column, tie: Column,
+      minGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ts, tie)
+    val us = unix_micros(ts)
+    val prev = lag(us, 1).over(w)
+    df.withColumn("__keep", prev.isNull || us - prev > minGapSeconds * 1000000L)
+      .filter(col("__keep")).drop("__keep")
+  }
+
   // ---------------------------------------------------------------- range join
   /** POINT-IN-INTERVAL JOIN via a bucketed equi-join — the scale path for
     * the non-equi `pt BETWEEN start AND end` theta-join Spark would

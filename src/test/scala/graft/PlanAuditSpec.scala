@@ -215,6 +215,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "per-source cap fell back to a window rank")
   }
 
+  test("s4_debounce: one key exchange, filter stays post-window map-side") {
+    // lag + filter must ride a single hash exchange on (user, type) — a
+    // second hash exchange means the window spec diverged from the key
+    val plan = planOf("s4_debounce")
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1, s"debounce grew $hashExchanges hash exchanges; want 1")
+  }
+
+  test("emb_quantize: range frame joins back keyed (broadcast), aggregations partial-combine") {
+    val plan = planOf("emb_quantize")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-dim range frame should broadcast back onto the exploded stream")
+    assert(plan.contains("partial_min") || plan.contains("partial_avg"),
+      "quant error stats lost map-side partial aggregation")
+  }
+
   test("decontaminate: benchmark side broadcasts, corpus never does") {
     // the shingle containment join is keyed on the shingle; the bench set
     // (the small side) may broadcast, but a corpus-side broadcast or a

@@ -79,6 +79,36 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("n_bigrams") == 1L))
   }
 
+  test("debounce: keeps firsts and post-gap rows, key-scoped, tie-safe") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, "a", ts(0)),    // first for (10,a): keep
+      (2L, 10L, "a", ts(30)),   // 30s later: drop at 60s gap
+      (3L, 10L, "a", ts(100)),  // 70s after previous ROW (not previous kept): keep
+      (4L, 10L, "b", ts(31)),   // different type: its own first: keep
+      (5L, 11L, "a", ts(32))    // different user: keep
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = graft.operators.Relational.debounce(ev,
+        keys = Seq(col("user_id"), col("event_type")),
+        ts = col("ts"), tie = col("event_id"), minGapSeconds = 60L)
+      .select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("scalarQuantError: exact range endpoints quantize losslessly, constant dim is zero-error") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 7.0f)),
+      (2L, Seq(255.0f, 7.0f)),
+      (3L, Seq(51.0f, 7.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.scalarQuantError(emb, col("embedding")).orderBy("dim").collect()
+    // dim 1: range [0,255] -> codes 0/255/51 reconstruct exactly
+    assert(r(0).getAs[Double]("dim_min") == 0.0 && r(0).getAs[Double]("dim_max") == 255.0)
+    assert(r(0).getAs[Double]("avg_abs_err") == 0.0 && r(0).getAs[Double]("max_abs_err") == 0.0)
+    // dim 2: constant -> guarded, zero error (never 0/0)
+    assert(r(1).getAs[Double]("avg_abs_err") == 0.0 && r(1).getAs[Double]("max_abs_err") == 0.0)
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
