@@ -1516,6 +1516,19 @@ object SparkEntry {
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // ---------------------------------------------------------------
+    // Sequence packing (TextAnalysis.packSequences): greedy next-fit of
+    // docs into 2048-token training sequences, 8 dataloader shards.
+    // Genuinely order-carrying per shard → secondary-sort mapPartitions;
+    // the oracle replays the same walk as a recursive CTE.
+    "corpus_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.packSequences(docs, col("doc_id"),
+          size(TextAnalysis.terms(col("text"))).cast("long"),
+          maxLen = 2048, shards = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2809,7 +2822,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    LENGTH(regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+')) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(1 AS BIGINT) AS seq_idx, n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN p.fill + t.n_tokens > 2048 THEN p.seq_idx + 1 ELSE p.seq_idx END,
+        |    CASE WHEN p.fill + t.n_tokens > 2048 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+        |  FROM t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq_idx, n_tokens FROM pack ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -394,6 +394,53 @@ object TextAnalysis {
         round(col("__nll") / col("n_bigrams"), 6).as("avg_nll"))
   }
 
+  /** SEQUENCE PACKING — assign documents to fixed-token-budget training
+    * sequences (the packing step every pretraining dataloader runs:
+    * concatenate docs until the next one would overflow `maxLen`, then
+    * start a new sequence). Greedy next-fit in doc-id order; a document
+    * longer than `maxLen` gets a bin of its own.
+    *
+    * Packing is inherently SEQUENTIAL (each bin decision depends on the
+    * running fill), so it cannot be a window prefix-sum. The distributed
+    * form shards the corpus (`id mod shards`) and packs each shard
+    * independently — exactly how a multi-worker dataloader shards — via
+    * the secondary-sort pattern: repartition on the shard key,
+    * `sortWithinPartitions(shard, id)`, then ONE streaming pass per
+    * partition that resets its fill state at shard boundaries. This is
+    * the (d)-tier `mapPartitions` escape hatch of SURVEY §7.1, used here
+    * because the semantics are genuinely order-carrying; state per
+    * partition is three longs, nothing buffers. The result is independent
+    * of partition count and input partitioning: a shard's rows are always
+    * contiguous and id-sorted when walked.
+    *
+    * Returns `(doc_id, shard, seq_idx, n_tokens)`, seq_idx 1-based per
+    * shard.
+    */
+  def packSequences(docs: DataFrame, id: Column, nTokens: Column,
+      maxLen: Int, shards: Int): DataFrame = {
+    require(maxLen > 0 && shards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(id.cast("long").as("doc_id"),
+        pmod(id.cast("long"), lit(shards.toLong)).as("shard"),
+        nTokens.cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var fill = 0L
+        var seq = 0L
+        it.map { case (docId, shard, n) =>
+          if (shard != curShard) { curShard = shard; seq = 1L; fill = n }
+          else if (fill + n > maxLen) { seq += 1L; fill = n }
+          else fill += n
+          (docId, shard, seq, n)
+        }
+      }
+      .toDF("doc_id", "shard", "seq_idx", "n_tokens")
+  }
+
   /** Per-document text-analysis projection over a documents table. Staged
     * through intermediate columns so each tokenization runs once per row
     * (the naive single-projection form re-extracts tokens per metric). */

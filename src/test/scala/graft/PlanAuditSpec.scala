@@ -231,6 +231,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "quant error stats lost map-side partial aggregation")
   }
 
+  test("corpus_pack: one shard exchange feeds the streaming pack walk") {
+    // secondary sort = repartition(shard) + sortWithinPartitions; a second
+    // hash exchange means the walk lost its co-location
+    val plan = planOf("corpus_pack")
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1, s"packing grew $hashExchanges hash exchanges; want 1")
+  }
+
   test("decontaminate: benchmark side broadcasts, corpus never does") {
     // the shingle containment join is keyed on the shingle; the bench set
     // (the small side) may broadcast, but a corpus-side broadcast or a

@@ -109,6 +109,27 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("avg_abs_err") == 0.0 && r(1).getAs[Double]("max_abs_err") == 0.0)
   }
 
+  test("packSequences: greedy next-fit per shard, oversize doc isolated, partitioning-invariant") {
+    // one shard (ids all even, shards=2 -> shard 0): budget 100
+    val docs = Seq(
+      (0L, 60L),   // bin 1 (fill 60)
+      (2L, 50L),   // 60+50 > 100 -> bin 2 (fill 50)
+      (4L, 40L),   // 90 -> bin 2
+      (6L, 300L),  // oversize -> bin 3 alone
+      (8L, 10L),   // 300+10 > 100 -> bin 4
+      (3L, 70L)    // shard 1 resets: bin 1
+    ).toDF("doc_id", "n")
+    val r = graft.functions.TextAnalysis.packSequences(docs, col("doc_id"), col("n"),
+        maxLen = 100, shards = 2)
+      .select("doc_id", "shard", "seq_idx").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(r == Seq((0L, 0L, 1L), (2L, 0L, 2L), (3L, 1L, 1L), (4L, 0L, 2L),
+      (6L, 0L, 3L), (8L, 0L, 4L)))
+    val r7 = graft.functions.TextAnalysis.packSequences(docs.repartition(7), col("doc_id"),
+        col("n"), maxLen = 100, shards = 2)
+      .select("doc_id", "shard", "seq_idx").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(r7 == r)
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
