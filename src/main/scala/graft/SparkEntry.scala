@@ -1442,18 +1442,25 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
-    // CUBE over (returnflag, linestatus) — all four grouping sets in one
-    // pass (Expand keeps partial aggregation map-side), beside j2's ROLLUP
-    // and j3's pivot. DECIMAL(18,6) per-row casts make the two-phase sum
-    // exactly equal DuckDB's sequential one.
+    // CUBE over (returnflag, linestatus), beside j2's ROLLUP and j3's
+    // pivot. AGGREGATE-BEFORE-EXPAND: the base (flag, status) rollup runs
+    // first, and the cube's Expand multiplies the SIX base rows — not the
+    // fact scan — by the four grouping sets (Catalyst does not do this
+    // rewrite itself; cube directly on the scan expands every fact row,
+    // measured 3.3 s → sub-second here and linear damage at 100 TB).
+    // Decimal re-aggregation is associative, so the result is bit-equal.
     "j5_cube" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .cube(col("l_returnflag"), col("l_linestatus"))
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("__qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).as("__rev"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().cast("int").as("gid"),
-          count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,6)")).cast("double"), 6).as("revenue"))
+          sum(col("__n")).as("n_rows"),
+          sum(col("__qty")).cast("double").as("sum_qty"),
+          round(sum(col("__rev")).cast("double"), 6).as("revenue"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
@@ -1504,16 +1511,22 @@ object SparkEntry {
     // GROUPING SETS through the spark.sql TEXT surface (parse → analyze →
     // Expand), beside j2 ROLLUP and j5 CUBE: per-flag and per-status
     // margins plus the grand total in one pass, never a UNION of scans.
+    // Same aggregate-before-expand shape as j5: Expand multiplies the
+    // six-row base aggregate, not the fact scan.
     "j6_grouping_sets" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
           CAST(grouping_id() AS INT) AS gid,
-          COUNT(*) AS n_rows,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-          ROUND(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
-            AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
-        FROM lineitem_gs
+          SUM(n) AS n_rows,
+          CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+          ROUND(CAST(SUM(rev) AS DOUBLE), 6) AS revenue
+        FROM (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty,
+            SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+              AS DECIMAL(18,6))) AS rev
+          FROM lineitem_gs GROUP BY l_returnflag, l_linestatus)
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
@@ -1529,6 +1542,17 @@ object SparkEntry {
           size(TextAnalysis.terms(col("text"))).cast("long"),
           maxLen = 2048, shards = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Unigram distribution drift between corpus halves
+    // (TextAnalysis.unigramDrift): add-one-smoothed per-term KL
+    // contributions over the union vocabulary — the snapshot-monitoring
+    // report. One scan, one term-keyed shuffle, broadcast totals.
+    "corpus_drift" -> ((s, dir) => {
+      TextAnalysis.unigramDrift(Tables.documents(s, dir), col("text"),
+          inA = col("doc_id") % 2 === 0)
+        .orderBy(col("term"))
     })
   )
 
@@ -2839,7 +2863,29 @@ object SparkEntry {
         |    CASE WHEN p.fill + t.n_tokens > 2048 THEN p.seq_idx + 1 ELSE p.seq_idx END,
         |    CASE WHEN p.fill + t.n_tokens > 2048 THEN t.n_tokens ELSE p.fill + t.n_tokens END
         |  FROM t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1)
-        |SELECT doc_id, shard, seq_idx, n_tokens FROM pack ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, shard, seq_idx, n_tokens FROM pack ORDER BY doc_id""".stripMargin,
+
+    "corpus_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id % 2 = 0 AS is_a,
+        |    unnest(regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS v FROM tf),
+        |p AS (
+        |  SELECT term, c_a, c_b,
+        |    (c_a + 1.0) / (n_a + v) AS pa,
+        |    (c_b + 1.0) / (n_b + v) AS pb
+        |  FROM tf, tot)
+        |SELECT term, c_a, c_b,
+        |  ROUND(pa * LN(pa / pb), 9) AS kl_term_ab,
+        |  ROUND(pb * LN(pb / pa), 9) AS kl_term_ba
+        |FROM p ORDER BY term""".stripMargin
     )
   }
 }

@@ -394,6 +394,32 @@ object TextAnalysis {
         round(col("__nll") / col("n_bigrams"), 6).as("avg_nll"))
   }
 
+  /** UNIGRAM DISTRIBUTION DRIFT between two corpus slices — the monitoring
+    * pass run between corpus snapshots / data mixes: add-one-smoothed
+    * per-term KL contributions (both directions) over the union
+    * vocabulary, from which KL(A‖B), KL(B‖A) and JSD are plain sums.
+    * Per-term output (not just the scalar) so the gate pins every term's
+    * probability mass and the report doubles as a "what drifted" list.
+    *
+    * Shape at scale: one corpus scan, one shuffle keyed on term (the
+    * conditional counts partial-aggregate map-side into a single rollup —
+    * never one pass per slice), totals ride a broadcast one-row frame.
+    */
+  def unigramDrift(docs: DataFrame, text: Column, inA: Column): DataFrame = {
+    val tf = docs.select(inA.as("__is_a"), explode(terms(text)).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__is_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("__is_a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = tf.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("v"))
+    val pa = (col("c_a") + 1.0) / (col("n_a") + col("v"))
+    val pb = (col("c_b") + 1.0) / (col("n_b") + col("v"))
+    tf.crossJoin(broadcast(tot))
+      .select(col("term"), col("c_a"), col("c_b"),
+        round(pa * log(pa / pb), 9).as("kl_term_ab"),
+        round(pb * log(pb / pa), 9).as("kl_term_ba"))
+  }
+
   /** SEQUENCE PACKING — assign documents to fixed-token-budget training
     * sequences (the packing step every pretraining dataloader runs:
     * concatenate docs until the next one would overflow `maxLen`, then

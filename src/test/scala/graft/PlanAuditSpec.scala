@@ -231,6 +231,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "quant error stats lost map-side partial aggregation")
   }
 
+  test("j5/j6: Expand multiplies the base aggregate, never the fact scan") {
+    // aggregate-before-expand: between Expand and the parquet scan there
+    // must be a HashAggregate (the base rollup); Expand directly over the
+    // scan replicates every fact row per grouping set
+    for (name <- Seq("j5_cube", "j6_grouping_sets")) {
+      val plan = planOf(name)
+      val ei = plan.indexOf("Expand")
+      val si = plan.indexOf("Scan parquet")
+      assert(ei >= 0 && si > ei, s"$name: expected Expand above the scan")
+      assert(plan.substring(ei, si).contains("HashAggregate"),
+        s"$name: Expand feeds off the raw scan — base aggregate missing")
+    }
+  }
+
   test("corpus_pack: one shard exchange feeds the streaming pack walk") {
     // secondary sort = repartition(shard) + sortWithinPartitions; a second
     // hash exchange means the walk lost its co-location

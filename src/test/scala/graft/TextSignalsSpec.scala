@@ -130,6 +130,26 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r7 == r)
   }
 
+  test("unigramDrift: hand-computed smoothed KL contributions over the union vocab") {
+    // A = {a, a, b}, B = {a, c}; vocab = {a,b,c}, nA=3, nB=2
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramDrift(docs, col("text"), inA = col("doc_id") % 2 === 0)
+      .orderBy("term").collect()
+    assert(r.length == 3)
+    def kl(ca: Long, cb: Long): Double = {
+      val pa = (ca + 1.0) / 6.0; val pb = (cb + 1.0) / 5.0
+      BigDecimal(pa * math.log(pa / pb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val a = r(0)
+    assert(a.getAs[String]("term") == "a" && a.getAs[Long]("c_a") == 2 && a.getAs[Long]("c_b") == 1)
+    assert(a.getAs[Double]("kl_term_ab") == kl(2, 1))
+    val b = r(1) // absent from B: smoothing keeps it finite
+    assert(b.getAs[Long]("c_b") == 0 && b.getAs[Double]("kl_term_ab") == kl(1, 0))
+    val c = r(2)
+    assert(c.getAs[Long]("c_a") == 0 && c.getAs[Double]("kl_term_ab") == kl(0, 1))
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
