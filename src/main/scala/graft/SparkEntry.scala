@@ -1553,6 +1553,28 @@ object SparkEntry {
       TextAnalysis.unigramDrift(Tables.documents(s, dir), col("text"),
           inA = col("doc_id") % 2 === 0)
         .orderBy(col("term"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Daily resample + gap-fill + forward-fill (Relational.gapFillDaily):
+    // dense per-user day grid, zero-filled counts, last observed daily
+    // sum carried across gaps. One scan; grid bounded per key.
+    "s5_gapfill" -> ((s, dir) => {
+      Relational.gapFillDaily(Tables.events(s, dir), col("user_id"), col("ts"),
+          col("value"))
+        .select(col("key").as("user_id"), col("bucket"), col("n_events"),
+          col("filled_sum"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // ---------------------------------------------------------------
+    // PageRank over the committed near-dup pair graph (Dedup.pageRank):
+    // importance weighting beside the CC membership queries. 5 power
+    // iterations; the oracle replays them as 5 chained CTEs.
+    "pagerank_neardup" -> ((s, dir) => {
+      Dedup.pageRank(s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet"),
+          iterations = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2885,7 +2907,47 @@ object SparkEntry {
         |SELECT term, c_a, c_b,
         |  ROUND(pa * LN(pa / pb), 9) AS kl_term_ab,
         |  ROUND(pb * LN(pb / pa), 9) AS kl_term_ba
-        |FROM p ORDER BY term""".stripMargin
+        |FROM p ORDER BY term""".stripMargin,
+
+    "s5_gapfill" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS b0,
+        |    date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS b1
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket FROM u),
+        |agg AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n_events,
+        |  LAST_VALUE(a.sv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled_sum
+        |FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "pagerank_neardup" -> {
+      val iterStep = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT dst AS doc_id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           |      + CAST(0.85 AS DOUBLE) * SUM(r.rank / a.deg) AS rank
+           |  FROM adj a JOIN $prev r ON a.src = r.doc_id GROUP BY dst)""".stripMargin
+      val iters = (1 to 5).map(i => iterStep(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT id1, id2 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+         |  WHERE id1 <> id2),
+         |sym AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT id1 AS src, id2 AS dst FROM e0
+         |    UNION ALL SELECT id2, id1 FROM e0)),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         |adj AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+         |nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM sym),
+         |r0 AS (SELECT DISTINCT src AS doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM sym),
+         |$iters
+         |SELECT doc_id, ROUND(rank, 9) AS rank FROM r5 ORDER BY doc_id""".stripMargin
+    }
     )
   }
 }

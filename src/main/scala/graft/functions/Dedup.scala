@@ -421,4 +421,45 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
+
+  /** PAGERANK over an undirected pair graph (`id1`,`id2` — e.g. the
+    * near-dup pair set): importance weighting for cluster
+    * representatives, beside [[connectedComponentsStar]]'s membership.
+    * Fixed `iterations` of the power method, damping `d`:
+    * `r ← (1−d)/N + d·Σ_in r/deg`. Undirected edges symmetrize, so
+    * there are no dangling nodes by construction.
+    *
+    * Shape at scale: per iteration ONE join of the rank frame with the
+    * degree-annotated edge list (keyed on the source id — AQE sizes it)
+    * and one partial-aggregated groupBy on the destination; the edge
+    * list with degrees is computed once and persisted, and each round's
+    * rank frame is lazily localCheckpoint'ed so lineage stays flat while
+    * the single action per round materializes the chain (the iterative-
+    * operator pattern shared with the CC and frontier loops). Returns
+    * `(doc_id, rank)`, rank rounded to 9dp at the END only.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col("id1"), col("id2")).filter(col("id1") =!= col("id2"))
+    val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = adj.select(col("src")).distinct().count()
+    val base = lit((1.0 - damping) / n)
+    var rank = adj.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      rank = adj.join(rank.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst"))
+        .agg((base + lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
+        .select(col("dst").as("doc_id"), col("rank"))
+        .localCheckpoint(false)
+      rank.count() // one action materializes the round's chain
+    }
+    rank.select(col("doc_id"), round(col("rank"), 9).as("rank"))
+  }
 }

@@ -330,6 +330,40 @@ object Relational {
       .filter(col("__keep")).drop("__keep")
   }
 
+  // ---------------------------------------------------------------- gap fill
+  /** TIME-SERIES RESAMPLE + GAP-FILL + FORWARD-FILL: per key, a dense
+    * daily grid from the key's first to last observation, the per-bucket
+    * event count (0 on silent days), and the last observed per-bucket sum
+    * carried forward across the gaps — the resampling step monitoring and
+    * feature pipelines run before any per-entity model sees the series.
+    *
+    * Shape at scale: ONE scan — the per-(key, bucket) aggregate is
+    * persisted and feeds both the grid bounds and the value join; the
+    * grid is `sequence(first, last, 1 day)` exploded per key, so its
+    * cardinality is bounded by the key's own time span (never a cross
+    * join against a global calendar); the forward fill is one
+    * `last(ignoreNulls)` window pass sharing the grid's key exchange.
+    * Returns `(key, bucket, n_events, filled_sum)`; `filled_sum` is never
+    * null (the grid starts at a real observation).
+    */
+  def gapFillDaily(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame = {
+    val agg = df
+      .select(key.as("key"), date_trunc("day", ts).as("bucket"), value.as("__v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("__n"), round(sum(col("__v")), 6).as("__sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = agg.groupBy(col("key"))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col("key"),
+        explode(sequence(col("__b0"), col("__b1"), expr("interval 1 day"))).as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        last(col("__sv"), ignoreNulls = true).over(w).as("filled_sum"))
+  }
+
   // ---------------------------------------------------------------- range join
   /** POINT-IN-INTERVAL JOIN via a bucketed equi-join — the scale path for
     * the non-equi `pt BETWEEN start AND end` theta-join Spark would

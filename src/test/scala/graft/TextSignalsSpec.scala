@@ -150,6 +150,37 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(c.getAs[Long]("c_a") == 0 && c.getAs[Double]("kl_term_ab") == kl(0, 1))
   }
 
+  test("gapFillDaily: dense grid, zero-filled counts, forward-filled sums") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 5), 2.0), (1L, ts(1, 9), 3.0), // day 1: n=2, sum 5
+      (1L, ts(4, 1), 7.0),                      // days 2-3 silent, day 4: sum 7
+      (2L, ts(2, 0), 1.0)                       // key 2: single day
+    ).toDF("user_id", "ts", "value")
+    val r = graft.operators.Relational.gapFillDaily(ev, col("user_id"), col("ts"), col("value"))
+      .orderBy("key", "bucket")
+      .select("key", "n_events", "filled_sum").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, 5.0), (1L, 0L, 5.0), (1L, 0L, 5.0), (1L, 1L, 7.0),
+      (2L, 1L, 1.0)))
+  }
+
+  test("pageRank: path-graph ordering, total mass conserved, partitioning-invariant") {
+    // path 1-2-3: middle node collects from both ends
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val r = graft.functions.Dedup.pageRank(edges, iterations = 5)
+      .orderBy("doc_id").collect()
+    val ranks = r.map(_.getAs[Double]("rank"))
+    assert(r.length == 3)
+    assert(ranks(1) > ranks(0) && ranks(1) > ranks(2), "middle of the path must rank highest")
+    assert(math.abs(ranks.sum - 1.0) < 1e-6, s"rank mass drifted: ${ranks.sum}")
+    assert(math.abs(ranks(0) - ranks(2)) < 1e-12, "symmetric ends must tie")
+    val r7 = graft.functions.Dedup.pageRank(edges.repartition(5), iterations = 5)
+      .orderBy("doc_id").collect().map(_.getAs[Double]("rank"))
+    assert(r7.toSeq == ranks.toSeq)
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
