@@ -1575,6 +1575,37 @@ object SparkEntry {
       Dedup.pageRank(s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet"),
           iterations = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    // date-filtered orders ⋈ shipdate-filtered lineitem → top-10 revenue
+    // orders. All three predicates push to the parquet scans
+    // (PlanAuditSpec), the dimension side broadcasts, sort+limit fuses to
+    // TakeOrderedAndProject. DECIMAL(18,6) revenue so top-10 ties are
+    // engine-exact.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__rev"))
+        .select(col("l_orderkey"),
+          round(col("__rev").cast("double"), 6).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"), col("__rev"))
+        .orderBy(col("__rev").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .drop("__rev")
     })
   )
 
@@ -2947,7 +2978,21 @@ object SparkEntry {
          |r0 AS (SELECT DISTINCT src AS doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM sym),
          |$iters
          |SELECT doc_id, ROUND(rank, 9) AS rank FROM r5 ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC,
+        |  o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin
     )
   }
 }

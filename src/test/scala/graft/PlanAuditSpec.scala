@@ -245,6 +245,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q3: predicates push to all three scans, top-10 fuses, dims broadcast") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+    assert("LessThan\\(o_orderdate".r.findFirstIn(plan).isDefined,
+      "order-date filter must reach the orders scan")
+    assert("GreaterThan\\(l_shipdate".r.findFirstIn(plan).isDefined,
+      "ship-date filter must reach the lineitem scan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 must fuse sort+limit")
+    assert(plan.contains("BroadcastHashJoin"), "filtered dimension side should broadcast")
+  }
+
   test("corpus_pack: one shard exchange feeds the streaming pack walk") {
     // secondary sort = repartition(shard) + sortWithinPartitions; a second
     // hash exchange means the walk lost its co-location
