@@ -374,19 +374,21 @@ object TextAnalysis {
     * contract as [[tfidfTopTerms]].
     */
   def bigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // the bigram keys on (w1, w2) — a concat'd "w1 w2" gram string would
+    // carry w1 through every exchange twice
     val bg = docs.select(id.as("doc_id"), terms(text).as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(col("doc_id"), explode(zip_with(
         slice(col("__toks"), lit(1), size(col("__toks")) - 1),
         slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-        (a, b) => struct(concat(a, lit(" "), b).as("gram"), a.as("w1")))).as("bg"))
-      .select(col("doc_id"), col("bg.gram").as("gram"), col("bg.w1").as("w1"))
-    val bf = bg.groupBy(col("doc_id"), col("gram"), col("w1"))
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m12 = bf.groupBy(col("gram")).agg(sum(col("tf")).as("c12"))
+    val m12 = bf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
     val m1 = bf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
-    bf.join(m12, "gram").join(m1, "w1")
+    bf.join(m12, Seq("w1", "w2")).join(m1, "w1")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * log(col("c1").cast("double") / col("c12"))).as("__nll"))
