@@ -1606,6 +1606,16 @@ object SparkEntry {
         .orderBy(col("__rev").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
         .drop("__rev")
+    }),
+
+    // ---------------------------------------------------------------
+    // Sliding windows (EventStreams.slidingCounts): 1-hour windows every
+    // 30 minutes — the third window kind beside w1 tumbling and w2
+    // session. The oracle expands each event's two covering windows
+    // explicitly.
+    "w5_sliding_window" -> ((s, dir) => {
+      EventStreams.slidingCounts(Tables.events(s, dir))
+        .orderBy(col("w_start"), col("event_type"))
     })
   )
 
@@ -2992,7 +3002,16 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC,
         |  o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "w5_sliding_window" ->
+      """WITH x AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE,
+        |            time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))]) AS w_start
+        |  FROM events)
+        |SELECT w_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
     )
   }
 }

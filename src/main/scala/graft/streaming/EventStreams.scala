@@ -27,6 +27,19 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes per event type — the third
+    * window kind beside tumbling (w1) and session (w2). Each event lands
+    * in length/slide = 2 overlapping windows; Spark's `window(ts, len,
+    * slide)` expands them at the scan (a 2× Generate, map-side), then the
+    * aggregation partial-combines as usual — no self-join of the stream
+    * against a window table. Batch/stream shared definition.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+
   /** Session windows (30-minute gap) per user — Spark's native
     * session_window (state cleaned by the watermark in streaming mode). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
@@ -165,6 +178,22 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     tumblingCounts(raw.withWatermark("ts", "10 minutes"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
+  /** [[slidingCounts]] as a real file-source stream (memory sink). */
+  def startSlidingStream(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    slidingCounts(raw.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("complete")
       .format("memory")

@@ -30,6 +30,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window stream equals the batch aggregate (every event in 2 windows)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchRows = EventStreams.slidingCounts(Tables.events(spark, dir)).collect()
+    val batch = batchRows
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // overlap sanity: the sliding expansion doubles the event mass
+    val nEvents = Tables.events(spark, dir).count()
+    assert(batchRows.map(_.getLong(2)).sum == 2 * nEvents)
+    val streamDir = java.nio.file.Files.createTempDirectory("events_sliding_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStreams.startSlidingStream(spark, streamDir.toString, "w5_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("w5_stream_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("within-watermark dedup stream equals the batch dedup on redelivered input") {
     val dir = "/root/testdata/sf0.001"
     // batch truth over the CLEAN table (dedup must undo redelivery exactly)
