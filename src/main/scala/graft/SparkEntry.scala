@@ -1616,6 +1616,47 @@ object SparkEntry {
     "w5_sliding_window" -> ((s, dir) => {
       EventStreams.slidingCounts(Tables.events(s, dir))
         .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // ---------------------------------------------------------------
+    // DATA-QUALITY CHECK REPORT (Deequ-style constraint suite): one scan
+    // of the fact table computes completeness (nulls), key uniqueness
+    // (count − distinct), and domain-bound violations as a one-row
+    // report — the validation pass a pipeline runs before publishing a
+    // snapshot. All map-side column math + one aggregate; the distinct
+    // key count is the only extra exchange.
+    "dq_checks" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("dup_pk_rows"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+          .as("qty_out_of_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("discount_out_of_range"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"))
+    }),
+
+    // ---------------------------------------------------------------
+    // DIVERSIFIED TOP-K — global top-10 quality docs with AT MOST 2 PER
+    // SOURCE (the diversity constraint curation applies so one domain
+    // can't fill the selection): per-source cap through TopKPerKey, then
+    // a global TakeOrdered over the ≤ 2·|sources| survivors. Both stages
+    // k-bounded; ordering on (rounded quality DESC, doc_id) is
+    // engine-exact.
+    "h6_diversified_topk" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      graft.plans.TopKPerKey.topKPerKey(docs,
+          keyCols = Seq("source"),
+          orderBy = Seq(("quality", false), ("doc_id", true)), k = 2)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -3011,7 +3052,36 @@ object SparkEntry {
         |            time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))]) AS w_start
         |  FROM events)
         |SELECT w_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
-        |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+        |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "dq_checks" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+        |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "h6_diversified_topk" ->
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    ROUND(
+        |      LEAST(LENGTH(regexp_extract_all(text, '\S+')) / 100.0, 1.0) * 0.4 +
+        |      (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |         ELSE CAST(LENGTH(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / LENGTH(text) END) * 5.0, 1.0)) * 0.3 +
+        |      LEAST((CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(LENGTH(list_filter(regexp_extract_all(LOWER(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+        |           / LENGTH(regexp_extract_all(LOWER(text), '\S+')) END) * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT doc_id, source, quality FROM r WHERE rn <= 2
+        |ORDER BY quality DESC, doc_id LIMIT 10""".stripMargin
     )
   }
 }

@@ -258,6 +258,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "filtered dimension side should broadcast")
   }
 
+  test("h6: diversity cap via the plan node, global top-10 fuses, no window") {
+    val plan = planOf("h6_diversified_topk")
+    assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
+      "per-source cap lost the custom physical operators")
+    assert(plan.contains("TakeOrderedAndProject"), "global top-10 must fuse sort+limit")
+    assert(!plan.contains("Window"), "diversified top-k fell back to a window rank")
+  }
+
   test("corpus_pack: one shard exchange feeds the streaming pack walk") {
     // secondary sort = repartition(shard) + sortWithinPartitions; a second
     // hash exchange means the walk lost its co-location
