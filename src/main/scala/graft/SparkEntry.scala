@@ -1657,6 +1657,42 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"))
         .orderBy(col("quality").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // ---------------------------------------------------------------
+    // 7-day MOVING AVERAGE over the gap-filled daily series — the bounded
+    // window FRAME (ROWS 6 PRECEDING) beside the unbounded frames of
+    // s1/s5. The frame walks each key's sorted partition once; same
+    // single key exchange as the gap-fill it rides on.
+    "s6_moving_avg" -> ((s, dir) => {
+      val daily = Relational.gapFillDaily(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("bucket")).rowsBetween(-6, 0)
+      daily.select(col("key").as("user_id"), col("bucket"), col("n_events"),
+          round(avg(col("filled_sum")).over(w), 6).as("ma7"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // ---------------------------------------------------------------
+    // COVARIANCE / CORRELATION MATRIX of the first 8 embedding dims —
+    // drift + redundancy analysis (near-±1 correlations flag dimensions
+    // quantization can fold together). Pair join keyed on vec_id expands
+    // d² per vector — the right shape for small d; a full-width matrix
+    // at scale would switch to one-pass Gram aggregation instead.
+    "emb_covariance" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("__d0", "x")))
+        .filter(col("__d0") < 8)
+        .select(col("vec_id"), (col("__d0") + 1).as("i"), col("x"))
+      val e2 = e.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
+      e.join(e2, "vec_id").filter(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(covar_pop(col("x"), col("y")), 9).as("cov"),
+          round(corr(col("x"), col("y")), 6).as("corr"))
+        .orderBy(col("i"), col("j"))
     })
   )
 
@@ -3081,7 +3117,41 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
         |  FROM q)
         |SELECT doc_id, source, quality FROM r WHERE rn <= 2
-        |ORDER BY quality DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY quality DESC, doc_id LIMIT 10""".stripMargin,
+
+    "s6_moving_avg" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS b0,
+        |    date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS b1
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket FROM u),
+        |agg AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n_events,
+        |    LAST_VALUE(a.sv IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled_sum
+        |  FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket)
+        |SELECT user_id, bucket, n_events,
+        |  ROUND(AVG(filled_sum) OVER (
+        |    PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+        |FROM daily ORDER BY user_id, bucket""".stripMargin,
+
+    "emb_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |f AS (SELECT vec_id, i, x FROM e WHERE i <= 8)
+        |SELECT a.i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  ROUND(COVAR_POP(a.x, b.x), 9) AS cov,
+        |  ROUND(CORR(a.x, b.x), 6) AS corr
+        |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin
     )
   }
 }
