@@ -181,6 +181,43 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r7.toSeq == ranks.toSeq)
   }
 
+  test("moving average over a gap-filled series: frame covers exactly the last 7 buckets") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // one event per day with value = day index; gaps absent
+    val ev = (1 to 10).map(d => (1L, ts(d), d.toDouble)).toDF("user_id", "ts", "value")
+    val daily = graft.operators.Relational.gapFillDaily(ev, col("user_id"), col("ts"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket")).rowsBetween(-6, 0)
+    val ma = daily.select(col("bucket"), round(avg(col("filled_sum")).over(w), 6).as("ma7"))
+      .orderBy("bucket").select("ma7").as[Double].collect()
+    assert(ma(0) == 1.0)            // first day: itself
+    assert(ma(6) == 4.0)            // days 1..7 -> mean 4
+    assert(ma(9) == 7.0)            // days 4..10 -> mean 7 (frame slid)
+  }
+
+  test("embedding covariance: diagonal is the variance, matrix upper-triangular") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 2.0f)), (3L, Seq(5.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SparkEntry.queries("emb_covariance")(spark, "/root/testdata/sf0.001")
+    assert(r.columns.toSeq == Seq("i", "j", "n_vecs", "cov", "corr"))
+    // hand case through the same shape on a local frame
+    val e = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d0", "x")))
+      .select(col("vec_id"), (col("d0") + 1).as("i"), col("x"))
+    val e2 = e.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
+    val m = e.join(e2, "vec_id").filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(covar_pop(col("x"), col("y")), 9).as("cov"))
+      .orderBy("i", "j").collect()
+    val byPair = m.map(r0 => ((r0.getInt(0), r0.getInt(1)), r0.getDouble(2))).toMap
+    assert(math.abs(byPair((1, 1)) - 8.0 / 3.0) < 1e-9) // var of {1,3,5} = 8/3
+    assert(byPair((2, 2)) == 0.0)                      // constant dim
+    assert(byPair((1, 2)) == 0.0)                      // cov with a constant
+    assert(m.forall(r0 => r0.getInt(0) <= r0.getInt(1)))
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
