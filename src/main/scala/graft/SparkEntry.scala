@@ -1693,6 +1693,16 @@ object SparkEntry {
           round(covar_pop(col("x"), col("y")), 9).as("cov"),
           round(corr(col("x"), col("y")), 6).as("corr"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Stream–static join (EventStreams.typeCountsByNation): lookup-table
+    // enrichment — the static nation side broadcasts per micro-batch,
+    // NO join state (contrast w4's stream-stream state). Batch form
+    // gated here; StreamingSpec pins stream ≡ batch.
+    "w6_stream_static" -> ((s, dir) => {
+      EventStreams.typeCountsByNation(Tables.events(s, dir), Tables.nation(s, dir))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -3151,7 +3161,12 @@ object SparkEntry {
         |  ROUND(COVAR_POP(a.x, b.x), 9) AS cov,
         |  ROUND(CORR(a.x, b.x), 6) AS corr
         |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin
+        |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin,
+
+    "w6_stream_static" ->
+      """SELECT n.n_name, COUNT(*) AS n, ROUND(SUM(e.value), 6) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
     )
   }
 }

@@ -40,6 +40,20 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
 
+  /** STREAM–STATIC JOIN: enrich the event stream with a static dimension
+    * (nation, keyed on `user_id mod 25`) and aggregate per nation name —
+    * the lookup-table enrichment every production stream runs. In
+    * streaming mode Spark re-reads/broadcasts the static side per
+    * micro-batch with NO join state (unlike stream-stream w4); the batch
+    * form is the same definition, so the oracle gates both.
+    */
+  def typeCountsByNation(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .withColumn("__nkey", pmod(col("user_id"), lit(25L)))
+      .join(nation.select(col("n_nationkey").as("__nkey"), col("n_name")), "__nkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+
   /** Session windows (30-minute gap) per user — Spark's native
     * session_window (state cleaned by the watermark in streaming mode). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
@@ -178,6 +192,24 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     tumblingCounts(raw.withWatermark("ts", "10 minutes"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
+  /** [[typeCountsByNation]] as a real file-source stream joined to the
+    * static nation table (memory sink, complete mode). */
+  def startStreamStaticJoin(spark: SparkSession, dir: String, nation: DataFrame,
+      name: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    typeCountsByNation(raw.withWatermark("ts", "10 minutes"), nation)
       .writeStream
       .outputMode("complete")
       .format("memory")

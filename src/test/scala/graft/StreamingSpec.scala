@@ -52,6 +52,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join equals the batch enrichment (no join state needed)") {
+    val dir = "/root/testdata/sf0.001"
+    val nation = Tables.nation(spark, dir)
+    val batch = EventStreams.typeCountsByNation(Tables.events(spark, dir), nation)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("events_static_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStreams.startStreamStaticJoin(spark, streamDir.toString, nation,
+      "w6_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("w6_stream_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("within-watermark dedup stream equals the batch dedup on redelivered input") {
     val dir = "/root/testdata/sf0.001"
     // batch truth over the CLEAN table (dedup must undo redelivery exactly)
