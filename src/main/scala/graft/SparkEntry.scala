@@ -973,7 +973,9 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -2309,7 +2311,8 @@ object SparkEntry {
 
     "w1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start, event_type,
-        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "char_shingles" ->
@@ -2628,7 +2631,8 @@ object SparkEntry {
         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
         |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+        |  user_id, COUNT(*) AS n_events,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
@@ -2803,14 +2807,14 @@ object SparkEntry {
     "corpus_sample_stratified" ->
       """WITH b AS (
         |  SELECT lang, n_chars,
-        |    (list_reduce(
+        |    (((((list_reduce(
         |       list_prepend(CAST(0 AS BIGINT),
         |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
         |           c -> CAST(ord(c) AS BIGINT))),
         |       (acc, c) -> (acc * 31 + c) % 144115188075855859)
-        |     % 1000003 * 2654435761 % 1000000007 % 1000) AS bucket
+        |     % 1000003) * 2654435761) % 1000000007) % 1000)) AS bucket
         |  FROM documents)
-        |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -2851,7 +2855,8 @@ object SparkEntry {
         |m AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM m)
         |SELECT t.doc_id, COUNT(*) AS n_terms,
-        |  ROUND(SUM(LN((SELECT total FROM tot) / cnt)) / COUNT(*), 6) AS avg_nll
+        |  ROUND(CAST(SUM(CAST(ROUND(LN((SELECT total FROM tot) / cnt) * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000 / COUNT(*), 6) AS avg_nll
         |FROM t JOIN m USING (term)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
@@ -2879,7 +2884,7 @@ object SparkEntry {
         |  SELECT doc_id, gram AS top_bigram, c AS top_bc
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM bf)
         |  WHERE rn = 1)
-        |SELECT u.doc_id, u.n_terms,
+        |SELECT u.doc_id, CAST(u.n_terms AS BIGINT) AS n_terms,
         |  ROUND(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_terms, 6) AS dup_word_frac,
         |  topu.top_word,
         |  ROUND(CAST(topu.top_c AS DOUBLE) / u.n_terms, 6) AS top_word_frac,
@@ -2917,8 +2922,9 @@ object SparkEntry {
         |bf AS (SELECT doc_id, gram, w1, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
         |m12 AS (SELECT gram, SUM(tf) AS c12 FROM bf GROUP BY 1),
         |m1 AS (SELECT w1, SUM(tf) AS c1 FROM bf GROUP BY 1)
-        |SELECT bf.doc_id, SUM(tf) AS n_bigrams,
-        |  ROUND(SUM(tf * LN(CAST(c1 AS DOUBLE) / c12)) / SUM(tf), 6) AS avg_nll
+        |SELECT bf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(tf * CAST(ROUND(LN(CAST(c1 AS DOUBLE) / c12) * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000 / CAST(SUM(tf) AS BIGINT), 6) AS avg_nll
         |FROM bf JOIN m12 USING (gram) JOIN m1 USING (w1)
         |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
 
@@ -3046,7 +3052,8 @@ object SparkEntry {
         |grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket FROM u),
         |agg AS (
         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sv
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sv
         |  FROM events GROUP BY 1, 2)
         |SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n_events,
         |  LAST_VALUE(a.sv IGNORE NULLS) OVER (
@@ -3097,7 +3104,8 @@ object SparkEntry {
         |    unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE,
         |            time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))]) AS w_start
         |  FROM events)
-        |SELECT w_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "dq_checks" ->
@@ -3138,7 +3146,8 @@ object SparkEntry {
         |grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket FROM u),
         |agg AS (
         |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sv
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sv
         |  FROM events GROUP BY 1, 2),
         |daily AS (
         |  SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n_events,
@@ -3164,7 +3173,8 @@ object SparkEntry {
         |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin,
 
     "w6_stream_static" ->
-      """SELECT n.n_name, COUNT(*) AS n, ROUND(SUM(e.value), 6) AS sum_value
+      """SELECT n.n_name, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
     )

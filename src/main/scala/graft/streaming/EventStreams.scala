@@ -21,11 +21,16 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  // All value sums below aggregate in DECIMAL(18,6): decimal addition is
+  // exact and associative, so the merged total is bit-identical whatever
+  // order partitions (or micro-batches) combine in — a raw double Σ can
+  // flip its 6th decimal with partition order and break the driver gate.
+
   /** Tumbling 1-hour window counts per event type — batch/stream shared. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
 
   /** Sliding 1-hour windows every 30 minutes per event type — the third
     * window kind beside tumbling (w1) and session (w2). Each event lands
@@ -38,7 +43,7 @@ object EventStreams {
     events
       .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("w_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
 
   /** STREAM–STATIC JOIN: enrich the event stream with a static dimension
     * (nation, keyed on `user_id mod 25`) and aggregate per nation name —
@@ -52,14 +57,14 @@ object EventStreams {
       .withColumn("__nkey", pmod(col("user_id"), lit(25L)))
       .join(nation.select(col("n_nationkey").as("__nkey"), col("n_name")), "__nkey")
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
 
   /** Session windows (30-minute gap) per user — Spark's native
     * session_window (state cleaned by the watermark in streaming mode). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sum_value"))
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
