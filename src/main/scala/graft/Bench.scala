@@ -42,6 +42,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Durable per-query timing map (name-sorted, one entry per line) — the
+    // driver archives only a truncated tail of stdout, which made round-
+    // over-round regressions unattributable without tail archaeology.
+    val sorted = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"""  "$k": $v%.6f""" }.mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), sorted)
     spark.stop()
   }
 }

@@ -1698,6 +1698,19 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // FULL-WIDTH (d=64) covariance/correlation matrix through the
+    // single-pass GramAggregator — the scale path emb_covariance's d=8
+    // pair-join documents: one (n, Σx, Σxᵢxⱼ) buffer per partition
+    // crosses the exchange instead of d² rows per vector. The oracle
+    // re-derives every cell from the raw pair join in DuckDB with the
+    // SAME operation order (Σxy/n − (Σx/n)(Σy/n)), so the one-pass
+    // buffers must merge to exactly the textbook sums.
+    "emb_covariance_gram" -> ((s, dir) => {
+      Similarity.covarianceMatrixGram(Tables.embeddings(s, dir), col("embedding"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // ---------------------------------------------------------------
     // Stream–static join (EventStreams.typeCountsByNation): lookup-table
     // enrichment — the static nation side broadcasts per micro-batch,
     // NO join state (contrast w4's stream-stream state). Batch form
@@ -3170,6 +3183,22 @@ object SparkEntry {
         |  ROUND(COVAR_POP(a.x, b.x), 9) AS cov,
         |  ROUND(CORR(a.x, b.x), 6) AS corr
         |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin,
+
+    "emb_covariance_gram" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT a.i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  ROUND(SUM(a.x * b.x) / COUNT(*)
+        |        - (SUM(a.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)), 9) AS cov,
+        |  ROUND((SUM(a.x * b.x) / COUNT(*)
+        |         - (SUM(a.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)))
+        |        / NULLIF(SQRT(
+        |            (SUM(a.x * a.x) / COUNT(*) - (SUM(a.x) / COUNT(*)) * (SUM(a.x) / COUNT(*)))
+        |          * (SUM(b.x * b.x) / COUNT(*) - (SUM(b.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)))), 0), 6) AS corr
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin,
 
     "w6_stream_static" ->

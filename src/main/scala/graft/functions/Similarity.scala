@@ -250,4 +250,29 @@ object Similarity {
         round(stddev_pop(col("x")), 6).as("std_val"),
         min(col("x")).as("min_val"),
         max(col("x")).as("max_val"))
+
+  /** FULL-WIDTH COVARIANCE/CORRELATION MATRIX in one pass — rides
+    * [[graft.operators.GramAggregator]]: per partition ONE
+    * `(n, Σxᵢ, Σxᵢxⱼ)` buffer (~17 KB at d=64) crosses the exchange, so
+    * the cost is O(rows · d²) flops map-side and O(partitions · d²)
+    * shuffle bytes — never the d²-per-vector row explosion of the
+    * pair-join form (kept as `emb_covariance`'s d=8 cross-check). The d²
+    * explode below runs on the SINGLE merged result row.
+    *
+    * Returns `(i, j, n_vecs, cov, corr)` for 1-based dims i ≤ j; corr is
+    * NULL where a dimension has zero variance. cov rounds to 9dp, corr to
+    * 6dp (partition-order Σ jitter ~1e-13 relative sits far inside both).
+    */
+  def covarianceMatrixGram(emb: DataFrame, vec: Column): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .as[Array[Double]]
+      .select(new graft.operators.GramAggregator().toColumn)
+      .toDF("g") // typed select flattens GramCells to its one field: the array
+      .select(explode(col("g")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n_vecs").as("n_vecs"),
+        round(col("c.cov"), 9).as("cov"), round(col("c.corr"), 6).as("corr"))
+  }
 }

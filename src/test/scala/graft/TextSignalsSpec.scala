@@ -218,6 +218,46 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(m.forall(r0 => r0.getInt(0) <= r0.getInt(1)))
   }
 
+  test("gram covariance: one-pass matrix equals the pair-join form, " +
+      "zero-variance corr is null, partitioning-invariant") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f, -1.5f)), (2L, Seq(3.0f, 2.0f, 0.5f)),
+      (3L, Seq(5.0f, 2.0f, 4.25f)), (4L, Seq(-2.0f, 2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val gram = Similarity.covarianceMatrixGram(emb, col("embedding"))
+      .orderBy("i", "j").collect()
+    // pair-join reference (the emb_covariance shape) on the same frame
+    val e = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d0", "x")))
+      .select(col("vec_id"), (col("d0") + 1).as("i"), col("x"))
+    val e2 = e.select(col("vec_id"), col("i").as("j"), col("x").as("y"))
+    val ref = e.join(e2, "vec_id").filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(covar_pop(col("x"), col("y")), 9).as("cov"),
+        // corr() divides by zero on the constant dim under ANSI - guard
+        round(when(stddev_pop(col("x")) * stddev_pop(col("y")) === 0.0, lit(null))
+          .otherwise(covar_pop(col("x"), col("y"))
+            / (stddev_pop(col("x")) * stddev_pop(col("y")))), 6).as("corr"))
+      .orderBy("i", "j").collect()
+    assert(gram.length == 6 && ref.length == 6) // upper triangle of d=3
+    gram.zip(ref).foreach { case (g, r) =>
+      assert(g.getInt(0) == r.getInt(0) && g.getInt(1) == r.getInt(1))
+      assert(g.getLong(2) == r.getLong(2))
+      assert(math.abs(g.getDouble(3) - r.getDouble(3)) < 1e-9)
+      // dim 2 is constant: corr undefined -> gram NULL, Spark corr() NaN
+      if (r.isNullAt(4) || r.getDouble(4).isNaN) assert(g.isNullAt(4))
+      else assert(math.abs(g.getDouble(4) - r.getDouble(4)) < 1e-6)
+    }
+    // merge order must not change a single emitted value
+    val repart = Similarity.covarianceMatrixGram(emb.repartition(7), col("embedding"))
+      .orderBy("i", "j").collect()
+    assert(repart.map(_.toString).toSeq == gram.map(_.toString).toSeq)
+    // empty input -> empty matrix, no crash
+    assert(Similarity.covarianceMatrixGram(
+      emb.filter(col("vec_id") < 0), col("embedding")).count() == 0)
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
