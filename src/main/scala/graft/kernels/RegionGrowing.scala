@@ -210,30 +210,69 @@ object RegionGrowing {
   }
 
   /** G2 distributed — the adaptive threshold loop (`region_growing.py:
-    * 100-147`) over the frontier-join variant, adapted PER IMAGE like the
-    * reference: undersized images (< minFrac·pixels) re-grow at θ+0.05 up
-    * to maxThreshold; images oversized after that (> maxFrac·pixels)
-    * restart from the initial θ stepping down 0.01 while still oversized
-    * and θ > 0.01. The driver holds only (image_id → θ) metadata — one
-    * frontierJoin job per adaptation round over the still-adapting subset,
-    * never a per-pixel collect.
+    * 100-147`) re-expressed as ONE labeled BFS instead of one grow pass
+    * per θ step.
+    *
+    * Key identity: the reference's region at threshold θ is the connected
+    * component of `{p : |v(p)−v(seed)|/255 ≤ θ}` containing the seed —
+    * equivalently `{p : m(p) ≤ θ}` where `m(p)` is the MINIMAX PATH DELTA
+    * (the minimum over seed→p paths of the maximum per-pixel delta along
+    * the path, a bottleneck-shortest-path label). So a SINGLE
+    * label-propagating BFS over the widest band computes the mask at
+    * EVERY θ simultaneously, and the whole adaptation schedule —
+    * per-image escalation `while size < minSize and θ < maxθ: θ += 0.05`
+    * (checked before increment, so θ may overshoot maxθ by one step,
+    * `region_growing.py:134-136`), the shrink restart stepping θ₀ down by
+    * 0.01 while oversized, and the θ-floor keep-last-mask fallback
+    * (`region_growing.py:138-145`) — collapses to a per-image θ selection
+    * over an (images × |θ grid|)-row size table. Selection equivalence
+    * rests on mask(θ) ⊆ mask(θ′) for θ ≤ θ′ (band monotonicity): "first
+    * not-undersized ascending" = min such θ, "first not-oversized
+    * descending" = max such θ.
+    *
+    * Labels are exact (max of per-pixel deltas — no accumulation), so
+    * `m(p) ≤ θ` reproduces the per-pass `delta ≤ θ` filters bit-for-bit.
+    * A round expands only last round's IMPROVED labels (delta iteration);
+    * a label can improve after first assignment (a longer path with a
+    * smaller bottleneck), which plain visited-set BFS would miss. The
+    * driver holds only the θ grids and loop counters; per round ONE
+    * action (the improved count) materializes the lazy checkpoints.
+    * Replaces the former ~(escalation + shrink)-pass frontierJoin
+    * schedule: ~10× fewer Spark jobs, one pixel scan either way.
     *
     * Returns converged masks `(image_id, y, x)` (no morphology — the
     * frontier variant's documented divergence).
     */
   def adaptiveFrontier(pixels: DataFrame, seeds: DataFrame,
       initialThreshold: Double = 0.1, maxThreshold: Double = 0.3,
-      connectivity: Int = 8, minFrac: Double = 0.005, maxFrac: Double = 0.3): DataFrame = {
-    // Per-image state (pixel counts, mask sizes, pending/oversized sets)
-    // lives in DATAFRAMES keyed by image_id — the driver holds only the
-    // global θ scalar and bounded-round DataFrame handles, so plan size and
-    // driver memory are independent of the image count. The θ schedule is
-    // global (every still-adapting image re-grows at the same θ), so the
-    // loop trip count is bounded by the θ grid (~(maxθ−θ₀)/0.05 + θ₀/0.01
-    // rounds), never by the number of images.
-    // every loop frame below is a LAZY checkpoint: the one loop-condition
-    // action per round (`isEmpty` on the adapt set) materializes the whole
-    // round's chain, instead of an eager-checkpoint job per frame
+      connectivity: Int = 8, minFrac: Double = 0.005, maxFrac: Double = 0.3,
+      hops: Int = 4, maxRounds: Int = 10000,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val offsets =
+      if (connectivity == 4) Seq((-1, 0), (0, 1), (1, 0), (0, -1))
+      else Seq((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+
+    // θ grids built by the SAME repeated float additions as the reference's
+    // sequential loops, so grid values (and every m ≤ θ comparison) are
+    // bit-identical to what the pass-per-θ form would have used.
+    val escGrid = {
+      val b = scala.collection.mutable.ArrayBuffer(initialThreshold)
+      var t = initialThreshold
+      while (t < maxThreshold - 1e-9) { t += 0.05; b += t }
+      b.toSeq
+    }
+    val shrinkGrid = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var t = initialThreshold
+      while (t - 0.01 > 0.01 - 1e-9) { t -= 0.01; b += t }
+      b.toSeq
+    }
+    val thetaGrid = (escGrid ++ shrinkGrid).distinct
+
+    // Per-image state lives in DATAFRAMES keyed by image_id — the driver
+    // holds only θ grids and loop counters, so plan size and driver memory
+    // are independent of the image count. Lazy checkpoints throughout: the
+    // one action per round (improved count) materializes the round's chain.
     val pxCounts = pixels.groupBy(col("image_id"))
       .agg(count(lit(1)).as("n_px")).localCheckpoint(false)
 
@@ -253,76 +292,110 @@ object RegionGrowing {
       .filter(col("delta") <= maxTheta)
       .select(col("image_id"), col("y"), col("x"), col("delta"))
       .localCheckpoint(false)
+    val poolBc =
+      if (pool.count() <= maxBroadcastRows) broadcast(pool) else pool
 
-    // `from`: masks already grown at a NARROWER band — escalation resumes
-    // the BFS from them instead of re-walking the whole region from the
-    // seed (sound because the band is monotone in θ; see frontierJoin).
-    // Phase 2's shrink passes never reuse (the band contracts there).
-    def growSubset(ids: DataFrame, theta: Double,
-        from: Option[DataFrame] = None): DataFrame =
-      frontierJoin(
-        pixels.join(ids, Seq("image_id"), "left_semi"),
-        seeds.join(ids, Seq("image_id"), "left_semi"),
-        theta, connectivity,
-        initial = from.map(_.join(ids, Seq("image_id"), "left_semi")),
-        admissiblePool = Some(pool.join(ids, Seq("image_id"), "left_semi")))
-    // (image_id, n_mask, over/under flags) for one grown round
-    def sized(grown: DataFrame): DataFrame =
-      grown.groupBy(col("image_id")).agg(count(lit(1)).as("n_mask"))
-        .join(pxCounts, "image_id")
-        .select(col("image_id"), col("n_mask"),
-          (col("n_mask") < col("n_px") * minFrac).as("under"),
-          (col("n_mask") > col("n_px") * maxFrac).as("over"))
-
-    // phase 1: initial grow, escalate undersized (`while size < minSize
-    // and θ < maxθ: θ += 0.05; regrow`). An image settles the round it
-    // stops being undersized — or the round θ tops out.
-    var theta = initialThreshold
-    var pending = pxCounts.select(col("image_id")).localCheckpoint(false)
-    var settled: DataFrame = null
-    var fromMasks: Option[DataFrame] = None
-    var done = false
-    while (!done) {
-      val grown = growSubset(pending, theta, fromMasks).localCheckpoint(false)
-      val sz = sized(grown).localCheckpoint(false)
-      val undersizedIds = sz.filter(col("under")).select(col("image_id")).localCheckpoint(false)
-      // reference checks θ < maxθ BEFORE incrementing, so θ may overshoot
-      // maxθ by one step (region_growing.py:134-136) — preserved
-      val escalate = theta < maxThreshold - 1e-9 && !undersizedIds.isEmpty
-      val settleNow =
-        if (escalate) grown.join(undersizedIds, Seq("image_id"), "left_anti")
-        else grown
-      settled = if (settled == null) settleNow else settled.union(settleNow)
-      if (escalate) { theta += 0.05; pending = undersizedIds; fromMasks = Some(grown) }
-      else done = true
+    // ---- minimax-label BFS: best(p) converges to m(p) over the pool.
+    // Seeds start at m = 0 (delta(seed) = 0 by construction) and — like
+    // the layer-BFS form — appear in the output even when the seed
+    // coordinate is missing from the pixel table.
+    val seed0 = seeds.select(col("image_id"), col("seed_y").as("y"),
+        col("seed_x").as("x"), lit(0.0).as("m"))
+      .localCheckpoint(false)
+    var best = seed0
+    var frontier = seed0
+    var frontierSize = frontier.count()
+    var round = 0
+    while (frontierSize > 0 && round < maxRounds) {
+      // `hops` label expansions chained in ONE plan per round (same fixed-
+      // cost amortization as frontierJoin): each hop joins the candidate
+      // neighbours against the band pool and extends the bottleneck label
+      // with the hop pixel's delta; a per-hop min-combine keeps the chain
+      // from widening multiplicatively.
+      var cur = frontier
+      var acc: DataFrame = null
+      for (_ <- 1 to hops) {
+        cur = cur.select(col("image_id"), col("m"),
+            explode(array(offsets.map { case (dy, dx) =>
+              struct((col("y") + dy).as("y"), (col("x") + dx).as("x"))
+            }: _*)).as("n"))
+          .select(col("image_id"), col("n.y").as("y"), col("n.x").as("x"), col("m"))
+          .join(poolBc, Seq("image_id", "y", "x"))
+          .select(col("image_id"), col("y"), col("x"),
+            greatest(col("m"), col("delta")).as("m"))
+        acc = if (acc == null) cur else acc.union(cur)
+      }
+      // ONE min-combine per round (the hop joins above are map-side under
+      // the broadcast cap, so the round pays a single exchange here)
+      val candidate = acc.groupBy(col("image_id"), col("y"), col("x"))
+        .agg(min(col("m")).as("m"))
+      // delta iteration: only pixels whose label IMPROVED feed next round
+      val improved = candidate
+        .join(best.withColumnRenamed("m", "__bm"), Seq("image_id", "y", "x"), "left")
+        .filter(col("__bm").isNull || col("m") < col("__bm"))
+        .select(col("image_id"), col("y"), col("x"), col("m"))
+        .localCheckpoint(false)
+      frontierSize = improved.count() // the round's ONE action
+      if (frontierSize > 0) {
+        best = best.join(improved, Seq("image_id", "y", "x"), "left_anti")
+          .union(improved)
+          .localCheckpoint(false) // lazy; materialized by next round's count
+        frontier = improved
+      }
+      round += 1
     }
-    settled = settled.localCheckpoint(false)
 
-    // phase 2: shrink oversized, restarting from the initial threshold.
-    // Still-oversized images when θ hits the floor keep their last grown
-    // mask, exactly like the per-image reference loop.
-    var shrinkTheta = initialThreshold
-    var oversizedIds = sized(settled).filter(col("over"))
-      .select(col("image_id")).localCheckpoint(false)
-    var result = settled.join(oversizedIds, Seq("image_id"), "left_anti")
-    // Seed the θ-floor fallback with the PHASE-1 masks: the per-image
-    // reference keeps whatever mask the last grow produced when the shrink
-    // loop admits no pass (`region_growing.py:138-145`). With θ₀ ≤ 0.02 the
-    // while guard below is false on entry, `lastGrown` would stay empty,
-    // and the oversized images — already anti-joined out of `result` —
-    // would silently vanish from the output.
-    var lastGrown: DataFrame = settled
-    while (!oversizedIds.isEmpty && shrinkTheta - 0.01 > 0.01 - 1e-9) {
-      shrinkTheta -= 0.01
-      val grown = growSubset(oversizedIds, shrinkTheta).localCheckpoint(false)
-      val stillOver = sized(grown).filter(col("over"))
-        .select(col("image_id")).localCheckpoint(false)
-      result = result.union(grown.join(stillOver, Seq("image_id"), "left_anti"))
-      oversizedIds = stillOver
-      lastGrown = grown
-    }
-    if (!oversizedIds.isEmpty)
-      result = result.union(lastGrown.join(oversizedIds, Seq("image_id"), "left_semi"))
-    result
+    // ---- size table: |mask(θ)| per (image, grid θ). Each labeled pixel
+    // buckets to the SMALLEST grid θ admitting it (map-side CASE chain),
+    // so the cumulative sums below run on an (images × |grid|)-row frame,
+    // never the pixel stream.
+    val bucketExpr = thetaGrid.sorted.reverse
+      .foldLeft(lit(null).cast("double")) { (acc, t) =>
+        when(col("m") <= t, lit(t)).otherwise(acc)
+      }
+    val perBucket = best.select(col("image_id"), bucketExpr.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("image_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val thetaLit = array(thetaGrid.map(lit): _*)
+    val sizeTable = pxCounts
+      .select(col("image_id"), col("n_px"), explode(thetaLit).as("theta"))
+      .join(perBucket, Seq("image_id"), "left")
+      .groupBy(col("image_id"), col("n_px"), col("theta"))
+      .agg(sum(when(col("bucket") <= col("theta"), col("cnt")).otherwise(0L))
+        .as("n_mask"))
+      .select(col("image_id"), col("theta"),
+        (coalesce(col("n_mask"), lit(0L)) < col("n_px") * minFrac).as("under"),
+        (coalesce(col("n_mask"), lit(0L)) > col("n_px") * maxFrac).as("over"))
+      .localCheckpoint(false)
+
+    // ---- phase-1 selection: settle at the FIRST escalation θ that is not
+    // undersized (= min, by band monotonicity), else the schedule's last θ
+    // (which may overshoot maxθ by one step — the reference's quirk).
+    val theta1 = sizeTable.filter(col("theta").isInCollection(escGrid))
+      .groupBy(col("image_id"))
+      .agg(coalesce(min(when(!col("under"), col("theta"))), lit(escGrid.last))
+        .as("theta1"))
+    // ---- phase-2 selection, for images oversized at their settle θ:
+    // largest shrink-grid θ not oversized (= first not-over descending);
+    // all-over keeps the floor θ's mask, exactly the keep-last-grown
+    // fallback; an EMPTY shrink grid (θ₀ ≤ 0.02) keeps the phase-1 mask.
+    val withOver1 = theta1.join(sizeTable, Seq("image_id"))
+      .filter(col("theta") === col("theta1"))
+      .select(col("image_id"), col("theta1"), col("over").as("over1"))
+    val thetaStar =
+      if (shrinkGrid.isEmpty) withOver1.select(col("image_id"), col("theta1").as("theta_star"))
+      else {
+        val theta2 = sizeTable.filter(col("theta").isInCollection(shrinkGrid))
+          .groupBy(col("image_id"))
+          .agg(coalesce(max(when(!col("over"), col("theta"))), lit(shrinkGrid.min))
+            .as("theta2"))
+        withOver1.join(theta2, Seq("image_id"), "left")
+          .select(col("image_id"),
+            when(col("over1"), col("theta2")).otherwise(col("theta1")).as("theta_star"))
+      }
+
+    best.join(thetaStar.hint("broadcast"), "image_id")
+      .filter(col("m") <= col("theta_star"))
+      .select(col("image_id"), col("y"), col("x"))
   }
 }
