@@ -32,7 +32,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries persist shared intermediates (dedup signatures etc.) —
       // drop them so later timings aren't skewed by eviction/GC pressure
-      spark.catalog.clearCache()
+      GraftCaches.unpersistAll()
       dt
     }
     val results = selected.map { case (name, fn) =>

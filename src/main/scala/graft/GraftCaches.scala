@@ -1,0 +1,72 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-lifetime registry of every DataFrame the graft pipelines
+  * persist internally — the CLEANUP HANDLE for the library's cache
+  * contract.
+  *
+  * Pipelines like `Dedup.minHashDedupPairs` or `TextAnalysis.tfidfTopTerms`
+  * persist shared intermediates and return LAZY frames: they cannot
+  * unpersist before the caller materializes, and eagerly materializing
+  * inside the library would hide the plan from callers (and plan audits).
+  * Previously callers had to `spark.catalog.clearCache()` between runs,
+  * which also evicts caches the USER created. Registering every internal
+  * persist here lets a long-lived session (notebook, Thrift server, the
+  * bench/verify loops) release exactly the library's caches:
+  *
+  * {{{
+  *   val top = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), 3)
+  *   top.write.parquet(out)      // materializes; internal caches now dead
+  *   GraftCaches.unpersistAll()  // releases them; user caches untouched
+  * }}}
+  *
+  * References are STRONG deliberately: the internal frame object is
+  * unreachable the moment the pipeline returns (only its plan survives
+  * inside the returned frame), while Spark's CacheManager keeps the cached
+  * data alive regardless — a weak ref would be collected and strand the
+  * cache entry forever. The registry is the one place that can still reach
+  * it; entries live only until the next `unpersistAll`, and each is a few
+  * hundred bytes of wrapper object, not data. `unpersistAll` is async
+  * (`blocking = false`) — block eviction proceeds in the background exactly
+  * as with `DataFrame.unpersist()`.
+  */
+object GraftCaches {
+
+  private val frames = new ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` at `level` (the library default MEMORY_AND_DISK — image
+    * and shingle intermediates are bigger than memory at scale) and
+    * register it for [[unpersistAll]]. Returns `df` for chaining. */
+  def persisted(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    frames.add(df)
+    df
+  }
+
+  /** Unpersist every registered frame and clear the registry. Never
+    * touches caches the user created directly. */
+  def unpersistAll(): Unit = {
+    var df = frames.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = frames.poll()
+    }
+  }
+
+  /** Frames currently registered (persisted but not yet released) —
+    * observability for tests and session debugging. */
+  def registeredCount(): Int = frames.size()
+
+  /** Postfix form for pipeline chains: `frame.persistTracked()` ==
+    * `GraftCaches.persisted(frame)`. */
+  implicit final class Persistable(private val df: DataFrame) extends AnyVal {
+    def persistTracked(
+        level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+      persisted(df, level)
+  }
+}

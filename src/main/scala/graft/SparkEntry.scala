@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.GraftCaches.Persistable
 import graft.kernels.{ImageOps, RegionGrowing}
 import graft.sources.Tables
 import graft.streaming.EventStreams
@@ -483,7 +484,7 @@ object SparkEntry {
     // two consumers), the semi-join is keyed so AQE sizes it.
     "corpus_curation" -> ((s, dir) => {
       val a = TextAnalysis.analyze(Tables.documents(s, dir), col("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val canon = a.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       a.join(canon, Seq("fp", "doc_id"), "left_semi")
         .filter(col("quality") >= 0.5)
@@ -539,7 +540,7 @@ object SparkEntry {
       // callers clearCache between runs per the Dedup/Similarity contract)
       val a = TextAnalysis.analyze(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("lang_pred"), col("quality"), col("n_tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val qHist = a.groupBy(col("lang_pred"), col("quality")).agg(count(lit(1)).as("cnt"))
       val qq = qHist.groupBy(col("lang_pred")).agg(
         sum(col("cnt")).as("n_docs"),
@@ -599,6 +600,33 @@ object SparkEntry {
         .select(col("doc_id"),
           size(Dedup.charShinglesFromNormalized(col("__norm"), 5)).cast("long").as("n_char_shingles"),
           size(Dedup.shinglesFromTokens(col("__toks"), 3)).cast("long").as("n_word_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: UNICODE char shingles — the char-shingle path on the
+    // scripts it exists FOR (CJK / Thai / Cyrillic / accented Latin),
+    // normalized with the \p{L}\p{M}\p{N} class so non-Latin letters and
+    // combining marks survive where the ASCII normalizer would blank the
+    // document. Inline multilingual fixture (identical VALUES in the
+    // oracle); the oracle re-derives normalization + distinct 3-shingle
+    // counts with DuckDB's RE2 + list algebra — independent regex engine,
+    // same category classes.
+    "char_shingles_unicode" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, "深度学习模型的训练数据质量"),
+        (2L, "深度学习模型的预训练语料库"),
+        (3L, "ข้อมูลการฝึกอบรมโมเดลภาษา"),
+        (4L, "Qualité des données d'entraînement: été, Çà!"),
+        (5L, "Обучение языковых моделей"),
+        (6L, "MIXED text 混合テキスト 123"))
+        .toDF("doc_id", "text")
+        .withColumn("__norm", TextAnalysis.normalizeTextUnicode(col("text")))
+        .select(col("doc_id"),
+          length(col("__norm")).cast("long").as("norm_len"),
+          size(Dedup.charShinglesFromNormalized(col("__norm"), 3))
+            .cast("long").as("n_char_shingles"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1340,7 +1368,7 @@ object SparkEntry {
           round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
         .join(labels, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val rep = graft.plans.TopKPerKey.topKPerKey(member,
           keyCols = Seq("cluster_id"),
           orderBy = Seq(("quality", false), ("doc_id", true)), k = 1)
@@ -1376,7 +1404,7 @@ object SparkEntry {
       val dt = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextAnalysis.terms(col("text"))).as("term"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
       val sample = graft.plans.TopKPerKey.topKPerKey(dt,
           keyCols = Seq("term"), orderBy = Seq(("doc_id", true)), k = 5)
@@ -1723,6 +1751,40 @@ object SparkEntry {
     "w6_stream_static" -> ((s, dir) => {
       EventStreams.typeCountsByNation(Tables.events(s, dir), Tables.nation(s, dir))
         .orderBy(col("n_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // W7 — B1 sink UNDER STREAMING: real DICOM fixture files (one
+    // corrupted) → binaryFile readStream → foreachBatch per-record PNG
+    // writes (idempotent atomic-replace, AvailableNow drains then stops) →
+    // read the written files back and check per-file pixel aggregates
+    // against the same closed-form windowing oracle as b1b2. The corrupt
+    // input must be absent (C3 silent drop holds under streaming too).
+    "w7_stream_png_sink" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = scratchDir("graft_stream_sink_")
+      val dcmDir = base.resolve("dcm").toString
+      val pngDir = base.resolve("png").toString
+      val ckpt = base.resolve("ckpt").toString
+      SlicePipeline.writeDicomFixtures(s, 30, dcmDir)
+      Files.write(Paths.get(dcmDir, "img_000017.dcm"),
+        "not a dicom stream either".getBytes("UTF-8")) // C3 input
+      SlicePipeline.startStreamingPngSink(s, dcmDir, pngDir, ckpt)
+        .awaitTermination()
+      import s.implicits._
+      s.read.format("binaryFile").load(pngDir)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, bytes) =>
+            graft.kernels.Png.decodeGray(bytes).map { case (px, _, _) =>
+              val stem = path.split('/').last.replaceAll("\\.[^.]*$", "")
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < px.length) { sum += px(i); wsum += i.toLong * px(i); i += 1 }
+              (stem, px.length.toLong, sum, wsum)
+            }
+          }
+        }.toDF("file_name", "n_px", "sum_v", "weighted_sum")
+        .orderBy(col("file_name"))
     })
   )
 
@@ -2348,6 +2410,26 @@ object SparkEntry {
         |       ELSE len(list_distinct(list_transform(range(len(toks) - 2),
         |              i -> array_to_string(toks[i+1:i+3], ' ')))) END AS BIGINT) AS n_word_shingles
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "char_shingles_unicode" ->
+      """WITH d AS (
+        |  SELECT * FROM (VALUES
+        |    (1, '深度学习模型的训练数据质量'),
+        |    (2, '深度学习模型的预训练语料库'),
+        |    (3, 'ข้อมูลการฝึกอบรมโมเดลภาษา'),
+        |    (4, 'Qualité des données d''entraînement: été, Çà!'),
+        |    (5, 'Обучение языковых моделей'),
+        |    (6, 'MIXED text 混合テキスト 123')) AS t(doc_id, text)),
+        |n AS (SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^\p{L}\p{M}\p{N}\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(LENGTH(norm) AS BIGINT) AS norm_len,
+        |  CAST(CASE WHEN LENGTH(norm) < 3 THEN (CASE WHEN LENGTH(norm) > 0 THEN 1 ELSE 0 END)
+        |       ELSE len(list_distinct(list_transform(range(LENGTH(norm) - 2),
+        |              i -> norm[i+1:i+3]))) END AS BIGINT) AS n_char_shingles
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "boilerplate_ngrams" ->
       """WITH d AS (
@@ -3210,7 +3292,33 @@ object SparkEntry {
       """SELECT n.n_name, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "w7_stream_png_sink" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(30) WHERE range <> 17),
+        |px AS (
+        |  SELECT i, CAST(p.range AS BIGINT) AS pos,
+        |         CAST((i * 131 + (CAST(p.range AS BIGINT) // 32) * 17
+        |               + (CAST(p.range AS BIGINT) % 32) * 7) % 4096 AS DOUBLE) AS v
+        |  FROM ids, range(1024) p),
+        |w AS (SELECT i,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(1000 + i % 500 AS DOUBLE) END AS wc,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(400 + i % 200 AS DOUBLE) END AS ww
+        |  FROM ids),
+        |b AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM px GROUP BY i),
+        |u AS (SELECT px.i, pos,
+        |  CASE WHEN wc IS NULL THEN
+        |    LEAST(GREATEST(CAST(FLOOR((v - mn) / GREATEST(mx - mn, 1e-6) * 255.0) AS BIGINT), 0), 255)
+        |  ELSE
+        |    LEAST(GREATEST(CAST(FLOOR(
+        |      (LEAST(GREATEST(v, wc - ww / 2), wc + ww / 2) - (wc - ww / 2))
+        |      / GREATEST((wc + ww / 2) - (wc - ww / 2), 1e-6) * 255.0) AS BIGINT), 0), 255)
+        |  END AS u8
+        |  FROM px JOIN w USING (i) JOIN b USING (i))
+        |SELECT printf('img_%06d', i) AS file_name, COUNT(*) AS n_px,
+        |  CAST(SUM(u8) AS BIGINT) AS sum_v,
+        |  CAST(SUM(pos * u8) AS BIGINT) AS weighted_sum
+        |FROM u GROUP BY i ORDER BY file_name""".stripMargin
     )
   }
 }

@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Persistable
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification. Built to scale: candidate
   * generation never materializes the O(n²) pair space — pairs only exist
@@ -12,10 +14,13 @@ import org.apache.spark.sql.functions._
   * CACHE CONTRACT: the pipelines persist shared intermediates (staged
   * shingles, signatures) at MEMORY_AND_DISK and return LAZY frames, so they
   * cannot unpersist before the caller materializes — eager materialization
-  * here would hide the query plan from callers (and plan audits). Callers
-  * that run many pipelines in one session (benchmark loops, verify sweeps)
-  * must `spark.catalog.clearCache()` between runs — `Bench`, `Verify`,
-  * `Probe`, and `FixtureGen` all do.
+  * here would hide the query plan from callers (and plan audits). Every
+  * internal persist registers with [[graft.GraftCaches]]; callers that run
+  * many pipelines in one session (benchmark loops, verify sweeps, long
+  * interactive sessions) call `GraftCaches.unpersistAll()` after
+  * materializing — it releases exactly the library's caches and leaves the
+  * user's own persisted frames alone. `Bench` and `Verify` do this per
+  * query.
   */
 object Dedup {
 
@@ -53,13 +58,16 @@ object Dedup {
   /** CHARACTER k-shingles (distinct) over the normalized text — the
     * shingling for scripts whitespace tokenization cannot segment (CJK,
     * Thai) and for short-text dedup where word 3-grams are too coarse.
+    * Normalizes with [[TextAnalysis.normalizeTextUnicode]] (letters/digits
+    * of ANY script survive) — the ASCII [[TextAnalysis.normalizeText]]
+    * would blank exactly the CJK/Thai/accented text this path exists for.
     * Same fallback shape as the word form: a text shorter than k shingles
     * to itself; empty text to no shingles. Pure column algebra
     * (sequence + substr inside codegen), so it slots into the same
     * minhash/Jaccard pipelines as [[shinglesFromTokens]].
     */
   def charShingles(text: Column, k: Int = 5): Column =
-    charShinglesFromNormalized(TextAnalysis.normalizeText(text), k)
+    charShinglesFromNormalized(TextAnalysis.normalizeTextUnicode(text), k)
 
   /** Hot-path form over an ALREADY-STAGED normalized column. The window
     * lambda references `norm` once per position — if `norm` is the raw
@@ -193,14 +201,14 @@ object Dedup {
       .filter(text.isNotNull)
       .select(id.as("doc_id"), split(TextAnalysis.normalizeText(text), " ").as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleK).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // persist the (tiny) signature table: the h$i banding projection
     // references __sig numHashes times, and without a materialization
     // boundary the optimizer can inline the signature expression into
     // every reference — recomputing it numHashes× per row
     val sigArr = staged.select(col("doc_id"),
         call_function("graft_minhash_sig", col("__sh"), lit(numHashes)).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val sig = sigArr.select(col("doc_id") +:
       (0 until numHashes).map(i => col("__sig")(i).as(s"h$i")): _*)
     val sh = staged.select(col("doc_id"), explode(col("__sh")).as("shingle"))
@@ -256,7 +264,7 @@ object Dedup {
   def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     // both sides of the band self-join read the banded table — persist so
     // the 64-bit-sum signature aggregation runs once, not twice
-    val simsP = sims.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val simsP = sims.persistTracked()
     val banded = simsP.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("band_idx"),
@@ -412,7 +420,7 @@ object Dedup {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val keyed = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides
+      .persistTracked() // both join sides
     val a = keyed.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
     val b = keyed.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
@@ -449,7 +457,7 @@ object Dedup {
       .distinct()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = sym.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val n = adj.select(col("src")).distinct().count()
     val base = lit((1.0 - damping) / n)
     var rank = adj.select(col("src").as("doc_id")).distinct()

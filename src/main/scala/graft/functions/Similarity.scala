@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Persistable
+
 /** Approximate-nearest-neighbour search over an embedding column.
   *
   * Baseline: brute-force cosine top-k (broadcast the query side — at scale
@@ -18,8 +20,10 @@ import org.apache.spark.sql.functions._
   * CACHE CONTRACT: `ivfTopK` persists the keyed corpus and inverted lists
   * and returns a LAZY frame (unpersisting before materialization would
   * recompute Lloyd per consumer; materializing eagerly would hide the plan
-  * from callers). Sessions running many queries clear between runs —
-  * `Bench`/`Verify`/`Probe`/`FixtureGen` call `catalog.clearCache()`.
+  * from callers). Internal persists register with [[graft.GraftCaches]];
+  * sessions running many queries call `GraftCaches.unpersistAll()` after
+  * materializing (releases only the library's caches) — `Bench`/`Verify`
+  * do per query.
   */
 object Similarity {
 
@@ -120,7 +124,7 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val n = c.count()
     val stride = math.max(1L, n / nCentroids)
     // seed from the nCentroids SMALLEST matching ids: orderBy+limit compiles
@@ -149,7 +153,7 @@ object Similarity {
         .localCheckpoint()
     }
     val inverted = assignNearest(c, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // query side: nProbe nearest centroids each. A window is fine HERE:
     // the scored set is |Q|·nCentroids with nCentroids a small constant,
     // unlike the corpus-sized ranking below which uses TopK.rankTopK.

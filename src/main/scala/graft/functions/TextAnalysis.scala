@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Persistable
+
 /** Text-analysis operators for a large-scale training-data pipeline:
   * token counting, quality scoring, language ID, document fingerprinting.
   * All per-row column arithmetic (no UDFs, no shuffles) — at 100 TB these
@@ -64,6 +66,19 @@ object TextAnalysis {
     * non-alphanumerics to spaces, collapse whitespace, trim. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** UNICODE-PRESERVING normalization — lowercase, strip everything that is
+    * not a letter, combining mark, digit, or whitespace in ANY script
+    * (`\p{L}\p{M}\p{N}`), collapse whitespace, trim. This is the
+    * normalization for the char-shingle dedup path on text whitespace
+    * tokenization cannot segment (CJK, Thai) and for accented scripts,
+    * where [[normalizeText]]'s ASCII class would blank the document
+    * entirely. `\p{M}` keeps Thai/Indic vowel and tone marks attached to
+    * their base letters. Both Spark (java.util.regex) and DuckDB (RE2)
+    * support these category classes with identical BMP semantics, so the
+    * gate compares like for like. */
+  def normalizeTextUnicode(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{M}\\p{N}\\s]", " "), "\\s+", " "))
 
   /** Document fingerprint: md5 of the normalized text — stable across
     * engines (DuckDB md5 == Spark md5), used as the exact-dedup key. */
@@ -200,7 +215,7 @@ object TextAnalysis {
     // corpus is tokenized once, not once per branch. Cache contract: lives
     // until the session's next clearCache (Verify/Bench clear per query).
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(docFreq, "term").crossJoin(broadcast(n))
@@ -229,7 +244,7 @@ object TextAnalysis {
   def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"), explode(terms(text)).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
     tf.join(model, "term").crossJoin(broadcast(total))
@@ -306,7 +321,7 @@ object TextAnalysis {
             slice(col("__toks"), lit(1), size(col("__toks")) - 1),
             slice(col("__toks"), lit(2), size(col("__toks")) - 1),
             (a, b) => concat(a, lit(" "), b))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val tf = d.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     val uni = tf.groupBy(col("doc_id")).agg(
@@ -394,7 +409,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val m12 = bf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
     val m1 = bf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
     bf.join(m12, Seq("w1", "w2")).join(m1, "w1")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Persistable
+
 /** The reference's per-record scalar transforms and relational shapes,
   * re-expressed as Catalyst column expressions (SURVEY.md §2.C/D/E/H).
   *
@@ -212,7 +214,15 @@ object Relational {
     val l = left.select(col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    val r = right.select(col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+    // SQL join-equality semantics: a NULL key never matches, so null-keyed
+    // right rows must not enter the window — the partitionBy would land
+    // them in the null-key LEFT rows' partition and attach them as matches
+    // (DuckDB ASOF JOIN likewise never matches NULL keys). Null-keyed left
+    // rows still flow through and emit a null `asof` struct. A null-ts
+    // right row has no place in the time order and is dropped for the same
+    // reason.
+    val r = right.filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .select(col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"),
       struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
     val w = Window.partitionBy(col("__k"))
@@ -355,7 +365,7 @@ object Relational {
       // flip its 6th decimal and break the engine-reproducibility gate)
       .agg(count(lit(1)).as("__n"),
         round(sum(col("__v").cast("decimal(18,6)")).cast("double"), 6).as("__sv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val grid = agg.groupBy(col("key"))
       .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
       .select(col("key"),

@@ -257,10 +257,18 @@ object SlicePipeline {
     * The full enhance chain's per-record write is [[writePngs]]
     * (kernel-golden-tested; CLAHE has no SQL form). */
   def writeWindowedPngs(spark: SparkSession, dicomDir: String, pngDir: String): Unit = {
-    import spark.implicits._
     new java.io.File(pngDir).mkdirs()
-    spark.read.format("binaryFile").load(dicomDir)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    writePngBatch(spark.read.format("binaryFile").load(dicomDir), pngDir)
+  }
+
+  /** One micro-batch of the B1 sink: per-record windowed-u8 PNG writes
+    * from `(path, content)` rows. IDEMPOTENT by construction — the target
+    * name is derived from the input path and the bytes are a deterministic
+    * function of the input, so a redelivered batch atomically re-writes
+    * identical files ([[startStreamingPngSink]] relies on exactly this). */
+  def writePngBatch(batch: DataFrame, pngDir: String): Unit = {
+    import batch.sparkSession.implicits._
+    batch.select(col("path"), col("content")).as[(String, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
         import java.nio.file.{Files, Paths, StandardCopyOption}
         it.foreach { case (path, bytes) =>
@@ -278,6 +286,45 @@ object SlicePipeline {
           }
         }
       }
+  }
+
+  /** B1 UNDER STREAMING (SURVEY §2.J × §2.B1): the per-record binary sink
+    * as a Structured Streaming `foreachBatch`, with exactly-once-per-file
+    * effect. Pieces of the guarantee:
+    *
+    *  - the binaryFile STREAM source + checkpoint assigns every input file
+    *    to exactly one micro-batch, replayed with the SAME contents on
+    *    recovery (file-source offsets are the committed file list);
+    *  - `foreachBatch` is at-least-once — a crash between sink write and
+    *    commit redelivers the batch — so the sink itself must be
+    *    idempotent: [[writePngBatch]] derives the target name from the
+    *    input and replaces atomically, making redelivery a byte-identical
+    *    overwrite, never a duplicate or a torn file.
+    *
+    * `Trigger.AvailableNow` drains everything present then stops — the
+    * bounded-run form; omit it for a 24/7 incremental sink. Undecodable
+    * inputs drop silently inside the batch body (C3), identical to the
+    * batch [[writeWindowedPngs]] — StreamingSpec pins stream output ==
+    * batch output byte-for-byte.
+    */
+  def startStreamingPngSink(spark: SparkSession, dicomDir: String,
+      pngDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    new java.io.File(pngDir).mkdirs()
+    // the binaryFile STREAM source requires its (fixed) schema up front —
+    // streaming sources never infer
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(binaryFileSchema).load(dicomDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        writePngBatch(batch.toDF(), pngDir)
+      }
+      .start()
   }
 
   /** Analytic view over the slice table — the README's BigQuery examples

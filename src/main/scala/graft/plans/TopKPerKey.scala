@@ -222,11 +222,31 @@ object TopKPerKey {
     * Plans through the custom operator pair; requires
     * [[GraftFunctions.register]] (or `GraftExtensions` at builder time)
     * to have injected [[GraftTopKStrategy]] into the session.
+    *
+    * Float/double KEY columns are value-normalized first (-0.0 → 0.0, any
+    * NaN → the canonical NaN bit pattern) — the custom operator groups by
+    * UnsafeRow byte equality and hash-partitions on raw bits, so without
+    * this a 0.0/-0.0 key would split into two groups, diverging from Spark
+    * SQL's grouping semantics (Catalyst inserts NormalizeFloatingNumbers
+    * under groupBy for exactly this reason; a custom strategy must do its
+    * own). `x + 0.0` is the IEEE-exact -0.0 fix; the normalized value also
+    * replaces the column in the OUTPUT, matching what groupBy emits.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int,
       flushRows: Int = 4 << 20): DataFrame = {
-    val analyzed = df.queryExecution.analyzed
+    import org.apache.spark.sql.functions.{col, isnan, lit, when}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val input = df.schema.fields
+      .filter(f => keyCols.contains(f.name) &&
+        (f.dataType == FloatType || f.dataType == DoubleType))
+      .foldLeft(df) { (d, f) =>
+        val c = col(f.name)
+        d.withColumn(f.name,
+          when(isnan(c), lit(Double.NaN).cast(f.dataType))
+            .otherwise(c + lit(0.0).cast(f.dataType)))
+      }
+    val analyzed = input.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

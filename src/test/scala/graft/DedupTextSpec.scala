@@ -203,6 +203,29 @@ class DedupTextSpec extends AnyFunSuite {
     assert(j((1L, 3L)) < 0.1, s"unrelated pair too high: $j")
   }
 
+  test("charShingles: non-Latin scripts survive normalization and shingle") {
+    // the advertised use case — CJK/Thai text the ASCII normalizer would
+    // blank entirely; charShingles must keep every script's letters (and
+    // Thai combining marks) and near-dup CJK must out-rank unrelated CJK
+    val cjk = Seq((1L, "深度学习模型的训练数据！")).toDF("doc_id", "text")
+      .select(Dedup.charShingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)
+    assert(cjk.nonEmpty && cjk.head == "深度学习模", s"CJK shingles wrong: $cjk")
+    assert(cjk.length == 7, s"11 kept chars => 7 windows, got ${cjk.length}: $cjk")
+    val thai = Seq((2L, "ข้อมูลการฝึกอบรม")).toDF("doc_id", "text")
+      .select(Dedup.charShingles(col("text"), 5).as("sh")).collect()(0).getSeq[String](0)
+    // tone/vowel marks (\p{M}) survive: the first window keeps U+0E49
+    assert(thai.nonEmpty && thai.head.contains('้'), s"Thai marks lost: $thai")
+    val docs = Seq(
+      (1L, "深度学习模型的训练数据质量"),
+      (2L, "深度学习模型的预训练语料库"),
+      (3L, "完全不同的另一段中文文本")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), explode(Dedup.charShingles(col("text"), 3)).as("shingle"))
+    val j = Dedup.verifyJaccard(Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2"), sh)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(j((1L, 2L)) > j((1L, 3L)), s"CJK near-dup must out-rank unrelated: $j")
+  }
+
   test("splitAssign: partitioning-independent, roughly 80/10/10") {
     graft.plans.GraftFunctions.register(spark)
     val docs = spark.range(1000).toDF("doc_id")

@@ -99,4 +99,21 @@ class RelationalSpec extends AnyFunSuite {
       (102L, None, None),
       (103L, None, None)))
   }
+
+  test("asofJoin: NULL keys never match (SQL join equality), left nulls survive") {
+    val left = Seq(
+      (Some(1L), 100L, 10L),      // normal match
+      (None: Option[Long], 101L, 10L)) // null key → must NOT take the null-keyed right row
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (Some(1L), 900L, 5L),
+      (None: Option[Long], 901L, 5L)) // null-keyed right row: matchable by nothing
+      .toDF("user_id", "r_id", "ts")
+    val got = Relational.asofJoin(left, right, "user_id", "ts")
+      .select(col("event_id"), col("asof.r_id").as("r_id"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSeq == Seq((100L, Some(900L)), (101L, None)),
+      s"null keys must never match: ${got.toSeq}")
+  }
 }

@@ -93,4 +93,27 @@ class TopKPlanSpec extends AnyFunSuite {
     val partialRows = ranked.queryExecution.executedPlan.collectLeaves() // sanity: plan resolved
     assert(partialRows.nonEmpty)
   }
+
+  test("float keys: -0.0/0.0 and all NaN bit patterns group as one key") {
+    // the operator groups by UnsafeRow byte equality, so un-normalized
+    // -0.0 vs 0.0 (and NaN payload variants) would split a key in two —
+    // topKPerKey must match Spark SQL grouping semantics instead
+    val rawNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L) // non-canonical payload
+    assert(rawNaN.isNaN &&
+      java.lang.Double.doubleToRawLongBits(rawNaN) !=
+        java.lang.Double.doubleToRawLongBits(Double.NaN))
+    val rows = Seq((0.0, 1L), (-0.0, 2L), (-0.0, 3L),
+      (Double.NaN, 10L), (rawNaN, 11L)).toDF("key", "v")
+    val ranked = TopKPerKey.topKPerKey(rows, Seq("key"), Seq(("v", true)), 10)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val zeroGroup = ranked.filter(_._1 == 0.0)
+    assert(zeroGroup.map(t => (t._2, t._3)).sorted.toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"0.0/-0.0 must be ONE key group: ${ranked.toSeq}")
+    assert(zeroGroup.forall(t =>
+      java.lang.Double.doubleToRawLongBits(t._1) == 0L), "-0.0 keys must emit as +0.0")
+    val nanGroup = ranked.filter(_._1.isNaN)
+    assert(nanGroup.map(t => (t._2, t._3)).sorted.toSeq == Seq((10L, 1L), (11L, 2L)),
+      s"NaN payload variants must be ONE key group: ${ranked.toSeq}")
+  }
 }
