@@ -468,6 +468,72 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: CORPUS-LEVEL LINE DEDUP (MassiveText-style) — remove
+    // every line repeating >= 2 times across the corpus. documents are
+    // single-line, so the gate synthesizes 50 ten-line docs (doc_id%50,
+    // line order doc_id div 50); the corpus's duplicated texts become
+    // corpus-duplicate LINES spread across different synthetic docs. The
+    // oracle re-derives counts + per-doc cleaned-text md5 straight from
+    // the base table (no split/concat — independent formulation).
+    "line_dedup" -> ((s, dir) => {
+      val ml = Tables.documents(s, dir)
+        .select((col("doc_id") % 50).as("mdoc"), expr("doc_id div 50").as("line_no"),
+          col("text"))
+        .groupBy(col("mdoc"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("text")))),
+            t => t.getField("text")),
+          "\n").as("text"))
+      Dedup.corpusLineDedup(ml, col("mdoc"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: C4-STYLE DROP RULES — per-rule boolean columns + the
+    // composite keep, straight map-side column algebra. Oracle re-derives
+    // every rule with DuckDB's regex/list functions.
+    "c4_filters" -> ((s, dir) => {
+      TextAnalysis.c4Filters(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: PII REDACTION — deterministic synthetic emails/phones/
+    // IPv4s appended to real docs (identical construction in the oracle),
+    // then per-category match counts and the md5 of the redacted text.
+    // Patterns are the java.regex ∩ RE2 subset so BOTH engines run the
+    // literal same regexes; replacement order (email → phone → IP) is part
+    // of the contract and the gate.
+    "pii_redact" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"))).otherwise(lit(""))).as("text"))
+      val (em, ph, ip) = TextAnalysis.piiCounts(col("text"))
+      aug.select(col("doc_id"),
+        em.as("n_email"), ph.as("n_phone"), ip.as("n_ip"),
+        md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: BM25 RANKED RETRIEVAL — top-20 docs for a fixed query
+    // term set; the scoring the inverted index serves. Per-term
+    // contributions quantized to micro-units pre-sum (order-proof), emitted
+    // as BIGINT; oracle re-derives tf/df/avgdl/idf from scratch.
+    "bm25_topk" -> ((s, dir) => {
+      TextAnalysis.bm25TopDocs(Tables.documents(s, dir), col("doc_id"), col("text"),
+        Seq("data", "query", "join", "window", "spark"), k = 20)
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: per-document text analysis (token counts, quality).
     "text_analysis" -> ((s, dir) => {
       TextAnalysis.analyze(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -2209,6 +2275,55 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
+    "line_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id % 50 AS doc_id, doc_id // 50 AS line_no, text AS line
+        |  FROM documents),
+        |c AS (SELECT line, COUNT(*) AS lc FROM l GROUP BY line),
+        |j AS (SELECT doc_id, line_no, line, (lc >= 2) AS dup FROM l JOIN c USING (line))
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY line_no), ''))
+        |    AS cleaned_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c4_filters" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |r AS (SELECT doc_id,
+        |  (len(toks) < 5) AS too_short,
+        |  NOT regexp_matches(TRIM(text), '[.!?]["'')\]]*$') AS no_terminal_punct,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_curly,
+        |  ((CASE WHEN len(toks) = 0 THEN 0.0
+        |     ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |   END) > 10.0) AS too_long_words
+        |  FROM t)
+        |SELECT doc_id, too_short, no_terminal_punct, has_lorem, has_curly, too_long_words,
+        |  (NOT too_short AND NOT no_terminal_punct AND NOT has_lorem
+        |   AND NOT has_curly AND NOT too_long_words) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0
+        |    THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
     "text_analysis" ->
       """SELECT doc_id,
         |  LENGTH(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -2944,6 +3059,33 @@ object SparkEntry {
         |  ROUND(CAST(SUM(spend) AS DOUBLE), 6) AS total_spend,
         |  ROUND(CAST(MAX(spend) AS DOUBLE), 6) AS top_spend
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, t.term, COUNT(*) AS tf
+        |  FROM dl, unnest(toks) AS t(term)
+        |  WHERE t.term IN ('data', 'query', 'join', 'window', 'spark')
+        |  GROUP BY doc_id, dl, t.term),
+        |dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(
+        |      LN((n_docs - df_t + CAST(0.5 AS DOUBLE)) / (df_t + CAST(0.5 AS DOUBLE)) + 1.0)
+        |      * (tf * CAST(2.2 AS DOUBLE))
+        |      / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |      * 1000000, 0) AS BIGINT) AS c
+        |  FROM tf JOIN dft USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_micro
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "unigram_surprisal" ->
       """WITH d AS (

@@ -471,4 +471,45 @@ object Dedup {
     }
     rank.select(col("doc_id"), round(col("rank"), 9).as("rank"))
   }
+
+  // ------------------------------------------------------------ line dedup
+  /** CORPUS-LEVEL LINE DEDUP (MassiveText-style): remove every line whose
+    * exact-match count across the WHOLE corpus reaches `minCount` —
+    * navigation chrome, cookie banners, licence headers, and every other
+    * boilerplate line that repeats across pages. Per doc, emits the line
+    * count, the number of removed lines, and the md5 of the cleaned text
+    * (kept lines re-joined in original order).
+    *
+    * Shape at 100 TB — three shuffles, none corpus-wide-stateful:
+    *  1. split+posexplode is map-side (one pass over each doc);
+    *  2. the corpus line count is a hash aggregate keyed on the LINE TEXT
+    *     — partial-aggregated map-side, so a boilerplate line duplicated
+    *     a billion times collapses to one row per input partition before
+    *     the exchange (the hot-key profile is exactly the exact-dedup
+    *     one; a window formulation would funnel every copy into one task);
+    *  3. counts⋈lines is an equi-join on the line — AQE broadcasts the
+    *     count table when the distinct-line vocabulary is small and
+    *     shuffles both sides when it is web-scale — and the per-doc
+    *     regroup keys on doc_id with state bounded by one document's
+    *     lines (array_sort of a per-doc list, never a global sort).
+    * Counting joins on the exact line text, not a 64-bit hash: at ~2^40
+    * distinct lines the birthday term for xxhash64 is ~2^15 expected
+    * collisions, each deleting an innocent line from every document.
+    */
+  def corpusLineDedup(docs: DataFrame, id: Column, text: Column,
+      minCount: Long = 2L): DataFrame = {
+    val lines = docs
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("line_count"))
+    val flagged = lines.join(counts, Seq("line"))
+      .withColumn("dup", col("line_count") >= minCount)
+    flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+      md5(array_join(
+        transform(
+          array_sort(collect_list(when(!col("dup"), struct(col("line_no"), col("line"))))),
+          s => s.getField("line")),
+        "\n").cast("binary")).as("cleaned_md5"))
+  }
 }

@@ -538,4 +538,111 @@ object TextAnalysis {
         rollingHashFromNormalized(col("__norm")).as("rolling_fp"),
         col("lang_pred"))
   }
+
+  // ------------------------------------------------------------ C4 filters
+  /** C4-STYLE HEURISTIC DROP RULES (per doc, pure column algebra — runs
+    * map-side at scan speed): each rule a named boolean, plus the composite
+    * `keep`. The classic pretraining-corpus cleanup pass
+    * (C4: Raffel et al. 2020 §2.2; rules re-expressed per document since
+    * our docs are single-line):
+    *   - `too_short`      — fewer than `minWords` whitespace words
+    *   - `no_terminal_punct` — doc does not end in . ! ? or closing quote
+    *   - `has_lorem`      — placeholder text survived scraping
+    *   - `has_curly`      — `{` (code/templating leak into prose corpora)
+    *   - `too_long_words` — mean word length > 10 (minified/hash soup)
+    * Rules are INDEPENDENT columns so a curation pipeline can report
+    * per-rule drop rates (the dq_checks shape) before enforcing `keep`.
+    */
+  def c4Filters(docs: DataFrame, id: Column, text: Column,
+      minWords: Int = 5): DataFrame = {
+    val staged = docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__t", regexp_extract_all(col("__text"), lit("\\S+"), lit(0)))
+    val nTok = size(col("__t")).cast("long")
+    val meanLen = when(nTok === 0, lit(0.0))
+      .otherwise(aggregate(col("__t"), lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nTok)
+    staged.select(
+      col("doc_id"),
+      (nTok < minWords).as("too_short"),
+      (!trim(col("__text")).rlike("[.!?][\"')\\]]*$")).as("no_terminal_punct"),
+      lower(col("__text")).contains("lorem ipsum").as("has_lorem"),
+      col("__text").contains("{").as("has_curly"),
+      (meanLen > 10.0).as("too_long_words"))
+      .withColumn("keep",
+        !col("too_short") && !col("no_terminal_punct") && !col("has_lorem") &&
+          !col("has_curly") && !col("too_long_words"))
+  }
+
+  // ------------------------------------------------------------ PII
+  /** Redaction patterns — intersection of java.util.regex and RE2 syntax
+    * (character classes, bounded repeats, `\b`; no lookarounds or
+    * backrefs) so the DuckDB oracle runs the LITERAL same patterns. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII REDACTION for training corpora: replace emails / phone numbers /
+    * IPv4 addresses with typed placeholders. Order matters — emails first
+    * (an email must not first lose its user-part digits to the phone
+    * pass), then phones, then IPs (IP last so `1.2.3.4` inside an already-
+    * redacted token cannot double-fire). Map-side scan-speed column
+    * algebra; pair with [[piiCounts]] to report redaction volumes.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    regexp_replace(p, Ipv4Pattern, "<IP>")
+  }
+
+  /** Per-category PII match counts (pre-redaction), for audit reports. */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long"))
+
+  // ------------------------------------------------------------ BM25
+  /** BM25 RANKED RETRIEVAL over the corpus for a fixed query-term set —
+    * the scoring the inverted-index query serves, end to end (Robertson's
+    * idf with Lucene's +1 floor: `ln((N − df + ½)/(df + ½) + 1)`).
+    *
+    * Shape at scale: ONE tokenization of the corpus, persisted staged
+    * (`(doc_id, dl, tokens)`) because two consumers need it — the tiny
+    * `(N, avgdl)` all-reduce and the tf aggregation (for a corpus where
+    * caching tokens is too big, precompute `dl` as a stored column and
+    * this becomes single-pass). The query-term filter runs map-side ON
+    * THE EXPLODE OUTPUT (before any shuffle), so the tf aggregate only
+    * ever sees |queryTerms| terms per doc; df and corpus stats are
+    * broadcast to the scoring join; final top-k is
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Per-term contributions are QUANTIZED to integer micro-units before
+    * the per-doc sum, so the merged score is exact 64-bit arithmetic —
+    * partition-order-proof (the a77c610 surprisal pattern) — and the
+    * emitted `bm25_micro` BIGINT never exposes a float to the gate.
+    */
+  def bm25TopDocs(docs: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(id.as("doc_id"), terms(text).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"), col("__t"))
+      .persistTracked()
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("__contrib_micro",
+        round(col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * 1e6).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("__contrib_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

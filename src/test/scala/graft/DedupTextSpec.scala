@@ -226,6 +226,28 @@ class DedupTextSpec extends AnyFunSuite {
     assert(j((1L, 2L)) > j((1L, 3L)), s"CJK near-dup must out-rank unrelated: $j")
   }
 
+  test("corpusLineDedup: corpus-repeated lines removed, order kept, empty doc handled") {
+    val docs = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nunique two"),
+      (2L, "COOKIE BANNER\nother text\nFOOTER"),
+      (3L, "FOOTER\nCOOKIE BANNER")) // every line a corpus duplicate → cleaned to ""
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusLineDedup(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5s(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, md5s("unique one\nunique two")), // kept lines re-joined in order
+      (2L, 3L, 2L, md5s("other text")),
+      (3L, 2L, 2L, md5s(""))), s"got: ${got.toSeq}")
+    // partitioning must not change anything (map-side combine + keyed joins)
+    val repart = Dedup.corpusLineDedup(docs.repartition(7), col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(repart.toSeq == got.toSeq)
+  }
+
   test("splitAssign: partitioning-independent, roughly 80/10/10") {
     graft.plans.GraftFunctions.register(spark)
     val docs = spark.range(1000).toDF("doc_id")

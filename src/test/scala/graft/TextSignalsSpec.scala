@@ -258,6 +258,68 @@ class TextSignalsSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < 0), col("embedding")).count() == 0)
   }
 
+  test("c4Filters: each rule fires on its own pathology; clean prose keeps") {
+    val docs = Seq(
+      (1L, "This is a clean, natural-language sentence with plenty of words."),
+      (2L, "too short."),                                // < 5 words
+      (3L, "this sentence simply never terminates properly"), // no terminal punct
+      (4L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+      (5L, "A sentence with {template} braces in it, sadly."),
+      (6L, "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb cccccccccccccccc dddddddddddddddd eeeeeeeeeeeeeeee."),
+      (7L, "It ends inside a quote, which still counts as terminal: \"done.\""))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.c4Filters(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    //            (id, short, nopunct, lorem, curly, longwords, keep)
+    assert(got.toSeq == Seq(
+      (1L, false, false, false, false, false, true),
+      (2L, true,  false, false, false, false, false),
+      (3L, false, true,  false, false, false, false),
+      (4L, false, false, true,  false, false, false),
+      (5L, false, false, false, true,  false, false),
+      (6L, false, false, false, false, true,  false),
+      (7L, false, false, false, false, false, true)), s"got ${got.toSeq}")
+  }
+
+  test("redactPii: email/phone/IP replaced in order; counts match; clean text untouched") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org or call 415-555-0123 from 10.0.0.1"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val (em, ph, ip) = TextAnalysis.piiCounts(col("text"))
+    val got = docs.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("red"),
+        em.as("e"), ph.as("p"), ip.as("i"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, "mail me at <EMAIL> or call <PHONE> from <IP>", 1L, 1L, 1L)),
+      s"got ${got(0)}")
+    assert(got(1) == ((2L, "no pii here at all", 0L, 0L, 0L)))
+  }
+
+  test("bm25TopDocs: hand-computed scores on a 3-doc corpus, rarer term outweighs") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "data data data query"), // tf(data)=3, tf(query)=1, dl=4
+      (2L, "data join"),            // tf(data)=1, tf(join)=1,  dl=2
+      (3L, "other words entirely")) // dl=3, no query terms
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopDocs(docs, col("doc_id"), col("text"),
+      Seq("data", "query", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def idf(n: Long, dft: Long): Double = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+    def contrib(n: Long, dft: Long, tf: Long, dl: Long, avgdl: Double): Long =
+      math.round(idf(n, dft) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+    val avgdl = 3.0 // (4 + 2 + 3) / 3
+    assert(got(1L) == contrib(3, 2, 3, 4, avgdl) + contrib(3, 1, 1, 4, avgdl))
+    assert(got(2L) == contrib(3, 2, 1, 2, avgdl) + contrib(3, 1, 1, 2, avgdl))
+    assert(!got.contains(3L), "doc without query terms must not score")
+    // the rare term ('query'/'join', df=1) must contribute more than the
+    // common one ('data', df=2) at equal tf/dl
+    assert(idf(3, 1) > idf(3, 2))
+  }
+
   test("dimStats: exact stats per 1-based dimension") {
     val emb = Seq(
       (1L, Seq(1.0f, 10.0f)),
