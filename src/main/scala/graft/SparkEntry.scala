@@ -524,6 +524,19 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // North-star: EXACT-SUBSTRING DUPLICATION (Lee et al. 2022) — per doc,
+    // how many of its 40-char normalized windows appear in ≥2 docs. The
+    // fingerprints come from the O(n) sliding codegen expression
+    // (graft_window_hashes); the oracle refolds EVERY window directly
+    // (fold31<<31 | fold37 per substring) — independent O(n·L)
+    // computation, same packed value by Rabin-Karp construction.
+    "dup_windows" -> ((s, dir) => {
+      Dedup.duplicatedWindowStats(Tables.documents(s, dir), col("doc_id"), col("text"),
+        winLen = 40, minDocs = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: BM25 RANKED RETRIEVAL — top-20 docs for a fixed query
     // term set; the scoring the inverted index serves. Per-term
     // contributions quantized to micro-units pre-sum (order-proof), emitted
@@ -3059,6 +3072,39 @@ object SparkEntry {
         |  ROUND(CAST(SUM(spend) AS DOUBLE), 6) AS total_spend,
         |  ROUND(CAST(MAX(spend) AS DOUBLE), 6) AS top_spend
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "dup_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(LENGTH(norm) - 39)) AS i, norm
+        |  FROM d WHERE LENGTH(norm) >= 40),
+        |w AS (
+        |  SELECT doc_id,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(norm[i+1:i+40], '.'),
+        |         c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 2147483647) * 2147483648
+        |     + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(norm[i+1:i+40], '.'),
+        |         c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 37 + c) % 2147483647)) AS wh
+        |  FROM p),
+        |pdw AS (SELECT doc_id, wh, COUNT(*) AS n_pos FROM w GROUP BY doc_id, wh),
+        |df AS (SELECT wh, COUNT(*) AS df FROM pdw GROUP BY wh),
+        |agg AS (
+        |  SELECT doc_id, SUM(n_pos) AS n_windows,
+        |    SUM(CASE WHEN df >= 2 THEN n_pos ELSE 0 END) AS n_dup_windows,
+        |    SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup_distinct
+        |  FROM pdw JOIN df USING (wh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(n_dup_distinct, 0) AS BIGINT) AS n_dup_distinct
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "bm25_topk" ->
       """WITH d AS (

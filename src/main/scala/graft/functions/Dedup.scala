@@ -512,4 +512,49 @@ object Dedup {
           s => s.getField("line")),
         "\n").cast("binary")).as("cleaned_md5"))
   }
+
+  // ------------------------------------------------------------ substring dup
+  /** EXACT-SUBSTRING DUPLICATE DETECTION (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): per document, how many
+    * of its length-L normalized-character windows also appear in at least
+    * `minDocs` documents corpus-wide — the signal for cutting verbatim
+    * copied spans that near-dup (whole-doc) methods miss.
+    *
+    * Shape at 100 TB: window fingerprints are generated MAP-SIDE in one
+    * O(n) pass per document ([[graft.plans.WindowHashes]], codegen — not
+    * O(n·L) per-window refolds); the (doc, window) aggregate and the
+    * document-frequency rollup both partial-aggregate before their
+    * exchanges (a boilerplate window in a billion docs collapses per
+    * partition); the flag join is keyed on the 62-bit fingerprint. No
+    * all-pairs stage anywhere. The fingerprint pair-collision bound is
+    * 2^-62; production span-CUTTING should verify flagged spans by actual
+    * substring compare (the jaccard-verify pattern) — counting stats here
+    * tolerate that rate.
+    *
+    * Emits one row per input document (documents shorter than L report
+    * zero windows): `n_windows` (positions), `n_dup_windows` (positions
+    * whose window is corpus-duplicated), `n_dup_distinct` (distinct such
+    * windows).
+    */
+  def duplicatedWindowStats(docs: DataFrame, id: Column, text: Column,
+      winLen: Int = 40, minDocs: Long = 2L): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val perDocWin = docs
+      .select(id.as("doc_id"), TextAnalysis.normalizeText(text).as("__norm"))
+      .select(col("doc_id"),
+        explode(call_function("graft_window_hashes", col("__norm"), lit(winLen))).as("wh"))
+      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("n_pos"))
+      .persistTracked() // feeds BOTH the df rollup and the flag join
+    val docFreq = perDocWin.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+    val agg = perDocWin.join(docFreq, "wh")
+      .groupBy(col("doc_id")).agg(
+        sum(col("n_pos")).as("n_windows"),
+        sum(when(col("df") >= minDocs, col("n_pos")).otherwise(lit(0L))).as("n_dup_windows"),
+        sum(when(col("df") >= minDocs, lit(1L)).otherwise(lit(0L))).as("n_dup_distinct"))
+    docs.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"))
+  }
 }

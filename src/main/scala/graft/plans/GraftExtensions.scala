@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       GraftFunctions.minhashSigBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "graft_window_hashes"),
+      GraftFunctions.windowHashesBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
     ext.injectPlannerStrategy(_ => GraftTopKStrategy)
   }
@@ -113,6 +117,11 @@ object GraftFunctions {
     MinHashSig(children(0), children(1))
   }
 
+  val windowHashesBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_window_hashes(normalized_text, window_len)")
+    WindowHashes(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
@@ -126,6 +135,8 @@ object GraftFunctions {
       "graft_rolling_hash", rollingHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", minhashSigBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hashes", windowHashesBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

@@ -105,6 +105,26 @@ class CatalystSpec extends AnyFunSuite {
     assert(typed.specificity == relational.getAs[Double]("specificity"))
   }
 
+  test("graft_window_hashes: O(n) slide equals the direct per-window fold") {
+    import graft.plans.WindowHashesUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghij0123456789 "
+    for (len <- Seq(0, 3, 5, 6, 40, 200); trial <- 0 until 3) {
+      val s = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val u = UTF8String.fromString(s)
+      val l = 5
+      val got = WindowHashesUtil.hashes(u, l).toLongArray().toSeq
+      val want = (0 to len - l).map(i =>
+        WindowHashesUtil.direct(UTF8String.fromString(s.substring(i, i + l))))
+      assert(got == want, s"slide != direct for len=$len trial=$trial")
+      // pack bound: non-negative, < 2^62
+      assert(got.forall(h => h >= 0 && h < (1L << 62)))
+    }
+    // shorter than the window → empty, never a partial window
+    assert(WindowHashesUtil.hashes(UTF8String.fromString("abc"), 5).numElements() == 0)
+  }
+
   test("ConfusionAggregator edge rules: both-empty → 1.0, zero denominators → 0") {
     val empty = Seq((false, false), (false, false)).toDS()
       .select(new ConfusionAggregator().toColumn).head()

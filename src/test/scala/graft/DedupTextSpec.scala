@@ -248,6 +248,33 @@ class DedupTextSpec extends AnyFunSuite {
     assert(repart.toSeq == got.toSeq)
   }
 
+  test("duplicatedWindowStats: shared span flagged in both docs, short doc zero") {
+    // docs 1 and 2 share an 18-char span ("the shared span xx" normalized);
+    // winLen=10 → every window inside the span is corpus-duplicated
+    val span = "the shared span of text carried over verbatim"
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"unrelated prefix words $span and a different tail"),
+      (3L, "completely original content nothing copied here at all"),
+      (4L, "tiny")) // shorter than one window
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(docs, col("doc_id"), col("text"),
+        winLen = 10, minDocs = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(4L)._2 == 0L && byId(4L)._3 == 0L, "short doc must report zero windows")
+    assert(byId(3L)._3 == 0L, "original doc must have no duplicated windows")
+    // both sharing docs flag the same distinct duplicated windows: the
+    // shared normalized region is " span " (flanking spaces shared too),
+    // so len+2-10+1 windows; doc-local context windows stay unique
+    val nShared = (span.length + 2 - 10 + 1).toLong
+    assert(byId(1L)._4 == nShared && byId(2L)._4 == nShared,
+      s"shared-span distinct windows: ${byId(1L)} ${byId(2L)}")
+    assert(byId(1L)._3 >= nShared && byId(2L)._3 >= nShared)
+    assert(byId(1L)._2 > byId(1L)._3, "doc 1 must also have non-duplicated windows")
+  }
+
   test("splitAssign: partitioning-independent, roughly 80/10/10") {
     graft.plans.GraftFunctions.register(spark)
     val docs = spark.range(1000).toDF("doc_id")
