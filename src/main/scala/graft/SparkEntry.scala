@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
+import graft.operators.{HeavyHitters, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.GraftCaches.Persistable
 import graft.kernels.{ImageOps, RegionGrowing}
@@ -520,6 +520,44 @@ object SparkEntry {
       aug.select(col("doc_id"),
         em.as("n_email"), ph.as("n_phone"), ip.as("n_ip"),
         md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: EXACT HEAVY HITTERS, SKETCH-PRUNED — SpaceSaving
+    // candidates (O(capacity) memory, one pass) → exact recount of only
+    // the candidates. Threshold n/200+1 with capacity 512 keeps the
+    // SpaceSaving superset guarantee (> n/512 always retained) at EVERY
+    // scale factor, so the result provably equals the oracle's full
+    // GROUP BY ... HAVING — which is exactly what the gate checks.
+    "heavy_hitters" -> ((s, dir) => {
+      val terms = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.terms(col("text"))).as("term"))
+      val total = terms.count()
+      HeavyHitters.exactHeavyHitters(terms, col("term"),
+          minCount = total / 200 + 1, capacity = 512)
+        .orderBy(col("cnt").desc, col("key"))
+    }),
+
+    // ---------------------------------------------------------------
+    // North-star: UNICODE SCRIPT PROFILE — per-script character counts +
+    // dominant script, the branch signal for multilingual pipelines
+    // (tokenizer choice, CJK segmentation). Inline multilingual fixture;
+    // the oracle counts with RE2's \p{Script} classes (same Unicode
+    // property, independent regex engine).
+    "script_profile" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, "深度学习模型的训练数据质量"),
+        (2L, "ひらがなとカタカナのテキスト"),
+        (3L, "ข้อมูลการฝึกอบรมโมเดลภาษา"),
+        (4L, "Qualité des données d'entraînement: été, Çà!"),
+        (5L, "Обучение языковых моделей"),
+        (6L, "MIXED text 混合テキスト 123"),
+        (7L, "12345 67890 !!!"))
+      TextAnalysis.withScriptProfile(rows.toDF("doc_id", "text"), col("text"))
+        .select(col("doc_id"), col("n_latin"), col("n_han"), col("n_kana"),
+          col("n_cyrillic"), col("n_thai"), col("dominant_script"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1698,6 +1736,44 @@ object SparkEntry {
     // (PlanAuditSpec), the dimension side broadcasts, sort+limit fuses to
     // TakeOrderedAndProject. DECIMAL(18,6) revenue so top-10 ties are
     // engine-exact.
+    // ---------------------------------------------------------------
+    // TPC-H Q5 shape — LOCAL SUPPLIER VOLUME: the 6-table star join
+    // (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with a
+    // region filter and a date-range cut. Plan discipline: region/nation
+    // are CONSTANT-size (5/25 rows at every SF) — broadcast-hinted;
+    // supplier/customer GROW with SF, so their joins are left to the
+    // planner (AQE broadcasts them at small SF, shuffles at 100 TB — a
+    // hint would pin a 100-TB broadcast). Filters push to the orders
+    // scan; revenue aggregates in exact DECIMAL (order-proof).
+    "q5_local_supplier" -> ((s, dir) => {
+      val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val nation = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__rev"))
+        .select(col("n_name"), round(col("__rev").cast("double"), 6).as("revenue"),
+          col("__rev"))
+        .orderBy(col("__rev").desc, col("n_name"))
+        .drop("__rev")
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
@@ -3073,6 +3149,45 @@ object SparkEntry {
         |  ROUND(CAST(MAX(spend) AS DOUBLE), 6) AS top_spend
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
+    "heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+')) AS term
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT term AS key, COUNT(*) AS cnt FROM t
+        |GROUP BY term HAVING COUNT(*) >= (SELECT n // 200 + 1 FROM tot)
+        |ORDER BY cnt DESC, key""".stripMargin,
+
+    "script_profile" ->
+      """WITH d AS (
+        |  SELECT * FROM (VALUES
+        |    (1, '深度学习模型的训练数据质量'),
+        |    (2, 'ひらがなとカタカナのテキスト'),
+        |    (3, 'ข้อมูลการฝึกอบรมโมเดลภาษา'),
+        |    (4, 'Qualité des données d''entraînement: été, Çà!'),
+        |    (5, 'Обучение языковых моделей'),
+        |    (6, 'MIXED text 混合テキスト 123'),
+        |    (7, '12345 67890 !!!')) AS t(doc_id, text)),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+        |  CAST(len(regexp_extract_all(text, '\p{Hiragana}|\p{Katakana}')) AS BIGINT) AS n_kana,
+        |  CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(text, '\p{Thai}')) AS BIGINT) AS n_thai
+        |  FROM d),
+        |g AS (SELECT *, GREATEST(n_latin, n_han, n_kana, n_cyrillic, n_thai) AS mx FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  n_latin, n_han, n_kana, n_cyrillic, n_thai,
+        |  CASE WHEN mx = 0 THEN 'none'
+        |       WHEN n_latin = mx THEN 'latin'
+        |       WHEN n_han = mx THEN 'han'
+        |       WHEN n_kana = mx THEN 'kana'
+        |       WHEN n_cyrillic = mx THEN 'cyrillic'
+        |       ELSE 'thai' END AS dominant_script
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "dup_windows" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -3371,6 +3486,21 @@ object SparkEntry {
          |$iters
          |SELECT doc_id, ROUND(rank, 9) AS rank FROM r5 ORDER BY doc_id""".stripMargin
     },
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, n_name""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,

@@ -601,6 +601,38 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long"))
 
+  // ------------------------------------------------------------ scripts
+  /** UNICODE SCRIPT PROFILE — per-script character counts and the dominant
+    * script, the routing signal multilingual corpus pipelines branch on
+    * (which tokenizer, which language-ID model, CJK vs whitespace
+    * segmentation). Pure map-side column algebra via `\p{script}` classes;
+    * java.util.regex spells them `\p{IsHan}`, RE2 (the DuckDB oracle)
+    * `\p{Han}` — different spelling, same Unicode script property, so the
+    * gate compares like for like. Kana counts Hiragana+Katakana together
+    * (they interleave in Japanese text).
+    */
+  val ScriptPatterns: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "han" -> "\\p{IsHan}",
+    "kana" -> "\\p{IsHiragana}|\\p{IsKatakana}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "thai" -> "\\p{IsThai}")
+
+  /** Adds `n_<script>` counts plus `dominant_script` (max count; ties
+    * resolve in [[ScriptPatterns]] order; all-zero → 'none'). */
+  def withScriptProfile(docs: DataFrame, text: Column): DataFrame = {
+    val counted = ScriptPatterns.foldLeft(docs) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(text, lit(pat), lit(0))).cast("long"))
+    }
+    val mx = greatest(ScriptPatterns.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = ScriptPatterns.foldRight(lit("none"): Column) {
+      case ((name, _), els) => when(col(s"n_$name") === mx, lit(name)).otherwise(els)
+    }
+    counted.withColumn("dominant_script",
+      when(mx === 0, lit("none")).otherwise(dominant))
+  }
+
   // ------------------------------------------------------------ BM25
   /** BM25 RANKED RETRIEVAL over the corpus for a fixed query-term set —
     * the scoring the inverted-index query serves, end to end (Robertson's

@@ -258,6 +258,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "filtered dimension side should broadcast")
   }
 
+  test("q5: date range pushes to the orders scan, region filter to region, no cartesian") {
+    val plan = planOf("q5_local_supplier")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined &&
+      "LessThan\\(o_orderdate".r.findFirstIn(plan).isDefined,
+      "both date bounds must reach the orders scan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the region scan")
+    assert(plan.contains("BroadcastHashJoin"), "constant dims must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the star join must stay all-equi-join")
+  }
+
   test("h6: diversity cap via the plan node, global top-10 fuses, no window") {
     val plan = planOf("h6_diversified_topk")
     assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
@@ -281,5 +293,53 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf("decontaminate")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "decontamination must stay an equi-join on the shingle")
+  }
+
+  test("c4_filters / pii_redact: map-side column algebra, zero data exchanges") {
+    // both are pure per-row transforms — any aggregate or hash exchange
+    // means a rule stopped being scan-speed; only the output ORDER BY
+    // (range exchange for the gate's determinism) is allowed
+    for (name <- Seq("c4_filters", "pii_redact")) {
+      val plan = planOf(name)
+      assert(!plan.contains("HashAggregate") && !plan.contains("hashpartitioning"),
+        s"$name must stay a per-row projection")
+      assert(!plan.contains("Window"), s"$name grew a window")
+    }
+  }
+
+  test("line_dedup: count-then-join, never a window; per-doc regroup keyed") {
+    val plan = planOf("line_dedup")
+    assert(!plan.contains("Window"), "corpus line counts must not rank via a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "line flagging must stay an equi-join on the line")
+  }
+
+  test("bm25: df/stats broadcast to the scoring join; top-k fuses; corpus never broadcasts") {
+    val plan = planOf("bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must fuse sort+limit")
+    assert(plan.contains("BroadcastHashJoin"), "term df must broadcast")
+    assert(!plan.contains("Window"), "bm25 must not rank via a window")
+    assert(!plan.contains("SortMergeJoin"),
+      "only broadcast joins belong here (df: |queryTerms| rows, stats: 1 row)")
+  }
+
+  test("dup_windows: codegen signatures, partial-aggregated counts, keyed flag join") {
+    val plan = planOf("dup_windows")
+    assert(plan.contains("graft_window_hashes"),
+      "window fingerprints must come from the O(n) codegen expression")
+    assert(!plan.contains("Window"), "dup flagging must not use a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "flag join must stay keyed on the fingerprint")
+  }
+
+  test("w7 stream sink: the batch write body plans no shuffle at all") {
+    // foreachBatch writes per-record from the scan partitioning; any
+    // exchange inside the batch body would serialize the sink
+    import org.apache.spark.sql.functions.col
+    val batch = spark.read.format("binaryFile")
+      .load("/root/testdata/sf0.001/../sf0.001") // any dir with files
+      .select(col("path"), col("content"))
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "sink batch body must be exchange-free")
   }
 }
