@@ -1940,6 +1940,107 @@ object SparkEntry {
           }
         }.toDF("file_name", "n_px", "sum_v", "weighted_sum")
         .orderBy(col("file_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q6 shape — the "forecast revenue change" single-scan
+    // aggregate: every predicate (date band, discount band, quantity
+    // cap) pushes into the parquet reader, the sum partial-aggregates
+    // map-side in DECIMAL (exact, associative), and exactly one row
+    // crosses the final exchange. The simplest query there is — and the
+    // one whose plan must be NOTHING but scan→filter→partial→final.
+    "q6_revenue_delta" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)"))
+            .as("__rev"),
+          count(lit(1)).as("n_lines"))
+        .select(round(col("__rev").cast("double"), 6).as("revenue"), col("n_lines"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q4 shape — EXISTS as a LEFT SEMI join: orders in a quarter
+    // having at least one lineitem shipped after the order date, counted
+    // per priority. The semi join never materializes matching lineitem
+    // rows (first match wins per order) — the shape SQL EXISTS compiles
+    // to, and the join type the inventory was missing beside f3's anti.
+    "q4_priority_semijoin" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---------------------------------------------------------------
+    // ORDERED FUNNEL — view → click → purchase conversion counts
+    // (Relational.funnelCounts): per-stage survivor frames via chained
+    // conditional MINs, all keyed on user_id — co-partitioned joins
+    // after the first exchange, no per-user event lists, no windows.
+    "funnel_conversion" -> ((s, dir) => {
+      Relational.funnelCounts(Tables.events(s, dir),
+        col("user_id"), col("event_type"), col("ts"),
+        Seq("view", "click", "purchase"))
+    }),
+
+    // ---------------------------------------------------------------
+    // ZIPF FIT (TextAnalysis.zipfFit): vocabulary-count power-law slope
+    // over the top-1000 tokens — corpus-level quality gate. Integer
+    // micro-nat quantization makes the regression sums exact; the OLS
+    // arithmetic is IEEE-identical on both engines.
+    "zipf_fit" -> ((s, dir) => {
+      TextAnalysis.zipfFit(Tables.documents(s, dir), col("text"), topN = 1000)
+    }),
+
+    // ---------------------------------------------------------------
+    // MIXTURE WEIGHTS (TextAnalysis.mixtureWeights): per-source
+    // temperature-scaled sampling weights (α = ½, exactly-rounded sqrt)
+    // — the data-mixing step before training. Normalization constant is
+    // an exact integer sum over the bounded per-source frame.
+    "mixture_weights" -> ((s, dir) => {
+      TextAnalysis.mixtureWeights(Tables.documents(s, dir),
+        col("source"), col("text"))
+    }),
+
+    // ---------------------------------------------------------------
+    // HASHED LINEAR CLASSIFIER (TextAnalysis.hashedLinearScore): model
+    // inference at scan speed — hashing-trick features, integer weight
+    // fold in array order, zero exchanges before the gate's ORDER BY.
+    "quality_classifier" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      TextAnalysis.hashedLinearScore(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // DETERMINISTIC PER-SOURCE SAMPLE — k=3 docs per source by rolling-
+    // hash order: reservoir-quality uniform sampling that is REPRODUCIBLE
+    // on any engine/partitioning (contrast rand()-based reservoirs),
+    // through the TopKPerKey plan node so ≤ k rows per (source,
+    // partition) cross the one exchange. The oracle recomputes the hash
+    // chain and replays the selection with a window rank.
+    "hash_sample_per_source" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          pmod(call_function("graft_rolling_hash", col("doc_id").cast("string")),
+            lit(1000000007L)).as("sample_hash"))
+      graft.plans.TopKPerKey.topKPerKey(d,
+          keyCols = Seq("source"),
+          orderBy = Seq(("sample_hash", true), ("doc_id", true)), k = 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("sample_hash"))
+        .orderBy(col("source"), col("rank"))
     })
   )
 
@@ -3636,7 +3737,109 @@ object SparkEntry {
         |SELECT printf('img_%06d', i) AS file_name, COUNT(*) AS n_px,
         |  CAST(SUM(u8) AS BIGINT) AS sum_v,
         |  CAST(SUM(pos * u8) AS BIGINT) AS weighted_sum
-        |FROM u GROUP BY i ORDER BY file_name""".stripMargin
+        |FROM u GROUP BY i ORDER BY file_name""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q4_priority_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND CAST(e.ts AS TIMESTAMP) > s1.ts
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id AND CAST(e.ts AS TIMESTAMP) > s2.ts
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    "zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1000),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank FROM top),
+        |q AS (SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+        |             CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS ly FROM r),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+        |             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+        |             CAST(SUM(lx * lx) AS BIGINT) AS sxx FROM q),
+        |f AS (SELECT n_terms, sx, sy,
+        |  (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM s)
+        |SELECT n_terms, sx, sy, ROUND(slope, 6) AS zipf_slope,
+        |  ROUND((CAST(sy AS DOUBLE) / 1e6 - slope * (CAST(sx AS DOUBLE) / 1e6))
+        |        / CAST(n_terms AS DOUBLE), 6) AS zipf_intercept_ln
+        |FROM f""".stripMargin,
+
+    "mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(LENGTH(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, total_tokens,
+        |    CAST(ROUND(SQRT(CAST(total_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM w)
+        |SELECT source, n_docs, total_tokens, w_micro,
+        |  ROUND(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS mix_weight
+        |FROM w, t ORDER BY source""".stripMargin,
+
+    "quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(COALESCE(list_sum(list_transform(toks, tok ->
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 144115188075855859) % 4096)
+        |      * 2654435761) % 1000003 - 501001)), 0) AS BIGINT) AS sum_wq
+        |  FROM t)
+        |SELECT doc_id, n_toks, sum_wq,
+        |  CASE WHEN n_toks = 0 THEN 0.0
+        |       ELSE ROUND(CAST(sum_wq AS DOUBLE) / (1000003.0 * CAST(n_toks AS DOUBLE)), 6)
+        |  END AS score,
+        |  (n_toks > 0 AND sum_wq > 0) AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "hash_sample_per_source" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |         c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859) % 1000000007) AS sample_hash
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, sample_hash,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY sample_hash, doc_id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT source, rank, doc_id, sample_hash FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin
     )
   }
 }

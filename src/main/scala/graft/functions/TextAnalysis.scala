@@ -677,4 +677,127 @@ object TextAnalysis {
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------------ Zipf fit
+  /** ZIPF-LAW FIT over the corpus vocabulary: least-squares slope of
+    * `ln(count)` on `ln(rank)` for the top-N tokens — the standard corpus
+    * health check (natural language sits near slope −1; machine-generated
+    * or template-heavy corpora deviate sharply, so the slope is a cheap
+    * corpus-level quality gate).
+    *
+    * Shape at scale: ONE tokenization + one `(term)`-keyed partial-
+    * aggregated count (the vocabulary aggregate every corpus profile
+    * already runs), then `TakeOrderedAndProject` brings exactly topN rows
+    * through the ordering — never a global sort of the vocabulary. The
+    * regression itself runs over those ≤ topN rows: the `row_number`
+    * window is k-BOUNDED (post-limit), which is the one place a window
+    * rank is acceptable.
+    *
+    * Determinism contract (the a77c610 pattern): `ln` terms are quantized
+    * to integer MICRO-nats per row, the regression sums (Σx, Σy, Σxy, Σx²)
+    * are exact 64-bit integers (lx ≤ ln(topN)·1e6 ≈ 7e6 → lx² ≤ 5e13,
+    * ×topN = 5e16 < 2^63), and the closed-form slope/intercept are then
+    * IEEE double expressions over those identical integers — so both
+    * engines compute bit-equal doubles and the 6-decimal round can never
+    * flip. Partition merge order cannot matter: integer addition is
+    * associative.
+    */
+  def zipfFit(docs: DataFrame, text: Column, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(topN)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("lx"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("ly"))
+    val s = ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("ly")).as("sxy"), sum(col("lx") * col("lx")).as("sxx"))
+    // Closed-form OLS on the exact integer sums; every double op below is
+    // IEEE-specified, so identical integer inputs give identical doubles.
+    val n = col("n_terms").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    s.select(
+      col("n_terms"), col("sx"), col("sy"),
+      round(slope, 6).as("zipf_slope"),
+      round((sy / 1e6 - slope * (sx / 1e6)) / n, 6).as("zipf_intercept_ln"))
+  }
+
+  // ------------------------------------------------------------ Data mixing
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS per source — the data-mixing step
+    * of multilingual / multi-source training pipelines (sample source s
+    * with probability ∝ tokens_s^α, α < 1 upweights small sources;
+    * Conneau & Lample's exponentiated-count sampling). α is fixed at ½
+    * deliberately: `sqrt` is EXACTLY rounded under IEEE 754 on every
+    * engine, so the quantized weight is reproducible bit-for-bit, where a
+    * general `pow(x, 0.3)` is only faithfully rounded and could flip a
+    * 1-ulp boundary between libm implementations.
+    *
+    * Shape at scale: one scan → per-source token totals (map-side
+    * combined, |sources| rows out), then the normalization constant is a
+    * SUM over that bounded per-source frame — quantized to integer
+    * micro-units first so the total is exact whatever the merge order.
+    */
+  def mixtureWeights(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val perSource = docs
+      .groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long"))
+          .as("total_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("total_tokens").cast("double")) * 1e6).cast("long"))
+    val total = perSource.agg(sum(col("w_micro")).as("w_total_micro"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("w_micro"),
+        round(col("w_micro").cast("double") / col("w_total_micro").cast("double"), 6)
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------ Classifier
+  /** HASHED LINEAR QUALITY CLASSIFIER — fastText-style model inference at
+    * scan speed: each token hashes into a `dims`-bucket feature space
+    * (hashing trick, Weinberger 2009), the bucket's weight is looked up,
+    * and the document score is the mean weight. Here the weight table is
+    * a deterministic pseudo-random projection (Knuth multiplicative hash
+    * of the bucket index, centered) — the Spark-side PLUMBING (map-side
+    * fold, integer weights, zero exchanges) is exactly what a trained
+    * weight vector would use; swapping in learned weights is a broadcast
+    * lookup with the same shape.
+    *
+    * Determinism contract: weights are INTEGERS in units of 1/1,000,003
+    * (wq ∈ [−501001, 501001]), the per-doc sum folds in array order as
+    * exact 64-bit arithmetic (|sum| ≤ n_toks·5e5 — a 3×10¹² token doc
+    * would be needed to overflow), and the emitted score divides the two
+    * integers in one IEEE double op. No float ever enters an
+    * order-sensitive aggregate.
+    *
+    * Scale: purely map-side per document (tokenize → fold); the only
+    * exchange in a gated query is its final ORDER BY. Requires
+    * `graft_rolling_hash` registered ([[graft.plans.GraftFunctions]]).
+    */
+  def hashedLinearScore(docs: DataFrame, id: Column, text: Column,
+      dims: Int = 4096): DataFrame = {
+    val toks = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    docs
+      .select(id.as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
+        aggregate(col("__t"), lit(0L), (acc, t) =>
+          acc + ((pmod(call_function("graft_rolling_hash", t), lit(dims.toLong))
+            * lit(2654435761L)) % lit(1000003L) - lit(501001L))).as("sum_wq"))
+      .withColumn("score",
+        when(col("n_toks") === 0, lit(0.0))
+          .otherwise(round(col("sum_wq").cast("double")
+            / (lit(1000003.0) * col("n_toks").cast("double")), 6)))
+      .withColumn("keep", col("n_toks") > 0 && col("sum_wq") > 0)
+  }
 }

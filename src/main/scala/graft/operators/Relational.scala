@@ -415,6 +415,45 @@ object Relational {
       .drop("__pt_bucket", "__iv_bucket")
   }
 
+  // ---------------------------------------------------------------- Funnel
+  /** ORDERED FUNNEL ANALYSIS — how many users completed stage₁ → stage₂ →
+    * … → stageₖ IN ORDER (each stage strictly after the user's FIRST
+    * completion of the previous one): the conversion query behind every
+    * product / pipeline-progress dashboard.
+    *
+    * Shape at scale: stage 1 is one `user`-keyed partial-aggregated MIN;
+    * every later stage joins the (already user-keyed) survivor frame to
+    * the stage's filtered events and takes the next conditional MIN — all
+    * k−1 joins and aggregates hash on the SAME key, so after the first
+    * exchange the survivor side stays co-partitioned, and each stage's
+    * survivor frame only ever SHRINKS. Never a per-user sorted event list
+    * (the collect_list-then-scan formulation holds a user's whole history
+    * in one row — a hot user blows the task) and never a global window.
+    *
+    * Returns one row per stage: `(stage_idx, stage, n_users)` — integers
+    * only, deterministic whatever the partitioning.
+    */
+  def funnelCounts(events: DataFrame, user: Column, etype: Column, ts: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelCounts needs at least one stage")
+    val ev = events.select(user.as("__u"), etype.as("__e"), ts.as("__ts"))
+    // Survivor frames: users having completed stages(0..i) in order, with
+    // the timestamp of their first in-order completion of stage i.
+    val survivors = stages.tail.scanLeft(
+      ev.filter(col("__e") === stages.head)
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__sts"))) {
+      case (prev, st) =>
+        ev.filter(col("__e") === st)
+          .join(prev.select(col("__u"), col("__sts").as("__prev_ts")), Seq("__u"))
+          .filter(col("__ts") > col("__prev_ts"))
+          .groupBy(col("__u")).agg(min(col("__ts")).as("__sts"))
+    }
+    survivors.zip(stages).zipWithIndex.map { case ((frame, st), i) =>
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
+  }
+
   /** Deterministic smooth multi-image gradient `(image_id, y, x, v)` with
     * `v = (4y + 2x) mod 256` — smoothly varying so a threshold band forms a
     * CONNECTED region (the region-growing fixture; noise images fragment).

@@ -342,4 +342,52 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = batch.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "sink batch body must be exchange-free")
   }
+
+  test("q6: all three predicate families push to the one lineitem scan; no join") {
+    val plan = planOf("q6_revenue_delta")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate") &&
+      plan.contains("l_discount") && plan.contains("l_quantity"),
+      "date band, discount band, and quantity cap must reach the parquet reader")
+    assert(!plan.contains("Join"), "Q6 is a single-scan aggregate")
+    assert(plan.contains("HashAggregate"), "sum must partial-aggregate map-side")
+  }
+
+  test("q4: EXISTS compiles to LEFT SEMI, never materializing matches") {
+    val plan = planOf("q4_priority_semijoin")
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(plan.contains("1996"), "the order-date band must push to the orders scan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
+  test("funnel: chained conditional MINs — no windows, no per-user event lists") {
+    val plan = planOf("funnel_conversion")
+    assert(!plan.contains("Window"), "funnel must not rank event histories")
+    assert(!plan.contains("collect_list"),
+      "funnel must never hold a user's whole history in one row")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("quality_classifier: map-side inference — no data shuffle, no join") {
+    val plan = planOf("quality_classifier")
+    assert(!plan.contains("hashpartitioning"),
+      "the score fold must stay map-side (only the gate's range sort may exchange)")
+    assert(!plan.contains("Join"), "the weight table is arithmetic, not a lookup join")
+  }
+
+  test("hash_sample_per_source: sampling through the plan node, not a window") {
+    val plan = planOf("hash_sample_per_source")
+    assert(plan.contains("GraftTopKPerKeyPartial") && plan.contains("GraftTopKPerKeyFinal"),
+      "per-source sample must be k-bounded before the exchange")
+    assert(!plan.contains("Window"), "reservoir selection must not be a window rank")
+  }
+
+  test("zipf/mixture: vocab top-N fuses; the normalization total broadcasts") {
+    val zp = planOf("zipf_fit")
+    assert(zp.contains("TakeOrderedAndProject"),
+      "vocabulary top-N must fuse, never a global sort of the vocabulary")
+    val mw = planOf("mixture_weights")
+    assert(mw.contains("BroadcastNestedLoopJoin") || mw.contains("BroadcastExchange"),
+      "the 1-row normalization constant must broadcast back")
+    assert(!mw.contains("SortMergeJoin"))
+  }
 }

@@ -116,4 +116,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((100L, Some(900L)), (101L, None)),
       s"null keys must never match: ${got.toSeq}")
   }
+
+  test("funnelCounts: strict in-order progression, same-ts excluded") {
+    // u1 completes the funnel in order; u2's purchase precedes its click
+    // (view@2 → click@3 → no purchase after 3); u3's click is SIMULTANEOUS
+    // with its view (strict > excludes it); u4 never views.
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "purchase", 1L), (2L, "view", 2L), (2L, "click", 3L),
+      (3L, "view", 1L), (3L, "click", 1L),
+      (4L, "click", 5L), (4L, "purchase", 6L))
+      .toDF("user_id", "event_type", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r = Relational.funnelCounts(ev, col("user_id"), col("event_type"),
+        col("ts"), Seq("view", "click", "purchase"))
+      .collect().map(x => (x.getAs[Int]("stage_idx"), x.getAs[String]("stage"),
+        x.getAs[Long]("n_users")))
+    assert(r.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)), r.toSeq)
+  }
 }

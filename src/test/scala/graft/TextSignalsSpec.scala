@@ -332,4 +332,62 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("min_val") == 1.0 && r(0).getAs[Double]("max_val") == 3.0)
     assert(r(1).getAs[Double]("mean_val") == 20.0 && r(1).getAs[Double]("std_val") == 10.0)
   }
+
+  test("zipfFit: quantized OLS matches the hand-replicated two-point fit") {
+    // Corpus: 'aa' x8, 'bb' x2 → rank 1 count 8, rank 2 count 2.
+    val docs = Seq((1L, "aa aa aa aa aa aa aa aa bb bb")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, col("text"), topN = 10).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 2)
+    // Replicate the integer quantization + IEEE closed form exactly.
+    val pts = Seq((1L, 8L), (2L, 2L)).map { case (rank, cnt) =>
+      (math.round(math.log(rank.toDouble) * 1e6), math.round(math.log(cnt.toDouble) * 1e6))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+    assert(r.getAs[Long]("sx") == sx && r.getAs[Long]("sy") == sy)
+    assert(r.getAs[Double]("zipf_slope") ==
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Two points, counts 8 vs 2 over ranks 1 vs 2: slope = ln(2/8)/ln(2) = -2.
+    assert(math.abs(r.getAs[Double]("zipf_slope") - -2.0) < 1e-4)
+  }
+
+  test("mixtureWeights: sqrt-proportional with exact micro-unit normalization") {
+    val docs = Seq(
+      (1L, "srcA", Seq.fill(16)("t").mkString(" ")),  // 16 tokens → sqrt 4
+      (2L, "srcB", Seq.fill(4)("t").mkString(" ")))   // 4 tokens  → sqrt 2
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.mixtureWeights(docs, col("source"), col("text"))
+      .orderBy("source").collect()
+    assert(r.map(_.getAs[Long]("total_tokens")).toSeq == Seq(16L, 4L))
+    assert(r.map(_.getAs[Long]("w_micro")).toSeq == Seq(4000000L, 2000000L))
+    assert(r(0).getAs[Double]("mix_weight") == 0.666667) // 4/6 rounded
+    assert(r(1).getAs[Double]("mix_weight") == 0.333333)
+    // Weights over the emitted micro-units renormalize to exactly 1.
+    assert(r.map(_.getAs[Long]("w_micro")).sum == 6000000L)
+  }
+
+  test("hashedLinearScore: fold == per-token integer weights; empty doc scores 0") {
+    graft.plans.GraftFunctions.register(spark)
+    val M = TextAnalysis.RollingHashModulus
+    def wq(tok: String): Long = {
+      val h = tok.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % M)
+      (h % 4096L) * 2654435761L % 1000003L - 501001L
+    }
+    val docs = Seq((1L, "ab cd ab"), (2L, ""), (3L, "!!!")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashedLinearScore(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val expect1 = wq("ab") * 2 + wq("cd")
+    assert(r(0).getAs[Long]("sum_wq") == expect1 && r(0).getAs[Long]("n_toks") == 3)
+    assert(r(0).getAs[Double]("score") ==
+      BigDecimal(expect1.toDouble / (1000003.0 * 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // Empty / no-alpha docs: zero tokens, score 0, never kept.
+    for (i <- 1 to 2) {
+      assert(r(i).getAs[Long]("n_toks") == 0 && r(i).getAs[Long]("sum_wq") == 0L)
+      assert(r(i).getAs[Double]("score") == 0.0 && !r(i).getAs[Boolean]("keep"))
+    }
+  }
 }
