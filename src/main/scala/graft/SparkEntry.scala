@@ -792,6 +792,28 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // TRIANGLE COUNTS over the near-dup pair graph (Dedup.triangleCounts,
+    // degree-ordered orientation — O(m^1.5), hot-vertex-proof): local
+    // clustering density per doc. Over the committed pair fixture so the
+    // gate isolates the graph operator; the oracle re-derives orientation
+    // and both closing joins from the same fixture in SQL.
+    "neardup_triangles" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet")
+      Dedup.triangleCounts(pairs).orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // PAIRWISE CENTROID COSINE between embedding labels
+    // (Similarity.labelCentroidCosine): the source/topic similarity map.
+    // Micro-unit integer component sums; DECIMAL(38,0) dot/norm
+    // accumulation; one IEEE double cosine at the end — engine-exact.
+    "label_centroid_cos" -> ((s, dir) => {
+      Similarity.labelCentroidCosine(Tables.embeddings(s, dir),
+          col("label"), col("embedding"))
+        .orderBy(col("label_i"), col("label_j"))
+    }),
+
+    // ---------------------------------------------------------------
     // North-star: SimHash near-dup pairs (fixture-gated).
     "simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(
@@ -3825,6 +3847,53 @@ object SparkEntry {
         |  END AS score,
         |  (n_toks > 0 AND sum_wq > 0) AS keep
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "neardup_triangles" ->
+      s"""WITH e AS (
+        |  SELECT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+        |  FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |  WHERE id1 <> id2 GROUP BY 1, 2),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+        |d AS (
+        |  SELECT CASE WHEN (da.deg < db.deg OR (da.deg = db.deg AND a < b))
+        |              THEN a ELSE b END AS src,
+        |         CASE WHEN (da.deg < db.deg OR (da.deg = db.deg AND a < b))
+        |              THEN b ELSE a END AS dst,
+        |         CASE WHEN (da.deg < db.deg OR (da.deg = db.deg AND a < b))
+        |              THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |t AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM d e1
+        |  JOIN d e2 ON e1.src = e2.src
+        |    AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |  JOIN d e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([u, v, w]) AS doc_id FROM t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "label_centroid_cos" ->
+      """WITH c AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS d0,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |  FROM embeddings),
+        |s AS (SELECT label, d0, CAST(SUM(xq) AS BIGINT) AS s,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM c GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_i, b.label AS label_j,
+        |        MAX(a.n) AS n_i, MAX(b.n) AS n_j,
+        |        SUM(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dot,
+        |        SUM(CAST(a.s AS HUGEINT) * CAST(a.s AS HUGEINT)) AS nrm_i,
+        |        SUM(CAST(b.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS nrm_j
+        |      FROM s a JOIN s b ON a.d0 = b.d0 AND a.label <= b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_i, label_j, n_i, n_j,
+        |  ROUND(CAST(dot AS DOUBLE)
+        |        / (SQRT(CAST(nrm_i AS DOUBLE)) * SQRT(CAST(nrm_j AS DOUBLE))), 6)
+        |    AS centroid_cos
+        |FROM p ORDER BY label_i, label_j""".stripMargin,
 
     "hash_sample_per_source" ->
       """WITH h AS (

@@ -545,16 +545,80 @@ object Dedup {
         explode(call_function("graft_window_hashes", col("__norm"), lit(winLen))).as("wh"))
       .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("n_pos"))
       .persistTracked() // feeds BOTH the df rollup and the flag join
-    val docFreq = perDocWin.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-    val agg = perDocWin.join(docFreq, "wh")
+    // Only windows meeting the duplication threshold matter for the flag
+    // columns, so shrink the join's right side to exactly those BEFORE
+    // joining: in a healthy corpus the duplicated-window set is a small
+    // fraction of the vocabulary, so AQE broadcasts it and the 5M-row
+    // per-doc frame never reshuffles for the join (the unfiltered form
+    // shuffled BOTH full sides on wh). n_windows needs no join at all.
+    val dupSet = perDocWin.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("wh"), lit(1L).as("__dup"))
+    val agg = perDocWin.join(dupSet, Seq("wh"), "left")
       .groupBy(col("doc_id")).agg(
         sum(col("n_pos")).as("n_windows"),
-        sum(when(col("df") >= minDocs, col("n_pos")).otherwise(lit(0L))).as("n_dup_windows"),
-        sum(when(col("df") >= minDocs, lit(1L)).otherwise(lit(0L))).as("n_dup_distinct"))
+        sum(when(col("__dup").isNotNull, col("n_pos")).otherwise(lit(0L))).as("n_dup_windows"),
+        sum(when(col("__dup").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_dup_distinct"))
     docs.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"))
+  }
+
+  // ------------------------------------------------------------ Triangles
+  /** TRIANGLE COUNTS per node over an undirected pair graph — the local
+    * clustering signal (a near-dup pair embedded in many triangles sits in
+    * a dense template cluster; an isolated pair is more likely a hash
+    * accident), and the classic "curse of the last reducer" problem.
+    *
+    * Algorithm: DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii, WWW
+    * 2011). Orient every edge from its lower to its higher endpoint in the
+    * total order (degree, id); enumerate wedges only FROM each edge's
+    * lowest-ordered vertex; close each wedge against the oriented edge
+    * set. Every triangle is found exactly once (from its minimum-order
+    * vertex), and wedge work per node is bounded by its ORIENTED
+    * out-degree — O(√m) after orientation — so total work is O(m^{3/2})
+    * with no hot-vertex reducer: a celebrity node of degree d generates
+    * d² wedges under naive enumeration but only O(m) here, because its
+    * edges orient TOWARD it and it enumerates none.
+    *
+    * Both joins are equi-joins (on the wedge apex, then on the closing
+    * (v,w) pair); per-node counts are one partial-aggregated explode of
+    * the triangle triples. No windows, no driver state.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id1"), col("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .distinct().localCheckpoint(false)
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // Orient by (deg, id): ord(x) = struct(deg(x), x) gives a total order.
+    val withOrd = e
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("src"),
+            struct(col("degb").as("d"), col("b").as("i")).as("dord"),
+            col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"),
+            struct(col("dega").as("d"), col("a").as("i")).as("dord"),
+            col("a").as("dst"))).as("d"))
+      .select(col("d.src").as("src"), col("d.dord").as("dord"), col("d.dst").as("dst"))
+      .localCheckpoint(false)
+    // Wedges from the lowest-order vertex u: (v, w) with ord(v) < ord(w).
+    val e1 = withOrd.select(col("src").as("u"), col("dord").as("vord"), col("dst").as("v"))
+    val e2 = withOrd.select(col("src").as("u"), col("dord").as("word"), col("dst").as("w"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("vord") < col("word"))
+      .select(col("u"), col("v"), col("w"))
+    // Close the wedge: (v, w) must be an oriented edge (v is the lower-
+    // ordered endpoint by construction, matching withOrd's orientation).
+    val closing = withOrd.select(col("src").as("v"), col("dst").as("w"))
+    val triangles = wedges.join(closing, Seq("v", "w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -279,4 +279,50 @@ object Similarity {
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n_vecs").as("n_vecs"),
         round(col("c.cov"), 9).as("cov"), round(col("c.corr"), 6).as("corr"))
   }
+
+  // ------------------------------------------------------------ Centroids
+  /** PAIRWISE CENTROID COSINE between labeled groups — the "source / topic
+    * similarity map" a corpus pipeline uses to spot redundant sources and
+    * to diversify mixtures (two sources whose centroid cosine ≈ 1 carry
+    * near-identical material). Cosine is scale-invariant, so the cosine of
+    * the MEAN vectors equals the cosine of the per-group SUM vectors — the
+    * division by n never happens and the sums stay exact.
+    *
+    * Determinism contract: each component is quantized to integer
+    * micro-units map-side, per-(label, dim) sums are exact 64-bit
+    * integers, and the dot/norm accumulations over dims run in
+    * DECIMAL(38,0) (exact, associative — at petabyte n the per-dim sums
+    * reach ~5e14 and their products ~2.5e29, past int64 but 10 digits
+    * inside DECIMAL 38). The final cosine is one IEEE double expression
+    * over those exact integers — identical on every engine.
+    *
+    * Shape at scale: one scan → posexplode → (label, dim)-keyed partial
+    * aggregation (|labels|·d rows out of the exchange); the pairwise stage
+    * runs on that bounded frame (|labels|²·d join rows), broadcast by AQE.
+    */
+  def labelCentroidCosine(emb: DataFrame, label: Column, vec: Column): DataFrame = {
+    val comp = emb
+      .select(label.as("label"), posexplode(vec.cast("array<double>")).as(Seq("d0", "x")))
+      .select(col("label"), col("d0"), round(col("x") * 1e6).cast("long").as("xq"))
+      .groupBy(col("label"), col("d0"))
+      .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+    val a = comp.select(col("label").as("label_i"), col("d0"),
+      col("s").as("si"), col("n").as("ni"))
+    val b = comp.select(col("label").as("label_j"), col("d0"),
+      col("s").as("sj"), col("n").as("nj"))
+    a.join(b, Seq("d0")).filter(col("label_i") <= col("label_j"))
+      .groupBy(col("label_i"), col("label_j"))
+      .agg(
+        max(col("ni")).as("n_i"), max(col("nj")).as("n_j"),
+        sum(col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)"))
+          .as("dot"),
+        sum(col("si").cast("decimal(38,0)") * col("si").cast("decimal(38,0)"))
+          .as("nrm_i"),
+        sum(col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)"))
+          .as("nrm_j"))
+      .select(col("label_i"), col("label_j"), col("n_i"), col("n_j"),
+        round(col("dot").cast("double")
+          / (sqrt(col("nrm_i").cast("double")) * sqrt(col("nrm_j").cast("double"))), 6)
+          .as("centroid_cos"))
+  }
 }

@@ -340,4 +340,18 @@ class DedupTextSpec extends AnyFunSuite {
       .select(TextAnalysis.langId(col("text")).as("l")).as[String].collect()
     assert(df.toSeq == Seq("en", "es", "und"))
   }
+
+  test("triangleCounts: K4 nodes each sit in 3 triangles; paths and stars in none") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (5L, 6L), (6L, 7L),                                          // path
+      (8L, 9L), (8L, 10L), (8L, 11L),                              // star
+      (2L, 1L), (3L, 3L))                       // reverse dup + self-loop noise
+      .toDF("id1", "id2")
+    val r = Dedup.triangleCounts(edges).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_triangles")))
+    // K4 has C(4,3)=4 triangles; each node participates in C(3,2)=3.
+    // Path/star nodes close no wedge and must not appear at all.
+    assert(r.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), r.toSeq)
+  }
 }

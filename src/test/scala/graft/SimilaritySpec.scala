@@ -115,4 +115,19 @@ class SimilaritySpec extends AnyFunSuite {
       assert(diff == 0L, s"codegen bucket diverges from HoF at nPlanes=$np")
     }
   }
+
+  test("labelCentroidCosine: parallel groups → 1, orthogonal → 0, scale-invariant") {
+    val emb = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)), // centroid (1, 0)
+      (1, Seq(2.0f, 0.0f)),                       // centroid (2, 0) ∥ label 0
+      (2, Seq(0.0f, 3.0f)))                       // centroid (0, 3) ⊥ both
+      .toDF("label", "embedding")
+    val r = Similarity.labelCentroidCosine(emb, col("label"), col("embedding"))
+      .orderBy("label_i", "label_j").collect()
+      .map(x => ((x.getAs[Int]("label_i"), x.getAs[Int]("label_j")),
+        x.getAs[Double]("centroid_cos"))).toMap
+    assert(r((0, 0)) == 1.0 && r((1, 1)) == 1.0 && r((2, 2)) == 1.0)
+    assert(r((0, 1)) == 1.0, "parallel centroids of different scale must cos to 1")
+    assert(r((0, 2)) == 0.0 && r((1, 2)) == 0.0)
+  }
 }
