@@ -63,9 +63,16 @@ object TextAnalysis {
   }
 
   /** Canonical normalization for fingerprinting/dedup: lowercase, strip
-    * non-alphanumerics to spaces, collapse whitespace, trim. */
+    * non-alphanumerics to spaces, collapse whitespace, trim.
+    *
+    * ONE regex pass: a maximal run of non-alphanumerics (junk, whitespace,
+    * or any mix) collapses to a single space — provably identical to the
+    * two-pass strip-then-collapse form (each junk char became a space,
+    * then the space run collapsed), and it scans every document once
+    * instead of twice. DedupTextSpec pins the equivalence.
+    */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** UNICODE-PRESERVING normalization — lowercase, strip everything that is
     * not a letter, combining mark, digit, or whitespace in ANY script
@@ -187,9 +194,17 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
-  /** Normalized whitespace terms of a document, as an array column. */
+  /** Normalized whitespace terms of a document, as an array column.
+    *
+    * [[normalizeText]] guarantees single-space separation, so the
+    * tokenizer is a plain `split` — a byte scan — instead of a `\S+`
+    * regex matcher over every document (the regex engine was the
+    * dominant cost of every terms()-based pipeline at sf0.1). The empty
+    * document splits to [""], which `array_remove` drops, matching the
+    * regex form's empty array.
+    */
   def terms(text: Column): Column =
-    regexp_extract_all(normalizeText(text), lit("\\S+"), lit(0))
+    array_remove(split(normalizeText(text), " ", -1), "")
 
   /** TF-IDF TOP-K TERMS per document — the classic corpus-characterization
     * query (keyword extraction, topic labeling at ingest time).
@@ -243,7 +258,14 @@ object TextAnalysis {
     */
   def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"), explode(terms(text)).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // ONE exchange keyed on the MODEL key: hash(term) satisfies the
+    // clustered distribution of every downstream consumer — the
+    // (doc_id, term) tf aggregate (term ⊆ its keys), the model rollup,
+    // AND the tf⋈model scoring join — so none of them re-shuffles. The
+    // naive groupBy(doc, term) layout partitions by the pair and pays a
+    // second full exchange to get back to term for the model/join.
+    val tf = toks.repartition(col("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persistTracked()
     val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
@@ -407,11 +429,18 @@ object TextAnalysis {
         slice(col("__toks"), lit(2), size(col("__toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+    // ONE exchange keyed on the model key (w1, w2): it satisfies the
+    // clustered distribution of the per-doc tf aggregate, the c12 rollup,
+    // and the bf⋈m12 join — none re-shuffles (same layout rationale as
+    // [[unigramSurprisal]]). c1 then rolls up from m12 (Σ_w2 c12 ≡ Σ tf,
+    // exact integers), a frame one aggregation SMALLER than bf — and the
+    // w1-keyed model is the only remaining pre-scoring exchange.
+    val bf = bg.repartition(col("w1"), col("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
       .persistTracked()
     val m12 = bf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
-    val m1 = bf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    val m1 = m12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     bf.join(m12, Seq("w1", "w2")).join(m1, "w1")
       .groupBy(col("doc_id"))
       // integer nano-nat quantization before the sum — order-insensitive

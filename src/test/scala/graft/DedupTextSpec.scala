@@ -341,6 +341,26 @@ class DedupTextSpec extends AnyFunSuite {
     assert(df.toSeq == Seq("en", "es", "und"))
   }
 
+  test("normalizeText/terms: one-pass forms ≡ historical two-pass/regex forms") {
+    // The production normalizer collapses [^a-z0-9]+ in ONE pass and
+    // tokenizes with a plain split; pin both against the original
+    // strip-then-collapse + \S+-regex formulations on adversarial input.
+    val nasty = Seq(
+      "", "   ", "!!!", "\t\n mixed WS\r\n", "a", "Hello, World!  42",
+      "tabs\tand\nnewlines", "..a..b..", "ümläut-ünïcode 日本語 mixed",
+      "UPPER lower 123 #$%^&* end.", " lead and trail ", "a-b_c.d,e;f")
+      .zipWithIndex.map(_.swap)
+    val df = nasty.toDF("i", "t")
+    val oldNorm = trim(regexp_replace(
+      regexp_replace(lower(col("t")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val oldTerms = regexp_extract_all(oldNorm, lit("\\S+"), lit(0))
+    val bad = df.select(
+      TextAnalysis.normalizeText(col("t")).as("n1"), oldNorm.as("n2"),
+      TextAnalysis.terms(col("t")).as("t1"), oldTerms.as("t2"))
+      .filter(col("n1") =!= col("n2") || col("t1") =!= col("t2"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
   test("triangleCounts: K4 nodes each sit in 3 triangles; paths and stars in none") {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
