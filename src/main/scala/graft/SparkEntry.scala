@@ -2046,6 +2046,64 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // TPC-H Q18 shape — "large-volume orders": aggregate → HAVING →
+    // join BACK to the fact's parents. The total-quantity rollup runs
+    // FIRST (one keyed exchange, map-side combined) and the >300 filter
+    // shrinks it to a sliver, so the joins to orders/customer see only
+    // qualifying keys; ordering fuses to TakeOrderedAndProject.
+    // l_quantity is integral (1..50), so the double sum is exact integer
+    // arithmetic — associative, safe to emit as BIGINT.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice"), 6).as("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q14 shape — promo revenue share: one month of lineitem joined
+    // to part, conditional DECIMAL sums, one ratio out. The date band
+    // pushes to the scan; part carries only (p_partkey, p_type) through
+    // the join.
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+            .as("__promo"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).as("__total"),
+          count(lit(1)).as("n_lines"))
+        .select(
+          round(lit(100.0) * col("__promo").cast("double")
+            / col("__total").cast("double"), 6).as("promo_share_pct"),
+          round(col("__promo").cast("double"), 6).as("promo_revenue"),
+          round(col("__total").cast("double"), 6).as("total_revenue"),
+          col("n_lines"))
+    }),
+
+    // ---------------------------------------------------------------
+    // LANGUAGE-VOTE ENTROPY (TextAnalysis.langEntropy): code-switching /
+    // mixed-language signal — map-side, fixed-order IEEE entropy terms.
+    "lang_entropy" -> ((s, dir) => {
+      TextAnalysis.langEntropy(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // DETERMINISTIC PER-SOURCE SAMPLE — k=3 docs per source by rolling-
     // hash order: reservoir-quality uniform sampling that is REPRODUCIBLE
     // on any engine/partitioning (contrast rand()-based reservoirs),
@@ -3847,6 +3905,61 @@ object SparkEntry {
         |  END AS score,
         |  (n_toks > 0 AND sum_wq > 0) AS keep
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+        |SELECT c_name, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  ROUND(o_totalprice, 6) AS o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS promo_share_pct,
+        |  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS promo_revenue,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS total_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "lang_entropy" -> {
+      // Generated from the SAME profile lists the engine votes with —
+      // entropy terms in identical (sorted-language) order, so both
+      // engines evaluate the same IEEE expression tree.
+      val langs = TextAnalysis.langProfileList
+      val voteCols = langs.map { case (l, ws) =>
+        s"CAST(len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS v_$l"
+      }.mkString(",\n    ")
+      val vcols = langs.map(l => s"v_${l._1}").mkString(", ")
+      val vt = langs.map(l => s"v_${l._1}").mkString(" + ")
+      val nl = langs.map(l => s"(CASE WHEN v_${l._1} > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val ent = langs.map { case (l, _) =>
+        s"(CASE WHEN v_$l > 0 THEN -(CAST(v_$l AS DOUBLE) / CAST(n_votes AS DOUBLE)) * ln(CAST(v_$l AS DOUBLE) / CAST(n_votes AS DOUBLE)) ELSE 0.0 END)"
+      }.mkString(" + ")
+      val mx = s"GREATEST($vcols)"
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+         |v AS (SELECT doc_id,
+         |    $voteCols
+         |  FROM t),
+         |n AS (SELECT doc_id, $vcols, ($vt) AS n_votes FROM v)
+         |SELECT doc_id, n_votes, CAST($nl AS BIGINT) AS n_langs,
+         |  CASE WHEN n_votes = 0 THEN 0.0 ELSE ROUND($ent, 6) END AS lang_entropy,
+         |  CASE WHEN n_votes = 0 THEN 0.0
+         |       ELSE ROUND(CAST($mx AS DOUBLE) / CAST(n_votes AS DOUBLE), 6) END AS dominant_frac
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
 
     "neardup_triangles" ->
       s"""WITH e AS (

@@ -792,6 +792,51 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------ Entropy
+  /** LANGUAGE-VOTE ENTROPY per document — the code-switching / mixed-
+    * language signal: entropy over the per-language stopword-profile vote
+    * distribution. A clean monolingual page concentrates its votes (H≈0);
+    * machine-translated mashups, boilerplate chrome in one language
+    * wrapping content in another, and crawl glue pages spread them.
+    * Purely map-side column algebra (one tokenization, |langs| filtered
+    * counts per row) — scan speed, no exchange before a gate's sort.
+    *
+    * Determinism: votes are exact integers; the entropy expression sums
+    * its per-language terms in FIXED (sorted-language) order, so both
+    * engines evaluate the identical IEEE expression tree.
+    */
+  def langEntropy(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val langs = LangProfiles.keys.toSeq.sorted
+    val voted = LangProfiles.toSeq.sortBy(_._1).foldLeft(
+      docs.select(id.as("doc_id"),
+        regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)).as("__t"))) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"v_$lang",
+          size(filter(col("__t"), t => t.isInCollection(words))).cast("long"))
+    }
+    val vt = langs.map(l => col(s"v_$l")).reduce(_ + _)
+    val entropy = langs.map { l =>
+      val p = col(s"v_$l").cast("double") / col("n_votes").cast("double")
+      when(col(s"v_$l") > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    voted
+      .withColumn("n_votes", vt)
+      .withColumn("n_langs",
+        langs.map(l => when(col(s"v_$l") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("lang_entropy",
+        when(col("n_votes") === 0, lit(0.0)).otherwise(round(entropy, 6)))
+      .withColumn("dominant_frac",
+        when(col("n_votes") === 0, lit(0.0))
+          .otherwise(round(greatest(langs.map(l => col(s"v_$l")): _*).cast("double")
+            / col("n_votes").cast("double"), 6)))
+      .select(col("doc_id"), col("n_votes"), col("n_langs"),
+        col("lang_entropy"), col("dominant_frac"))
+  }
+
+  /** The language-profile word lists in gate-stable sorted order — exposed
+    * so oracle SQL can inline the LITERAL same lists. */
+  def langProfileList: Seq[(String, Seq[String])] = LangProfiles.toSeq.sortBy(_._1)
+
   // ------------------------------------------------------------ Classifier
   /** HASHED LINEAR QUALITY CLASSIFIER — fastText-style model inference at
     * scan speed: each token hashes into a `dims`-bucket feature space

@@ -381,6 +381,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "reservoir selection must not be a window rank")
   }
 
+  test("q18: rollup-then-join-back — HAVING shrinks before any join; top-20 fuses") {
+    val plan = planOf("q18_large_orders")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must fuse, not global-sort")
+    assert(plan.contains("HashAggregate"), "quantity rollup must partial-aggregate")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q14: date band pushes to the lineitem scan; part prunes to two columns") {
+    val plan = planOf("q14_promo_share")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "the one-month band must reach the parquet reader")
+    assert(plan.contains("p_type") && !plan.contains("p_retailprice"),
+      "part must prune to (p_partkey, p_type)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("lang_entropy: map-side column algebra — no data exchange, no join") {
+    val plan = planOf("lang_entropy")
+    assert(!plan.contains("hashpartitioning"),
+      "votes and entropy must compute at scan speed (only the gate's sort exchanges)")
+    assert(!plan.contains("Join"))
+  }
+
   test("zipf/mixture: vocab top-N fuses; the normalization total broadcasts") {
     val zp = planOf("zipf_fit")
     assert(zp.contains("TakeOrderedAndProject"),

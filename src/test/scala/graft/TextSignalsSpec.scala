@@ -369,6 +369,32 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("w_micro")).sum == 6000000L)
   }
 
+  test("langEntropy: vote distribution entropy, hand-computed; degenerate docs zero") {
+    val docs = Seq(
+      (1L, "the the of la la"),  // en=3 (the,the,of), es=2 (la,la), fr=2 (la,la)
+      (2L, ""),                  // no votes at all
+      (3L, "the and of"))        // purely en → H = 0
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.langEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getAs[Long]("n_votes") == 7 && d1.getAs[Long]("n_langs") == 3)
+    val expected = {
+      val ps = Seq(3.0 / 7, 2.0 / 7, 2.0 / 7)
+      val h = ps.map(p => -p * math.log(p)).sum
+      BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(d1.getAs[Double]("lang_entropy") == expected)
+    assert(d1.getAs[Double]("dominant_frac") ==
+      BigDecimal(3.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1).getAs[Long]("n_votes") == 0 &&
+      r(1).getAs[Double]("lang_entropy") == 0.0 &&
+      r(1).getAs[Double]("dominant_frac") == 0.0)
+    assert(r(2).getAs[Long]("n_langs") == 1 &&
+      r(2).getAs[Double]("lang_entropy") == 0.0 &&
+      r(2).getAs[Double]("dominant_frac") == 1.0)
+  }
+
   test("hashedLinearScore: fold == per-token integer weights; empty doc scores 0") {
     graft.plans.GraftFunctions.register(spark)
     val M = TextAnalysis.RollingHashModulus
