@@ -2104,6 +2104,35 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // TOP SESSION PATHS (Relational.sessionPaths): most frequent 3-step
+    // event sequences inside 6-hour-gap sessions — per-session sorted
+    // gather (bounded by the gap), map-side n-gram transform, partial-
+    // aggregated global count, fused top-20. Oracle re-derives sessions
+    // and paths with LAG/LEAD windows — an independent formulation.
+    "session_paths" -> ((s, dir) => {
+      Relational.sessionPaths(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        gapSeconds = 21600L, n = 3, k = 20)
+    }),
+
+    // ---------------------------------------------------------------
+    // READABILITY (TextAnalysis.readability): Flesch reading-ease over
+    // integer regex counts — scan-speed quality signal, engine-exact.
+    "readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CHARACTER ENTROPY (TextAnalysis.charEntropy): gibberish detector —
+    // entropy folds over the sorted distinct-char list, identical IEEE
+    // term order on both engines. Map-side only.
+    "char_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // DETERMINISTIC PER-SOURCE SAMPLE — k=3 docs per source by rolling-
     // hash order: reservoir-quality uniform sampling that is REPRODUCIBLE
     // on any engine/partitioning (contrast rand()-based reservoirs),
@@ -3905,6 +3934,61 @@ object SparkEntry {
         |  END AS score,
         |  (n_toks > 0 AND sum_wq > 0) AS keep
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM f),
+        |h AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w2 AS e2,
+        |    LEAD(event_type, 2) OVER w2 AS e3
+        |  FROM g WINDOW w2 AS (PARTITION BY user_id, s ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_occurrences
+        |FROM h WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
+
+    "readability" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+        |  CAST(LENGTH(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentence_marks,
+        |  CAST(LENGTH(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_groups,
+        |  CASE WHEN LENGTH(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(206.835 AS DOUBLE)
+        |         - CAST(1.015 AS DOUBLE)
+        |           * (CAST(LENGTH(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)
+        |              / CAST(GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |         - CAST(84.6 AS DOUBLE)
+        |           * (CAST(LENGTH(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |              / CAST(LENGTH(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)), 6)
+        |  END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]') AS cs FROM documents)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars,
+        |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(cs) = 0 THEN 0.0 ELSE
+        |    ROUND(list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(list_sort(list_distinct(cs)), ch ->
+        |          -(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+        |            / CAST(len(cs) AS DOUBLE))
+        |          * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+        |               / CAST(len(cs) AS DOUBLE)))),
+        |      (a, b) -> a + b), 6) END AS char_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -792,6 +792,56 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------------------ Readability
+  /** FLESCH-STYLE READABILITY per document — the classic reading-ease
+    * heuristic as a scan-speed quality signal: `206.835 − 1.015·(W/S)
+    * − 84.6·(Y/W)` with W = alphabetic words, S = sentence-terminator runs
+    * (floored at 1 when words exist), Y = vowel-group count (the standard
+    * syllable proxy; a vowel-less token like "tv" contributes 0 — the
+    * documented approximation, identical on both engines).
+    *
+    * All three counts are exact integers from single regex passes; the
+    * formula is one fixed IEEE double expression — engine-exact.
+    */
+  def readability(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        size(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))).cast("long")
+          .as("n_words"),
+        size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long")
+          .as("n_sentence_marks"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+          .as("n_vowel_groups"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double")
+                / greatest(col("n_sentence_marks"), lit(1L)).cast("double"))
+              - lit(84.6) * (col("n_vowel_groups").cast("double")
+                / col("n_words").cast("double")), 6)))
+
+  /** CHARACTER-DISTRIBUTION ENTROPY per document — the gibberish /
+    * compression-proxy signal (natural English sits near 2.6–3.0 nats over
+    * [a-z0-9]; key-mash and base64 blobs run higher, template spam lower).
+    * One regex pass extracts the alphanumeric char stream; the entropy
+    * folds over the SORTED distinct-char list so both engines evaluate
+    * the identical IEEE term sequence. Map-side only.
+    */
+  def charEntropy(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val cs = regexp_extract_all(lower(text), lit("[a-z0-9]"), lit(0))
+    docs.select(id.as("doc_id"), cs.as("__cs"))
+      .select(col("doc_id"), size(col("__cs")).cast("long").as("n_chars"),
+        size(array_distinct(col("__cs"))).cast("long").as("n_distinct"),
+        when(size(col("__cs")) === 0, lit(0.0))
+          .otherwise(round(aggregate(
+            array_sort(array_distinct(col("__cs"))), lit(0.0),
+            (acc, ch) => {
+              val p = size(filter(col("__cs"), x => x === ch)).cast("double") /
+                size(col("__cs")).cast("double")
+              acc + -p * log(p)
+            }), 6)).as("char_entropy"))
+  }
+
   // ------------------------------------------------------------ Entropy
   /** LANGUAGE-VOTE ENTROPY per document — the code-switching / mixed-
     * language signal: entropy over the per-language stopword-profile vote

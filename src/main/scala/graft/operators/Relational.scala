@@ -415,6 +415,48 @@ object Relational {
       .drop("__pt_bucket", "__iv_bucket")
   }
 
+  // ---------------------------------------------------------------- Paths
+  /** TOP SESSION PATHS — the most frequent length-`n` consecutive
+    * event-type sequences inside user sessions (gap-based sessionization):
+    * the navigation-pattern / prompt-flow mining query behind "what do
+    * users do next" dashboards.
+    *
+    * Shape at scale: ONE user-keyed window pass assigns sessions (same
+    * layout as [[sessionize]], with `tie` added to the ordering so equal
+    * timestamps sequence deterministically); each session's events gather
+    * into ONE sorted array (bounded by session length — the gap bounds a
+    * session in any human-generated stream, unlike a per-USER collect,
+    * which a bot account would blow); n-gram extraction is a map-side
+    * `transform`; the global count is a partial-aggregated rollup and the
+    * top-k fuses to TakeOrderedAndProject.
+    */
+  def sessionPaths(events: DataFrame, user: Column, ts: Column, tie: Column,
+      etype: Column, gapSeconds: Long, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, "a path needs at least two steps")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val us = unix_micros(col("__ts"))
+    val boundary = when(lag(us, 1).over(w).isNull ||
+      us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    val sess = events
+      .select(user.as("__u"), ts.as("__ts"), tie.as("__tie"), etype.as("__e"))
+      .withColumn("__s",
+        sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess
+      .groupBy(col("__u"), col("__s"))
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__tie"), col("__e"))))
+        .as("__evs"))
+      .select(explode(
+        when(size(col("__evs")) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__evs")) - n),
+            i => concat_ws(">",
+              (0 until n).map(j => element_at(col("__evs"), i + j + 1)("__e")): _*))))
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- Funnel
   /** ORDERED FUNNEL ANALYSIS — how many users completed stage₁ → stage₂ →
     * … → stageₖ IN ORDER (each stage strictly after the user's FIRST

@@ -404,6 +404,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"))
   }
 
+  test("session_paths: per-session gather, fused top-20, no cartesian") {
+    val plan = planOf("session_paths")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must fuse")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "paths come from per-session arrays, not self-joins of the event stream")
+  }
+
+  test("readability / char_entropy: map-side signals — no data exchange, no join") {
+    for (name <- Seq("readability", "char_entropy")) {
+      val plan = planOf(name)
+      assert(!plan.contains("hashpartitioning"), s"$name must compute at scan speed")
+      assert(!plan.contains("Join"), s"$name must not join")
+    }
+  }
+
   test("zipf/mixture: vocab top-N fuses; the normalization total broadcasts") {
     val zp = planOf("zipf_fit")
     assert(zp.contains("TakeOrderedAndProject"),

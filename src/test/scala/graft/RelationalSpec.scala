@@ -117,6 +117,21 @@ class RelationalSpec extends AnyFunSuite {
       s"null keys must never match: ${got.toSeq}")
   }
 
+  test("sessionPaths: trigrams within sessions only; gaps split sequences") {
+    // u1: A,B,C,D at 0/60/120/180s (one session) → A>B>C, B>C>D.
+    // u2: A,B then a 10h gap, then C,D,E → only C>D>E (gap splits).
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (1L, 2L, "B", 60L), (1L, 3L, "C", 120L), (1L, 4L, "D", 180L),
+      (2L, 5L, "A", 0L), (2L, 6L, "B", 60L),
+      (2L, 7L, "C", 36060L), (2L, 8L, "D", 36120L), (2L, 9L, "E", 36180L))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r = Relational.sessionPaths(ev, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), gapSeconds = 21600L, n = 3, k = 20)
+      .collect().map(x => (x.getAs[String]("path"), x.getAs[Long]("n_occurrences")))
+    assert(r.toSeq == Seq(("A>B>C", 1L), ("B>C>D", 1L), ("C>D>E", 1L)), r.toSeq)
+  }
+
   test("funnelCounts: strict in-order progression, same-ts excluded") {
     // u1 completes the funnel in order; u2's purchase precedes its click
     // (view@2 → click@3 → no purchase after 3); u3's click is SIMULTANEOUS

@@ -369,6 +369,35 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("w_micro")).sum == 6000000L)
   }
 
+  test("readability: Flesch from hand counts; empty doc scores 0") {
+    val docs = Seq((1L, "Hello world. This is fun!"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val d1 = r(0)
+    // words {hello,world,this,is,fun}=5; marks {., !}=2; vowel groups:
+    // hello(e,o) world(o) this(i) is(i) fun(u) = 6
+    assert(d1.getAs[Long]("n_words") == 5 && d1.getAs[Long]("n_sentence_marks") == 2 &&
+      d1.getAs[Long]("n_vowel_groups") == 6)
+    val expected = BigDecimal(206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getAs[Double]("flesch") == expected)
+    assert(r(1).getAs[Long]("n_words") == 0 && r(1).getAs[Double]("flesch") == 0.0)
+  }
+
+  test("charEntropy: uniform two-char doc = ln 2; constant and empty docs = 0") {
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, ""), (4L, "a1!A")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val ln2 = BigDecimal(-(0.5 * math.log(0.5)) + -(0.5 * math.log(0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getAs[Long]("n_chars") == 4 && r(0).getAs[Long]("n_distinct") == 2)
+    assert(r(0).getAs[Double]("char_entropy") == ln2)
+    assert(r(1).getAs[Double]("char_entropy") == 0.0) // single symbol: -1·ln 1
+    assert(r(2).getAs[Long]("n_chars") == 0 && r(2).getAs[Double]("char_entropy") == 0.0)
+    // case folds, punctuation drops: "a1!A" → chars {a,1,a} → 2 distinct of 3
+    assert(r(3).getAs[Long]("n_chars") == 3 && r(3).getAs[Long]("n_distinct") == 2)
+  }
+
   test("langEntropy: vote distribution entropy, hand-computed; degenerate docs zero") {
     val docs = Seq(
       (1L, "the the of la la"),  // en=3 (the,the,of), es=2 (la,la), fr=2 (la,la)
