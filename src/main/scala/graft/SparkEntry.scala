@@ -2104,6 +2104,56 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // SEMANTIC vs LEXICAL NEAR-DUP AGREEMENT — the SemDedup-style
+    // cross-check a curation pipeline runs before trusting either
+    // detector alone: canonicalized pair sets from the embedding-LSH and
+    // MinHash-LSH paths, full-outer-joined, counted by agreement class.
+    // Both inputs are the committed fixtures their own gates pin, so
+    // this gate isolates the set algebra.
+    "semdedup_agreement" -> ((s, dir) => {
+      val lex = s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet")
+        .select(least(col("id1"), col("id2")).as("a"),
+          greatest(col("id1"), col("id2")).as("b"))
+        .distinct().withColumn("__lex", lit(1L))
+      val sem = s.read.parquet(s"$fixturesDir/embedding_neardups.parquet")
+        .select(least(col("id1"), col("id2")).as("a"),
+          greatest(col("id1"), col("id2")).as("b"))
+        .distinct().withColumn("__sem", lit(1L))
+      lex.join(sem, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(coalesce(col("__lex"), lit(0L))).as("n_lexical"),
+          sum(coalesce(col("__sem"), lit(0L))).as("n_semantic"),
+          sum(when(col("__lex").isNotNull && col("__sem").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("__lex").isNotNull && col("__sem").isNull, 1L)
+            .otherwise(0L)).as("n_lexical_only"),
+          sum(when(col("__lex").isNull && col("__sem").isNotNull, 1L)
+            .otherwise(0L)).as("n_semantic_only"))
+    }),
+
+    // ---------------------------------------------------------------
+    // SPLIT-LEAKAGE AUDIT — exact-duplicate fingerprints that straddle
+    // train/validation/test: THE contamination check a reproducible
+    // split must pass (content-independent split assignment means exact
+    // dups CAN land in different splits — this measures how often).
+    // One scan → (fingerprint)-keyed aggregate counting docs and
+    // distinct splits per content hash; leaking groups = >1 split.
+    "split_leakage" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val d = Tables.documents(s, dir).select(
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split"))
+      d.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("split")).as("n_splits"))
+        .agg(
+          count(lit(1)).as("n_content_groups"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaking_groups"),
+          sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L))
+            .as("n_leaking_docs"))
+    }),
+
+    // ---------------------------------------------------------------
     // TOP SESSION PATHS (Relational.sessionPaths): most frequent 3-step
     // event sequences inside 6-hour-gap sessions — per-session sorted
     // gather (bounded by the gap), map-side n-gram transform, partial-
@@ -3934,6 +3984,46 @@ object SparkEntry {
         |  END AS score,
         |  (n_toks > 0 AND sum_wq > 0) AS keep
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "semdedup_agreement" ->
+      s"""WITH lex AS (
+        |  SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+        |  FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')),
+        |sem AS (
+        |  SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+        |  FROM read_parquet('$fixturesDir/embedding_neardups.parquet')),
+        |j AS (
+        |  SELECT l.a AS la, s.a AS sa
+        |  FROM lex l FULL OUTER JOIN sem s ON l.a = s.a AND l.b = s.b)
+        |SELECT
+        |  CAST(SUM(CASE WHEN la IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lexical,
+        |  CAST(SUM(CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+        |  CAST(SUM(CASE WHEN la IS NOT NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN la IS NOT NULL AND sa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lexical_only,
+        |  CAST(SUM(CASE WHEN la IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_only
+        |FROM j""".stripMargin,
+
+    "split_leakage" ->
+      """WITH d AS (
+        |  SELECT
+        |    md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |        '\s+', ' ', 'g'))) AS fp,
+        |    (list_reduce(
+        |       list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859) % 100) AS bucket
+        |  FROM documents),
+        |s AS (SELECT fp,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM d),
+        |g AS (SELECT fp, COUNT(*) AS n_docs, COUNT(DISTINCT split) AS n_splits
+        |      FROM s GROUP BY fp)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_content_groups,
+        |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_groups,
+        |  CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaking_docs
+        |FROM g""".stripMargin,
 
     "session_paths" ->
       """WITH e AS (
