@@ -1122,6 +1122,19 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // ANN via PRODUCT QUANTIZATION (Similarity.pqTopK — PQ-ADC): the
+    // compression tier of the ANN ladder (64× smaller corpus residency
+    // than raw floats at m=8, ksub=16). Codebooks train jointly across
+    // subspaces in one pipeline; scoring is a code-table equi-join
+    // against a broadcast distance table with integer nano-unit sums.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.pqTopK(queries, emb, 5, m = 8, ksub = 16, lloydIters = 1)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.J custom keyed state — flatMapGroupsWithState running anomalies
     // (per-user running mean, flag when value > 3x it), batch form of the
     // identical streaming operator (StreamingSpec proves batch ≡ stream).
@@ -2132,6 +2145,34 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // CORPUS SNAPSHOT DIFF — the data-versioning audit between two
+    // corpus snapshots: added / removed / CONTENT-changed / unchanged
+    // document counts, where "changed" compares normalized-content
+    // fingerprints (an id present in both snapshots with different text
+    // is an edit, not an add+remove). Both snapshots derive
+    // deterministically from the base table (old drops doc_id%7==0, new
+    // drops %11==0 and edits %5==0), so the oracle replays the exact
+    // construction. One doc_id-keyed full-outer join; fingerprints
+    // compute map-side on each branch.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_old"))
+      val neu = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), TextAnalysis.fingerprint(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text"))).as("fp_new"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("fp_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("fp_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("fp_old").isNotNull && col("fp_new").isNotNull &&
+            col("fp_old") =!= col("fp_new"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("fp_old") === col("fp_new"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+    }),
+
+    // ---------------------------------------------------------------
     // SPLIT-LEAKAGE AUDIT — exact-duplicate fingerprints that straddle
     // train/validation/test: THE contamination check a reproducible
     // split must pass (content-independent split assignment means exact
@@ -2234,6 +2275,7 @@ object SparkEntry {
     fixture("i1_distinct_counts", "source"),
     fixture("ann_lsh_topk", "q_id, rank"),
     fixture("ann_ivf_topk", "q_id, rank"),
+    fixture("ann_pq_topk", "q_id, rank"),
 
     "neardup_clusters" ->
       s"""WITH RECURSIVE e AS (
@@ -4001,6 +4043,27 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN la IS NOT NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
         |  CAST(SUM(CASE WHEN la IS NOT NULL AND sa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lexical_only,
         |  CAST(SUM(CASE WHEN la IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_only
+        |FROM j""".stripMargin,
+
+    "corpus_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |        '\s+', ' ', 'g'))) AS fp_old
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(
+        |        CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END),
+        |        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp_new
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT o.fp_old, n.fp_new FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT
+        |  CAST(SUM(CASE WHEN fp_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN fp_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN fp_old IS NOT NULL AND fp_new IS NOT NULL
+        |                 AND fp_old <> fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
 
     "split_leakage" ->

@@ -280,6 +280,111 @@ object Similarity {
         round(col("c.cov"), 9).as("cov"), round(col("c.corr"), 6).as("corr"))
   }
 
+  // ------------------------------------------------------------ PQ
+  /** Element-wise dot product as a sequential per-row fold (deterministic:
+    * array order, one task). */
+  private def dotp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** PRODUCT-QUANTIZATION ANN top-k (PQ with asymmetric distance
+    * computation — Jégou, Douze & Schmid, TPAMI 2011): the 100-TB-tier
+    * compression path. Each vector splits into `m` subvectors; per
+    * subspace a `ksub`-centroid codebook trains by Lloyd iterations; a
+    * vector's code is its per-subspace nearest-centroid ids (m·log₂ksub
+    * bits ≈ 4 bytes here vs 256 bytes of floats — the corpus held in RAM
+    * shrinks 64×). Queries never decompress: a per-query distance TABLE
+    * (query-subvector · centroid inner products) broadcasts, and each
+    * corpus code sums m table lookups.
+    *
+    * Scale shape: all m subspaces train in ONE pipeline (subspace is a
+    * key, not a loop — the corpus scans once per Lloyd iteration, not m
+    * times); codebooks and distance tables are broadcast-sized
+    * (m·ksub·dsub doubles); scoring is one equi-join of the code table
+    * against the broadcast distance table plus a (q, c)-keyed partial
+    * aggregation of exactly m rows per pair; ranking is the k-bounded
+    * [[TopK.rankTopK]] aggregation. The corpus never shuffles.
+    *
+    * Determinism: seeding is the ksub smallest ids (TakeOrdered);
+    * assignment ties break on centroid id; ADC table entries quantize to
+    * integer nano-units before the per-pair sum, so the merged score is
+    * exact 64-bit arithmetic whatever the partition merge order.
+    *
+    * With `lloydIters = 0` and `ksub ≥ |corpus|` every vector is its own
+    * centroid and PQ degenerates to exact search — SimilaritySpec pins
+    * that equivalence against [[cosineTopK]].
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, lloydIters: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv")).persistTracked()
+    def dsubOf(v: Column) = floor(size(v) / m).cast("int")
+    def subRows(v: Column) = explode(transform(sequence(lit(0), lit(m - 1)),
+      j => struct(j.as("sub"),
+        slice(v, j * dsubOf(v) + 1, dsubOf(v)).as("sv"))))
+    val csub = c.select(col("c_id"), subRows(col("cv")).as("s"))
+      .select(col("c_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      .persistTracked()
+    // Seed every subspace from the ksub smallest ids (TakeOrdered — the
+    // deterministic-seed rationale of ivfTopK). The k-row window is
+    // bounded by ksub.
+    val seeds = c.select(col("c_id")).orderBy(col("c_id")).limit(ksub)
+      .withColumn("cent",
+        row_number().over(Window.orderBy(col("c_id"))).cast("int") - 1)
+    var codebook = csub.join(broadcast(seeds), Seq("c_id"))
+      .select(col("sub"), col("cent"), col("sv").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignNearestSub(csub, codebook)
+      codebook = assigned
+        .select(col("sub"), col("code").as("cent"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cent"), col("dim")).agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("cent"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dims"))
+        .select(col("sub"), col("cent"), col("dims.mn").as("centroid"))
+        .localCheckpoint()
+    }
+    val codes = assignNearestSub(csub, codebook)
+      .select(col("c_id"), col("sub"), col("code")).persistTracked()
+    // Per-query ADC table: inner products + centroid norm² per (sub, cent),
+    // quantized to integer nano-units (exact, associative per-pair sums).
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val qn = q.select(col("q_id"), sqrt(dotp(col("qv"), col("qv"))).as("qnorm"))
+    val dt = q.join(broadcast(codebook), lit(true))
+      .select(col("q_id"), col("sub").as("dt_sub"), col("cent").as("dt_cent"),
+        round(dotp(slice(col("qv"), col("sub") * dsubOf(col("qv")) + 1,
+          dsubOf(col("qv"))), col("centroid")) * 1e9).cast("long").as("ip_e9"),
+        round(dotp(col("centroid"), col("centroid")) * 1e9).cast("long").as("cn2_e9"))
+    val scored = codes
+      .join(broadcast(dt), col("sub") === col("dt_sub") && col("code") === col("dt_cent"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"))
+      .join(broadcast(qn), Seq("q_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        when(col("cn2_sum") > 0 && col("qnorm") > 0,
+          (col("ip_sum").cast("double") / 1e9)
+            / (col("qnorm") * sqrt(col("cn2_sum").cast("double") / 1e9)))
+          .otherwise(lit(0.0)).as("cos"))
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+  }
+
+  /** Per-subspace nearest-centroid assignment (codebook broadcast; min-
+    * over-struct with centroid-id tie-break — map-side partial collapse,
+    * same shape as [[assignNearest]]). */
+  private def assignNearestSub(csub: DataFrame, codebook: DataFrame): DataFrame =
+    csub.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist", l2sq(col("sv"), col("centroid")))
+      .groupBy(col("c_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cent"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("c_id"), col("sub"), col("best.cent").as("code"), col("sv"))
+
   // ------------------------------------------------------------ Centroids
   /** PAIRWISE CENTROID COSINE between labeled groups — the "source / topic
     * similarity map" a corpus pipeline uses to spot redundant sources and

@@ -51,6 +51,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val ivf = planOf("ann_ivf_topk")
     assert("\\bWindow\\b".r.findAllIn(ivf).length <= 2, "ivf grew a ranking window")
     assert(ivf.contains("ObjectHashAggregate"), "ivf lost the k-bounded aggregation")
+    // pq keeps only the ksub-bounded seed window; scoring must be the
+    // broadcast distance-table equi-join + k-bounded aggregation.
+    val pq = planOf("ann_pq_topk")
+    assert("\\bWindow\\b".r.findAllIn(pq).length <= 2, "pq grew a ranking window")
+    assert(pq.contains("ObjectHashAggregate"), "pq lost the k-bounded aggregation")
+    assert(!pq.contains("CartesianProduct"),
+      "pq scoring must equi-join codes to the broadcast table, never cross")
   }
 
   test("ann_cosine_topk_native: ranks through the custom plan-node pair, not a window") {

@@ -116,6 +116,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK: degenerate PQ (own-centroid codebook) ≡ brute-force ranking") {
+    // lloydIters = 0 and ksub ≥ |corpus|: every vector seeds its own
+    // per-subspace centroid, codes reconstruct exactly, and PQ-ADC must
+    // reproduce the brute-force cosine ranking id-for-id.
+    val vecs = (0L until 12L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 7 + d * 3) % 13).toFloat - 6.0f) / 6.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+    val pq = Similarity.pqTopK(queries, emb, k = 3, m = 4, ksub = 12, lloydIters = 0)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.cosineTopK(queries, emb, k = 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == brute, s"degenerate PQ diverged: ${pq.diff(brute)} vs ${brute.diff(pq)}")
+  }
+
+  test("pqTopK: output is partitioning-invariant (trained codebook and all)") {
+    val vecs = (0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 11 + d * 5) % 17).toFloat - 8.0f) / 8.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    def run(parts: Int) =
+      Similarity.pqTopK(queries, emb.repartition(parts), k = 4,
+          m = 4, ksub = 4, lloydIters = 2)
+        .select("q_id", "rank", "c_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(1) == run(7), "PQ ranking must not depend on input partitioning")
+    graft.GraftCaches.unpersistAll()
+  }
+
   test("labelCentroidCosine: parallel groups → 1, orthogonal → 0, scale-invariant") {
     val emb = Seq(
       (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)), // centroid (1, 0)
