@@ -2145,6 +2145,89 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // TIME-RANGE WINDOW FRAME — trailing-7-day sum/count per user by
+    // EVENT TIME (RANGE BETWEEN INTERVAL ... PRECEDING), the frame kind
+    // s6's ROWS frame can't express (irregular event spacing ⇒ a row
+    // count is not a time horizon). One user-keyed window pass; DECIMAL
+    // sums keep the gate exact.
+    "s7_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7L * 24 * 3600 * 1000000, 0L)
+      ev.select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          round(sum(col("v")).over(w).cast("double"), 6).as("sum_7d"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CORRELATED SCALAR SUBQUERY through the SQL-text surface — orders
+    // above their own customer's average price. Exercises Catalyst's
+    // decorrelation: the subquery rewrites to a per-customer aggregate
+    // + join, never a per-row re-execution. DuckDB runs the LITERAL
+    // same SQL.
+    "sql_correlated_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_sq")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
+        FROM graft_orders_sq o
+        WHERE o_totalprice > 2.5 * (
+          SELECT AVG(o2.o_totalprice) FROM graft_orders_sq o2
+          WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q12 shape — two-way conditional counts after a fact join:
+    // high/low-priority lineitem counts per return flag for one ship
+    // year. Date band pushes to the scan; the priority split is
+    // map-side CASE algebra inside one aggregation.
+    "q12_priority_counts" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_priority_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_priority_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q19 shape — DISJUNCTIVE predicate pushdown: revenue over an
+    // OR of (brand, quantity-band) clauses. The whole disjunction is
+    // scan-eligible: Catalyst pushes the common l_quantity bounds and
+    // evaluates the OR in the scan stage, never as a post-join filter.
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity") >= 1 &&
+            col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity") >= 10 &&
+            col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity") >= 20 &&
+            col("l_quantity") <= 30))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).as("__rev"),
+          count(lit(1)).as("n_lines"))
+        .select(round(col("__rev").cast("double"), 6).as("revenue"), col("n_lines"))
+    }),
+
+    // ---------------------------------------------------------------
     // CORPUS SNAPSHOT DIFF — the data-versioning audit between two
     // corpus snapshots: added / removed / CONTENT-changed / unchanged
     // document counts, where "changed" compares normalized-content
@@ -4044,6 +4127,44 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN la IS NOT NULL AND sa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lexical_only,
         |  CAST(SUM(CASE WHEN la IS NULL AND sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_only
         |FROM j""".stripMargin,
+
+    "s7_range_frame" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_7d,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_7d
+        |FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "sql_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2.5 * (
+        |  SELECT AVG(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_priority_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
 
     "corpus_snapshot_diff" ->
       """WITH o AS (

@@ -426,6 +426,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q19: the disjunction's per-side projections push to BOTH scans") {
+    val plan = planOf("q19_disjunctive")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity"),
+      "the quantity-band OR must reach the lineitem parquet reader")
+    assert(plan.contains("EqualTo(p_brand"),
+      "the brand OR must reach the part parquet reader")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q12: ship-year band pushes; priority split is map-side CASE algebra") {
+    val plan = planOf("q12_priority_counts")
+    assert(plan.contains("l_shipdate"), "date band must reach the scan")
+    assert(!plan.contains("Window") && plan.contains("HashAggregate"))
+  }
+
+  test("sql_correlated_subquery: decorrelates to aggregate + join, no per-row re-execution") {
+    val plan = planOf("sql_correlated_subquery")
+    assert(plan.contains("Join"), "the correlated subquery must rewrite to a join")
+    assert(plan.contains("HashAggregate"),
+      "per-customer average must be one aggregate, not a re-executed subquery")
+  }
+
+  test("s7_range_frame: one user-keyed window pass carries both frame aggregates") {
+    val plan = planOf("s7_range_frame")
+    assert("\\bWindow\\b".r.findAllIn(plan).length <= 1,
+      "both RANGE-frame aggregates must share one window operator")
+  }
+
   test("zipf/mixture: vocab top-N fuses; the normalization total broadcasts") {
     val zp = planOf("zipf_fit")
     assert(zp.contains("TakeOrderedAndProject"),
