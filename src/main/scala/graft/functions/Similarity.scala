@@ -286,7 +286,15 @@ object Similarity {
   private def dotp(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Squared L2 distance — native codegen form ([[graft.plans.ArrayL2Squared]]:
+    * one fused Java loop). Bit-identical to [[l2sqHof]] (same left-to-right
+    * accumulation; CatalystSpec pins it), so the trained codebooks and the
+    * committed PQ fixture are unchanged by the swap. */
   private def l2sq(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a, b)
+
+  /** Portable HoF form (pre-codegen cross-check reference). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** PRODUCT-QUANTIZATION ANN top-k (PQ with asymmetric distance
@@ -336,7 +344,7 @@ object Similarity {
         row_number().over(Window.orderBy(col("c_id"))).cast("int") - 1)
     var codebook = csub.join(broadcast(seeds), Seq("c_id"))
       .select(col("sub"), col("cent"), col("sv").as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to lloydIters) {
       val assigned = assignNearestSub(csub, codebook)
       codebook = assigned
@@ -346,7 +354,7 @@ object Similarity {
         .groupBy(col("sub"), col("cent"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dims"))
         .select(col("sub"), col("cent"), col("dims.mn").as("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     val codes = assignNearestSub(csub, codebook)
       .select(col("c_id"), col("sub"), col("code")).persistTracked()
@@ -354,17 +362,20 @@ object Similarity {
     // quantized to integer nano-units (exact, associative per-pair sums).
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    val qn = q.select(col("q_id"), sqrt(dotp(col("qv"), col("qv"))).as("qnorm"))
+    // qnorm rides the broadcast table (constant per q_id, first() in the
+    // pair aggregation) — a separate qnorm frame would cost one more
+    // broadcast join.
     val dt = q.join(broadcast(codebook), lit(true))
-      .select(col("q_id"), col("sub").as("dt_sub"), col("cent").as("dt_cent"),
+      .select(col("q_id"), sqrt(dotp(col("qv"), col("qv"))).as("qnorm"),
+        col("sub").as("dt_sub"), col("cent").as("dt_cent"),
         round(dotp(slice(col("qv"), col("sub") * dsubOf(col("qv")) + 1,
           dsubOf(col("qv"))), col("centroid")) * 1e9).cast("long").as("ip_e9"),
         round(dotp(col("centroid"), col("centroid")) * 1e9).cast("long").as("cn2_e9"))
     val scored = codes
       .join(broadcast(dt), col("sub") === col("dt_sub") && col("code") === col("dt_cent"))
       .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"))
-      .join(broadcast(qn), Seq("q_id"))
+      .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"),
+        first(col("qnorm")).as("qnorm"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         when(col("cn2_sum") > 0 && col("qnorm") > 0,

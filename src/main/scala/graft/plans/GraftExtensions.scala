@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
       GraftFunctions.cosineBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[ArrayL2Squared].getName, "graft_l2sq"),
+      GraftFunctions.l2sqBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       GraftFunctions.simhashBuilder))
@@ -97,6 +101,11 @@ object GraftFunctions {
     ArrayCosineSimilarity(children(0), children(1))
   }
 
+  val l2sqBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_l2sq(a, b)")
+    ArrayL2Squared(children(0), children(1))
+  }
+
   val simhashBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 1, "graft_simhash(tokens)")
     SimHash64(children(0))
@@ -127,6 +136,8 @@ object GraftFunctions {
       "graft_window", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", l2sqBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

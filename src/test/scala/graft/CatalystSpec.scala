@@ -89,6 +89,25 @@ class CatalystSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("graft_l2sq (codegen) is bit-identical to the higher-order fold") {
+    import graft.functions.Similarity
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1), Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = vecs.toDF("id", "a", "b")
+    val diff = df.select(
+      call_function("graft_l2sq", col("a"), col("b")).as("fast"),
+      Similarity.l2sqHof(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(diff == 0L, "codegen L2² diverges from the HoF fold")
+    // zero distance for identical vectors
+    val z = df.select(call_function("graft_l2sq", col("a"), col("a")).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("ConfusionAggregator (single pass) agrees with the relational aggregate") {
     val pairs = Seq((true, true), (true, false), (false, true),
       (false, false), (true, true), (false, false))
