@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayL2Squared].getName, "graft_l2sq"),
       GraftFunctions.l2sqBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_counts"),
+      new ExpressionInfo(classOf[CharCounts36].getName, "graft_char_counts"),
+      GraftFunctions.charCountsBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       GraftFunctions.simhashBuilder))
@@ -106,6 +110,11 @@ object GraftFunctions {
     ArrayL2Squared(children(0), children(1))
   }
 
+  val charCountsBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 1, "graft_char_counts(text)")
+    CharCounts36(children(0))
+  }
+
   val simhashBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 1, "graft_simhash(tokens)")
     SimHash64(children(0))
@@ -138,6 +147,8 @@ object GraftFunctions {
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2sq", l2sqBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_counts", charCountsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

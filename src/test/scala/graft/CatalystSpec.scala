@@ -108,6 +108,28 @@ class CatalystSpec extends AnyFunSuite {
     assert(z == 0.0)
   }
 
+  test("graft_char_counts: one byte walk ≡ regexp char extraction, sorted order") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Seq("", "aabb42", "Hello, World! 99", "日本語 mixed ascii z9",
+      "\t\nz z z", "0123456789abcdefghijklmnopqrstuvwxyz").zipWithIndex
+      .map(_.swap).toDF("i", "t")
+    val bad = docs.select(
+      call_function("graft_char_counts", lower(col("t"))).as("c"),
+      regexp_extract_all(lower(col("t")), lit("[a-z0-9]"), lit(0)).as("cs"))
+      .select(
+        aggregate(col("c"), lit(0L), (a, k) => a + k).as("n1"),
+        size(col("cs")).cast("long").as("n2"),
+        // histogram order must equal array_sort's char order: rebuild the
+        // sorted char list from the histogram and compare
+        concat_ws("", flatten(zip_with(
+          col("c"),
+          split(lit("0 1 2 3 4 5 6 7 8 9 a b c d e f g h i j k l m n o p q r s t u v w x y z"), " "),
+          (k, ch) => array_repeat(ch, k.cast("int"))))).as("s1"),
+        concat_ws("", array_sort(col("cs"))).as("s2"))
+      .filter(col("n1") =!= col("n2") || col("s1") =!= col("s2"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
   test("ConfusionAggregator (single pass) agrees with the relational aggregate") {
     val pairs = Seq((true, true), (true, false), (false, true),
       (false, false), (true, true), (false, false))
