@@ -2256,6 +2256,51 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // INCREMENTAL AGGREGATE MAINTENANCE — the delta-processing pattern
+    // that makes 100 TB snapshots affordable: per-source stats for the
+    // NEW snapshot computed as OLD stats + a delta derived ONLY from the
+    // rows the snapshot diff touched (added/changed/removed), never a
+    // full recompute. The oracle recomputes the new snapshot directly,
+    // so the gate PROVES incremental ≡ recompute. Snapshots reuse
+    // corpus_snapshot_diff's deterministic construction. All counts are
+    // exact integers — delta arithmetic is associative.
+    "incremental_agg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("source"), col("doc_id"), nTok.as("nt"))
+      val newText = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" [edited]"))).otherwise(col("text"))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("source"), col("doc_id"),
+          size(regexp_extract_all(newText, lit("\\S+"), lit(0))).cast("long").as("nt"))
+      val oldAgg = oldSnap.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+      // Delta touches ONLY diffed rows: subtract every old-side row that
+      // left or changed, add every new-side row that arrived or changed.
+      val oldKeys = oldSnap.select(col("doc_id")).withColumn("__in_old", lit(1))
+      val newKeys = newSnap.select(col("doc_id")).withColumn("__in_new", lit(1))
+      val leftSide = oldSnap.join(newKeys, Seq("doc_id"), "left")
+        .filter(col("__in_new").isNull || col("doc_id") % 5 === 0) // removed ∪ changed
+        .select(col("source"), lit(-1L).as("dd"), (-col("nt")).as("dt"))
+      val rightSide = newSnap.join(oldKeys, Seq("doc_id"), "left")
+        .filter(col("__in_old").isNull || col("doc_id") % 5 === 0) // added ∪ changed
+        .select(col("source"), lit(1L).as("dd"), col("nt").as("dt"))
+      val delta = leftSide.unionByName(rightSide)
+        .groupBy(col("source"))
+        .agg(sum(col("dd")).as("d_docs"), sum(col("dt")).as("d_tokens"))
+      oldAgg.join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("total_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L)))
+            .as("total_tokens"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("source"))
+    }),
+
+    // ---------------------------------------------------------------
     // SPLIT-LEAKAGE AUDIT — exact-duplicate fingerprints that straddle
     // train/validation/test: THE contamination check a reproducible
     // split must pass (content-independent split assignment means exact
@@ -4186,6 +4231,14 @@ object SparkEntry {
         |                 AND fp_old <> fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(SUM(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    "incremental_agg" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(regexp_extract_all(
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END,
+        |    '\S+'))) AS BIGINT) AS total_tokens
+        |FROM documents WHERE doc_id % 11 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "split_leakage" ->
       """WITH d AS (
