@@ -454,6 +454,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "both RANGE-frame aggregates must share one window operator")
   }
 
+  test("snapshot/leakage/incremental audits: keyed joins only, no cartesian") {
+    for (name <- Seq("corpus_snapshot_diff", "split_leakage",
+        "semdedup_agreement", "incremental_agg")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must join on keys, never cross")
+      assert(!plan.contains("Window"), s"$name needs no window")
+    }
+  }
+
   test("zipf/mixture: vocab top-N fuses; the normalization total broadcasts") {
     val zp = planOf("zipf_fit")
     assert(zp.contains("TakeOrderedAndProject"),
