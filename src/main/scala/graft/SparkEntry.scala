@@ -2256,6 +2256,72 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // SEMI-STRUCTURED JSON with a QUARANTINE path — parse the events
+    // `props` JSON column (every 13th event deterministically corrupted
+    // by truncation), count quarantined rows, aggregate the extracted
+    // field. Malformed records must degrade to NULL and be COUNTED, not
+    // crash the pipeline or silently vanish — the PERMISSIVE-mode
+    // contract. All map-side extraction + one keyed aggregate.
+    "json_props" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("__p",
+          when(col("event_id") % 13 === 0, substring(col("props"), 2, 1000))
+            .otherwise(col("props")))
+        .withColumn("__k", get_json_object(col("__p"), "$.k").cast("long"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(coalesce(col("__k"), lit(0L))).as("sum_k"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // LATERAL correlated subquery — per-order top-2 lineitems by price
+    // through the SQL-text surface (`JOIN LATERAL ... ORDER BY LIMIT`).
+    // Catalyst decorrelates the limit-per-group into a join + windowed
+    // rank rather than re-running the subquery per outer row; DuckDB
+    // executes its own LATERAL implementation of the same text.
+    "sql_lateral_join" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lat_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, t.l_linenumber, ROUND(t.l_extendedprice, 6) AS l_extendedprice
+        FROM graft_lat_orders o
+        JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM graft_lat_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        WHERE o.o_orderkey % 100 = 0
+        ORDER BY o.o_orderkey, l_extendedprice DESC, l_linenumber""")
+    }),
+
+    // ---------------------------------------------------------------
+    // SMALL-FILE COMPACTION — the table-maintenance pass every long-
+    // lived 100 TB dataset needs: a 64-file fragmented write compacts to
+    // 4 files via repartition, and the gate proves content is EXACTLY
+    // preserved (row count + two independent checksums) while the file
+    // count actually drops. Deterministic synthetic frame; the oracle
+    // recomputes the checksums from the generating formula.
+    "small_file_compaction" -> ((s, dir) => {
+      val base = scratchDir("graft_compact_")
+      val src = s.range(10000).select(col("id"),
+        (col("id") * 2654435761L % 1000003L).as("v"))
+      src.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+      val small = s.read.parquet(s"$base/small")
+      small.repartition(4).write.mode("overwrite").parquet(s"$base/compact")
+      val compact = s.read.parquet(s"$base/compact")
+      def nFiles(p: String): Long =
+        new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet")).toLong
+      compact.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("v")).as("sum_v"),
+          sum(col("id") * col("v")).as("weighted_v"))
+        .select(lit(nFiles(s"$base/small")).as("n_files_before"),
+          lit(nFiles(s"$base/compact")).as("n_files_after"),
+          col("n_rows"), col("sum_v"), col("weighted_v"))
+    }),
+
+    // ---------------------------------------------------------------
     // INCREMENTAL AGGREGATE MAINTENANCE — the delta-processing pattern
     // that makes 100 TB snapshots affordable: per-source stats for the
     // NEW snapshot computed as OLD stats + a delta derived ONLY from the
@@ -4231,6 +4297,38 @@ object SparkEntry {
         |                 AND fp_old <> fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(SUM(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    "json_props" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 13 = 0 THEN substr(props, 2, 1000) ELSE props END AS pr
+        |  FROM events),
+        |k AS (SELECT user_id,
+        |    CASE WHEN json_valid(pr) THEN CAST(json_extract(pr, '$.k') AS BIGINT)
+        |         ELSE NULL END AS k
+        |  FROM p)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sql_lateral_join" ->
+      """SELECT o.o_orderkey, t.l_linenumber, ROUND(t.l_extendedprice, 6) AS l_extendedprice
+        |FROM orders o
+        |JOIN LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t ON TRUE
+        |WHERE o.o_orderkey % 100 = 0
+        |ORDER BY o.o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin,
+
+    "small_file_compaction" ->
+      """WITH r AS (SELECT CAST(range AS BIGINT) AS id FROM range(10000)),
+        |v AS (SELECT id, (id * 2654435761) % 1000003 AS v FROM r)
+        |SELECT CAST(64 AS BIGINT) AS n_files_before, CAST(4 AS BIGINT) AS n_files_after,
+        |  COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(id * v) AS BIGINT) AS weighted_v
+        |FROM v""".stripMargin,
 
     "incremental_agg" ->
       """SELECT source, COUNT(*) AS n_docs,

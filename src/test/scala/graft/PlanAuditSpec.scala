@@ -454,6 +454,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "both RANGE-frame aggregates must share one window operator")
   }
 
+  test("sql_lateral_join: decorrelates — no per-outer-row re-execution") {
+    val plan = planOf("sql_lateral_join")
+    assert(plan.contains("Join"), "LATERAL must become a join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("json_props: map-side extraction, one keyed aggregate") {
+    val plan = planOf("json_props")
+    assert(!plan.contains("Join") && plan.contains("HashAggregate"))
+    assert(plan.contains("get_json_object") || plan.contains("GetJsonObject"),
+      "extraction must be the built-in JSON path expression")
+  }
+
   test("snapshot/leakage/incremental audits: keyed joins only, no cartesian") {
     for (name <- Seq("corpus_snapshot_diff", "split_leakage",
         "semdedup_agreement", "incremental_agg")) {
