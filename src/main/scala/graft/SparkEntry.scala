@@ -2256,6 +2256,30 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // RECURSIVE CTE through the SQL-text surface (WITH RECURSIVE landed
+    // in Spark 4): BFS distance from the smallest doc id over the
+    // near-dup pair graph — depth-bounded walk, MIN(depth) rollup. The
+    // same shape the DuckDB oracles have used against this engine all
+    // along, now executed BY the engine. Both engines run the same
+    // recursive text over the committed fixture.
+    "sql_recursive_cte" -> ((s, dir) => {
+      s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet")
+        .createOrReplaceTempView("graft_rec_pairs")
+      s.sql("""
+        WITH RECURSIVE walk(id, depth) AS (
+          SELECT MIN(id1), 0 FROM graft_rec_pairs
+          UNION ALL
+          SELECT s.dst, w.depth + 1
+          FROM walk w
+          JOIN (SELECT id1 AS src, id2 AS dst FROM graft_rec_pairs
+                UNION SELECT id2, id1 FROM graft_rec_pairs) s
+            ON s.src = w.id
+          WHERE w.depth < 4)
+        SELECT id, MIN(depth) AS dist
+        FROM walk GROUP BY id ORDER BY id""")
+    }),
+
+    // ---------------------------------------------------------------
     // SEMI-STRUCTURED JSON with a QUARANTINE path — parse the events
     // `props` JSON column (every 13th event deterministically corrupted
     // by truncation), count quarantined rows, aggregate the extracted
@@ -4297,6 +4321,21 @@ object SparkEntry {
         |                 AND fp_old <> fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(SUM(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j""".stripMargin,
+
+    "sql_recursive_cte" ->
+      s"""WITH RECURSIVE walk(id, depth) AS (
+        |  SELECT MIN(id1), 0 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |  UNION ALL
+        |  SELECT s.dst, w.depth + 1
+        |  FROM walk w
+        |  JOIN (SELECT id1 AS src, id2 AS dst
+        |        FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |        UNION SELECT id2, id1
+        |        FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')) s
+        |    ON s.src = w.id
+        |  WHERE w.depth < 4)
+        |SELECT id, MIN(depth) AS dist
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "json_props" ->
       """WITH p AS (
