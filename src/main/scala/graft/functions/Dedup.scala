@@ -539,11 +539,19 @@ object Dedup {
   def duplicatedWindowStats(docs: DataFrame, id: Column, text: Column,
       winLen: Int = 40, minDocs: Long = 2L): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
+    // Per-document window counts pre-aggregate IN-ROW (sorted RLE inside
+    // the graft_window_hash_counts expression) — the historical
+    // explode → groupBy(doc, wh) formulation shuffled every window
+    // position. With the counts exact before any exchange, document
+    // locality survives from the scan, so the final per-doc flag regroup
+    // collapses map-side to one row per document; the df rollup's
+    // wh-keyed exchange is the one irreducible corpus-level shuffle.
     val perDocWin = docs
       .select(id.as("doc_id"), TextAnalysis.normalizeText(text).as("__norm"))
       .select(col("doc_id"),
-        explode(call_function("graft_window_hashes", col("__norm"), lit(winLen))).as("wh"))
-      .groupBy(col("doc_id"), col("wh")).agg(count(lit(1)).as("n_pos"))
+        explode(call_function("graft_window_hash_counts", col("__norm"), lit(winLen)))
+          .as("p"))
+      .select(col("doc_id"), col("p.wh").as("wh"), col("p.n_pos").as("n_pos"))
       .persistTracked() // feeds BOTH the df rollup and the flag join
     // Only windows meeting the duplication threshold matter for the flag
     // columns, so shrink the join's right side to exactly those BEFORE

@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_window_hashes"),
       new ExpressionInfo(classOf[WindowHashes].getName, "graft_window_hashes"),
       GraftFunctions.windowHashesBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_window_hash_counts"),
+      new ExpressionInfo(classOf[WindowHashCounts].getName, "graft_window_hash_counts"),
+      GraftFunctions.windowHashCountsBuilder))
     ext.injectOptimizerRule(_ => LowerGraftWindow)
     ext.injectPlannerStrategy(_ => GraftTopKStrategy)
   }
@@ -140,6 +144,11 @@ object GraftFunctions {
     WindowHashes(children(0), children(1))
   }
 
+  val windowHashCountsBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_window_hash_counts(normalized_text, window_len)")
+    WindowHashCounts(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
@@ -159,6 +168,8 @@ object GraftFunctions {
       "graft_minhash_sig", minhashSigBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window_hashes", windowHashesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hash_counts", windowHashCountsBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

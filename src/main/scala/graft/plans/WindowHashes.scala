@@ -80,6 +80,73 @@ object WindowHashesUtil {
   }
 }
 
+/** `graft_window_hash_counts(norm, L)` → `array<struct<wh: long, n_pos:
+  * long>>`: the DISTINCT window fingerprints of a document with their
+  * position counts, pre-aggregated IN-ROW (one O(n log n) sort + run-
+  * length pass over the O(n) slide output). Replaces the explode →
+  * `groupBy(doc, wh)` formulation: the per-document counts are exact
+  * before any exchange, so the corpus-level pipeline keeps document
+  * locality from the scan — the per-doc flag regroup collapses map-side
+  * to one row per document, and the only full-size shuffle left is the
+  * document-frequency rollup (irreducible: corpus-level df needs a
+  * wh-keyed exchange). Entries are emitted in ascending-wh order
+  * (deterministic; the order is irrelevant downstream since each entry
+  * becomes an independent row).
+  */
+case class WindowHashCounts(child: Expression, winLen: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def left: Expression = child
+  override def right: Expression = winLen
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("wh", LongType, nullable = false),
+    StructField("n_pos", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_window_hash_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, winLen.dataType) match {
+      case (StringType, IntegerType) if winLen.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckFailure(
+        "graft_window_hash_counts needs a literal window length")
+      case (c, l) => TypeCheckResult.TypeCheckFailure(
+        s"graft_window_hash_counts expects (string, int), got (${c.simpleString}, ${l.simpleString})")
+    }
+
+  override protected def nullSafeEval(s: Any, l: Any): Any =
+    WindowHashCountsUtil.counts(s.asInstanceOf[UTF8String], l.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, l) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.plans.WindowHashCountsUtil.counts($s, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, winLen = newRight)
+}
+
+/** Codegen entry point for [[WindowHashCounts]] (static call target). */
+object WindowHashCountsUtil {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  def counts(s: UTF8String, winLen: Int): ArrayData = {
+    val raw = WindowHashesUtil.hashes(s, winLen).toLongArray()
+    java.util.Arrays.sort(raw)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      var j = i + 1
+      while (j < raw.length && raw(j) == raw(i)) j += 1
+      out += InternalRow(raw(i), (j - i).toLong)
+      i = j
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
 /** `graft_window_hashes(norm, L)` → `array<long>`: the packed fingerprint
   * of every length-L character window of a normalized-ASCII string, O(n)
   * total (see [[WindowHashesUtil]]). The map-side signature generator for

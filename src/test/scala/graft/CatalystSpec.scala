@@ -108,6 +108,22 @@ class CatalystSpec extends AnyFunSuite {
     assert(z == 0.0)
   }
 
+  test("graft_window_hash_counts: in-row RLE ≡ explode + groupBy on the raw hashes") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Seq("abcabcabcabc", "xyxyxyxy", "short", "", "aaaaaaaaaa")
+      .zipWithIndex.map(_.swap).toDF("i", "t")
+    val rle = docs.select(col("i"),
+      explode(call_function("graft_window_hash_counts", col("t"), lit(3))).as("p"))
+      .select(col("i"), col("p.wh").as("wh"), col("p.n_pos").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val grouped = docs.select(col("i"),
+      explode(call_function("graft_window_hashes", col("t"), lit(3))).as("wh"))
+      .groupBy(col("i"), col("wh")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rle == grouped, s"RLE diverges: ${rle.diff(grouped)} / ${grouped.diff(rle)}")
+    assert(rle.nonEmpty)
+  }
+
   test("graft_char_counts: one byte walk ≡ regexp char extraction, sorted order") {
     graft.plans.GraftFunctions.register(spark)
     val docs = Seq("", "aabb42", "Hello, World! 99", "日本語 mixed ascii z9",

@@ -332,8 +332,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dup_windows: codegen signatures, partial-aggregated counts, keyed flag join") {
     val plan = planOf("dup_windows")
-    assert(plan.contains("graft_window_hashes"),
-      "window fingerprints must come from the O(n) codegen expression")
+    assert(plan.contains("graft_window_hash_counts"),
+      "window fingerprints must pre-aggregate in-row via the codegen RLE expression")
     assert(!plan.contains("Window"), "dup flagging must not use a window")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "flag join must stay keyed on the fingerprint")
