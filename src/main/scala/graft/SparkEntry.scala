@@ -2459,6 +2459,154 @@ object SparkEntry {
           orderBy = Seq(("sample_hash", true), ("doc_id", true)), k = 3)
         .select(col("source"), col("rank"), col("doc_id"), col("sample_hash"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q7 shape — "volume shipping": bilateral trade between two
+    // nations by ship year. The nation predicates are pushed into BOTH
+    // dimension sides before any fact join (supplier and customer each
+    // shrink to 2/25 of their rows), so the lineitem⋈orders shuffle only
+    // carries pre-filtered keys; both dim joins broadcast. The
+    // pair-direction disjunction runs map-side after the joins.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nations = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_7", "NATION_8"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nations.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nations.select(col("n_nationkey").as("n2_nationkey"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n2_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_7"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__rev"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          round(col("__rev").cast("double"), 6).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q8 shape — "national market share": one nation's fraction of
+    // a region's ECONOMY-part import volume per order year. Part filter
+    // (~1/6 of parts) and region-restricted customers both broadcast;
+    // the share is a conditional-sum / sum ratio over the SAME decimal-
+    // quantized volume terms, so numerator and denominator are exact and
+    // the final double division is engine-identical.
+    "q8_market_share" -> ((s, dir) => {
+      val partF = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val eur = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))
+      val custEur = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(eur), col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cn_nationkey"))),
+          col("c_nationkey") === col("cn_nationkey"))
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(broadcast(custEur), col("o_custkey") === col("c_custkey"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", vol).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).as("__num"),
+          sum(vol.cast("decimal(18,6)")).as("__den"))
+        .select(col("o_year"),
+          round(col("__num").cast("double") / col("__den").cast("double"), 6)
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q9 shape — "product-type profit" (adapted: no partsupp table,
+    // so supply cost is proxied as half the part's retail price). Part-
+    // name prefix filter broadcasts (~1/8 of parts) and prunes lineitem
+    // before the orders shuffle; profit terms are decimal-quantized per
+    // row so the per-(nation, year) sums are exact.
+    "q9_product_profit" -> ((s, dir) => {
+      val partF = Tables.part(s, dir).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"),
+          col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.5) * col("p_retailprice") * col("l_quantity")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount.cast("decimal(18,6)")).as("__profit"))
+        .select(col("nation"), col("o_year"),
+          round(col("__profit").cast("double"), 6).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q10 shape — "returned items": top-20 customers by returned
+    // revenue in a quarter. The revenue rollup runs FIRST on c_custkey
+    // (one keyed exchange over the date-pruned fact join), and only the
+    // aggregated sliver joins back to customer + broadcast nation — at
+    // scale the customer join touches ~thousands of rows, not the fact
+    // table. Final ordering fuses to TakeOrderedAndProject.
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__rev"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"),
+          col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      rev.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("__rev").cast("double"), 6).as("revenue"),
+          col("c_acctbal"), col("n_name"), col("__rev"))
+        .orderBy(col("__rev").desc, col("c_custkey"))
+        .limit(20)
+        .drop("__rev")
     })
   )
 
@@ -4569,7 +4717,79 @@ object SparkEntry {
         |           ORDER BY sample_hash, doc_id) AS BIGINT) AS rank
         |  FROM h)
         |SELECT source, rank, doc_id, sample_hash FROM r WHERE rank <= 3
-        |ORDER BY source, rank""".stripMargin
+        |ORDER BY source, rank""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |    JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT nation, o_year,
+        |  ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE 'red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, c_custkey
+        |LIMIT 20""".stripMargin
     )
   }
 }
