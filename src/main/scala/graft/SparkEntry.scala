@@ -2607,6 +2607,99 @@ object SparkEntry {
         .orderBy(col("__rev").desc, col("c_custkey"))
         .limit(20)
         .drop("__rev")
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q11 shape — "important parts": parts whose one-nation line
+    // value exceeds 1/1000 of that nation's total. The per-part rollup
+    // runs once; the global total is a single-row re-aggregation of the
+    // SAME rollup (no second fact scan), broadcast back as a cross join.
+    // Both sides of the threshold comparison are exact decimals, so the
+    // predicate is engine-identical.
+    "q11_important_parts" -> ((s, dir) => {
+      val suppF = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val partVal = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(suppF), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__val"))
+      val total = partVal.agg(sum(col("__val")).as("__total"))
+      partVal.crossJoin(broadcast(total))
+        .filter(col("__val") * lit(1000) > col("__total"))
+        .select(col("p_partkey"), round(col("__val").cast("double"), 6).as("value"),
+          col("__val"))
+        .orderBy(col("__val").desc, col("p_partkey"))
+        .drop("__val")
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q13 shape — "customer order-count distribution": LEFT join
+    // keeps zero-order customers, the priority predicate lives on the
+    // join's right side (pre-filtered, so it cannot turn the outer join
+    // inner), and the second aggregation runs over one row per customer
+    // — tiny. COUNT(col) counts non-null matches only.
+    "q13_order_distribution" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q15 shape — "top supplier": per-supplier quarterly revenue,
+    // then the supplier(s) achieving the maximum. The max is a one-row
+    // re-aggregation of the same rollup broadcast back; revenue equality
+    // compares exact decimals (never rounded doubles), so ties and the
+    // max itself are engine-identical.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__rev"))
+      val maxRev = rev.agg(max(col("__rev")).as("__max"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("__rev") === col("__max"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("__rev").cast("double"), 6).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q17 shape — "small-quantity revenue": lineitems below 20% of
+    // their part's average quantity, annualized. The correlated AVG
+    // decorrelates into a per-part rollup joined back broadcast (the
+    // brand+type filter leaves a handful of parts); quantities are
+    // integral so the average is exact on both engines.
+    "q17_small_quantity" -> ((s, dir) => {
+      val partF = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("p_partkey").as("avg_partkey"))
+        .agg(avg(col("l_quantity")).as("__qavg"))
+      li.join(broadcast(perPart), col("p_partkey") === col("avg_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("__qavg"))
+        .agg(round(
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") / lit(7.0),
+          6).as("avg_yearly"))
     })
   )
 
@@ -4789,7 +4882,53 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY l_partkey)
+        |SELECT p_partkey, ROUND(CAST(value_dec AS DOUBLE), 6) AS value
+        |FROM pv
+        |WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM pv)
+        |ORDER BY value_dec DESC, p_partkey""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |    LEFT JOIN orders ON c_custkey = o_custkey
+        |      AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, ROUND(CAST(total_dec AS DOUBLE), 6) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_dec = (SELECT MAX(total_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin
     )
   }
 }
