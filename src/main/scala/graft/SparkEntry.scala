@@ -2700,6 +2700,159 @@ object SparkEntry {
         .agg(round(
           sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double") / lit(7.0),
           6).as("avg_yearly"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q2 shape — "min-cost supplier" (adapted: no partsupp, so the
+    // per-(part, supplier) unit cost is the minimum observed
+    // extendedprice/quantity). The correlated MIN decorrelates into a
+    // per-part rollup of the SAME (part, supplier) aggregate, joined
+    // back on partkey — co-partitioned, no extra fact scan. Both filter
+    // dims broadcast. Unit prices compare as raw doubles: identical
+    // inputs through one IEEE divide and an exact MIN.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val partF = Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_name").like("%bolt"))
+        .select(col("p_partkey"))
+      val suppEur = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+              .select(col("r_regionkey"))),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppEur), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("__unit"))
+      val pmin = ps.groupBy(col("p_partkey").as("min_partkey"))
+        .agg(min(col("__unit")).as("__min_unit"))
+      ps.join(pmin, col("p_partkey") === col("min_partkey"))
+        .filter(col("__unit") === col("__min_unit"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          round(col("__unit"), 6).as("unit_price"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q16 shape — "part/supplier attribute counts": distinct
+    // suppliers per (brand, type, size) bucket, excluding a supplier
+    // blacklist. NOT IN rewrites to a broadcast LEFT ANTI join (safe:
+    // suppkey is never null); both dims broadcast so the only exchange
+    // is the final grouped distinct.
+    "q16_part_supplier_counts" -> ((s, dir) => {
+      val partF = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSupp = Tables.supplier(s, dir).filter(col("s_name").like("%7"))
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q20 shape — "part promotion" (adapted: no partsupp availqty,
+    // so a supplier qualifies by having shipped >25% of a part's 1996
+    // volume). Two chained rollups on partkey — per-(part, supplier)
+    // then per-part — join co-partitioned; quantities are integral and
+    // summed as BIGINT, so the 4×qty > total comparison is exact.
+    "q20_part_promotion" -> ((s, dir) => {
+      val partF = Tables.part(s, dir).filter(col("p_name").like("hot%"))
+        .select(col("p_partkey"))
+      val ps = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("__qty"))
+      val pt = ps.groupBy(col("l_partkey").as("tot_partkey"))
+        .agg(sum(col("__qty")).as("__total"))
+      ps.join(pt, col("l_partkey") === col("tot_partkey"))
+        .filter(col("__qty") * 4 > col("__total"))
+        .select(col("l_suppkey")).distinct()
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q21 shape — "suppliers who kept orders waiting": late (>90
+    // days after order date) lines of one region's suppliers, on multi-
+    // supplier finished orders where NO other supplier was late. The
+    // EXISTS / NOT EXISTS pair collapses into ONE per-order aggregate
+    // (distinct suppliers, distinct late suppliers) joined back on
+    // orderkey — co-partitioned with the grouped base, a single fact
+    // scan feeding both sides.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val ordF = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val ordAgg = base.groupBy(col("o_orderkey").as("agg_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+          countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
+      val suppAsia = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")
+              .select(col("r_regionkey"))),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      base.filter(col("__late"))
+        .join(broadcast(suppAsia), col("l_suppkey") === col("s_suppkey"))
+        .join(ordAgg, col("o_orderkey") === col("agg_orderkey"))
+        .filter(col("__n_supp") > 1 && col("__n_late") === 1)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q22 shape — "dormant high-balance customers" (adapted: the
+    // anti join is against orders SINCE 2000 — every customer has some
+    // order in this data). The global positive-balance average is a one-
+    // row scalar broadcast back; the comparison divides the same exact
+    // decimal sum by the same count on both engines.
+    "q22_dormant_customers" -> ((s, dir) => {
+      val oddNations = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_5", "NATION_7",
+          "NATION_9", "NATION_11", "NATION_13"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sel = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+        .join(broadcast(oddNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_acctbal"), col("n_name"))
+      val avgRow = sel.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("__avg"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      sel.crossJoin(broadcast(avgRow))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 6)
+            .as("totacctbal"))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -4928,7 +5081,88 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
         |  AND l_quantity < (
         |    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
-        |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |    MIN(l_extendedprice / l_quantity) AS unit
+        |  FROM lineitem
+        |    JOIN part ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND p_name LIKE '%bolt' AND r_name = 'EUROPE'
+        |  GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(unit, 6) AS unit_price
+        |FROM ps
+        |WHERE unit = (SELECT MIN(unit) FROM ps p2 WHERE p2.p_partkey = ps.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_part_promotion" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'hot%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |pt AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total FROM ps GROUP BY l_partkey)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM ps JOIN pt USING (l_partkey)
+        |  JOIN supplier ON s_suppkey = ps.l_suppkey
+        |WHERE ps.qty * 4 > pt.total
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_acctbal, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+        |                   'NATION_9', 'NATION_11', 'NATION_13'))
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS totacctbal
+        |FROM sel
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |    FROM sel WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
     )
   }
 }
