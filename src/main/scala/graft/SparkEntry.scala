@@ -2662,7 +2662,9 @@ object SparkEntry {
     // then the supplier(s) achieving the maximum. The max is a one-row
     // re-aggregation of the same rollup broadcast back; revenue equality
     // compares exact decimals (never rounded doubles), so ties and the
-    // max itself are engine-identical.
+    // max itself are engine-identical. The rollup (one small row per
+    // supplier) persists so BOTH branches ride one fact scan — unlike
+    // q11, AQE does not stage-reuse this shape on its own.
     "q15_top_supplier" -> ((s, dir) => {
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -2670,6 +2672,7 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,6)")).as("__rev"))
+        .persistTracked()
       val maxRev = rev.agg(max(col("__rev")).as("__max"))
       rev.crossJoin(broadcast(maxRev))
         .filter(col("__rev") === col("__max"))

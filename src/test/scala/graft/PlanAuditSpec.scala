@@ -487,4 +487,73 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 1-row normalization constant must broadcast back")
     assert(!mw.contains("SortMergeJoin"))
   }
+
+  test("TPC-H join family (q2/q7/q8/q9/q20): every dim broadcasts, no cartesian") {
+    for (name <- Seq("q2_min_cost_supplier", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q20_part_promotion")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast dims")
+      assert(!plan.contains("CartesianProduct"), s"$name grew a cartesian product")
+      assert(!plan.contains("Window"), s"$name needs no window")
+    }
+  }
+
+  test("q10: revenue aggregates on custkey BEFORE the customer join; top-20 fuses") {
+    val plan = planOf("q10_returned_items")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 20 must fuse, never a global sort")
+    // the rollup keys on the FACT side's o_custkey — proof it runs before
+    // the customer join (a post-join rollup would key on customer columns)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("o_custkey")),
+      "custkey rollup must run on the fact side, before the customer join")
+  }
+
+  test("q11: threshold branch REUSES the rollup exchange — one fact scan at runtime") {
+    // sf0.01: at sf0.001 the result is empty and AQE collapses the plan
+    // to EmptyRelation before any stage materializes
+    val df = SparkEntry.queries("q11_important_parts")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      "the global-total branch must reuse the per-part rollup's shuffle stage")
+  }
+
+  test("q15: persisted rollup feeds both branches — fact scanned once") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "both the max branch and the join branch must read the cached rollup")
+    GraftCaches.unpersistAll()
+  }
+
+  test("q16: the NOT IN blacklist is a broadcast left anti join") {
+    val plan = planOf("q16_part_supplier_counts")
+    assert(plan.contains("LeftAnti"), "blacklist must anti-join")
+    assert(plan.contains("BroadcastHashJoin"), "both dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q21: one per-order aggregate replaces EXISTS/NOT EXISTS — no re-scan blowup") {
+    val plan = planOf("q21_waiting_suppliers")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 7, s"q21 grew to $scans scans — the EXISTS pair must stay " +
+      "collapsed into the shared per-order aggregate (2 lineitem + 2 orders + dims)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q22: scalar average broadcasts; dormancy is an anti join") {
+    val plan = planOf("q22_dormant_customers")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row global average must broadcast back")
+    assert(plan.contains("LeftAnti"), "dormancy must be an anti join")
+  }
+
+  test("q13: zero-order customers survive — the orders filter stays on the join input") {
+    val plan = planOf("q13_order_distribution")
+    assert(plan.contains("LeftOuter") || plan.contains("left_outer"),
+      "the customer-orders join must stay LEFT OUTER")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
