@@ -1611,6 +1611,20 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // BLOOM-SKETCH DECONTAMINATION (TextAnalysis.bloomDecontaminationHits):
+    // identical semantics to `decontaminate` on a different split (%7),
+    // but the corpus side is pruned by a broadcast Bloom filter BEFORE the
+    // confirm join — the sketch-accelerated anti-contamination pattern
+    // that keeps the exchange proportional to true hits at 100 TB. The
+    // confirm join makes the result sketch-independent, so the closed-form
+    // overlap oracle gates it exactly.
+    "bloom_decontaminate" -> ((s, dir) => {
+      TextAnalysis.bloomDecontaminationHits(Tables.documents(s, dir), col("doc_id"),
+          col("text"), isBench = col("doc_id") % 7 === 0, n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // Bigram surprisal (TextAnalysis.bigramSurprisal): mean −ln P(w2|w1)
     // under the corpus conditional-bigram model — the model-free upgrade
     // of unigram_surprisal.
@@ -4227,6 +4241,22 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 = 0)
         |SELECT s.doc_id, COUNT(*) AS n_hits
         |FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "bloom_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' '))) AS g
+        |    FROM d WHERE len(toks) >= 8)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0)
+        |SELECT s.doc_id, COUNT(*) AS n_hits
+        |FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "bigram_surprisal" ->

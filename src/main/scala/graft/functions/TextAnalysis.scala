@@ -402,6 +402,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** BLOOM-ACCELERATED DECONTAMINATION — [[decontaminationHits]] semantics
+    * (identical output), with a broadcast Bloom filter over the benchmark
+    * shingles pruning the corpus side BEFORE the confirm join. The sketch
+    * admits false positives but never false negatives, so the exact equi-
+    * join over the surviving candidates returns precisely the true hits —
+    * the result is sketch-independent; `fpp` only sizes the candidate set.
+    *
+    * Shape at scale: this is the pattern that makes decontamination viable
+    * at 100 TB — the plain form shuffles EVERY corpus shingle into the
+    * containment join, while here a few-MB sketch (1.2 bytes/element/
+    * ln(1/fpp) — ~12 MB for 10M benchmark shingles at 1%) broadcasts once
+    * and the exchange carries only true hits + fpp·|corpus shingles|. The
+    * probe is a deliberate exception to the no-UDF rule: two hash calls
+    * against broadcast bytes, applied map-side where no codegen fusion is
+    * lost (the filter sits directly above the shingle explode). The
+    * benchmark shingle set persists (tracked) because it feeds both the
+    * sketch build and the confirm join.
+    */
+  def bloomDecontaminationHits(docs: DataFrame, id: Column, text: Column,
+      isBench: Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val sh = docs
+      .select(id.as("doc_id"), isBench.as("__is_bench"), terms(text).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), col("__is_bench"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))).as("g"))
+    val bench = sh.filter(col("__is_bench")).select(col("g")).distinct()
+      .persistTracked()
+    val nBench = bench.count()
+    val sketch = bench.stat.bloomFilter("g", math.max(nBench, 1L), fpp)
+    val bcast = docs.sparkSession.sparkContext.broadcast(sketch)
+    val mightContain = udf((g: String) => bcast.value.mightContainString(g))
+    sh.filter(!col("__is_bench"))
+      .filter(mightContain(col("g")))
+      .join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** BIGRAM SURPRISAL — the conditional-bigram upgrade of
     * [[unigramSurprisal]]: per document, the mean negative log conditional
     * probability −ln P(w₂|w₁) of its bigrams under the corpus bigram model

@@ -550,6 +550,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), "dormancy must be an anti join")
   }
 
+  test("bloom_decontaminate: sketch probe prunes the corpus side BELOW the confirm join") {
+    val plan = planOf("bloom_decontaminate")
+    assert(plan.contains("UDF"), "the broadcast Bloom probe must appear in the plan")
+    // the probe must filter shingles before they reach the join's exchange
+    val lines = plan.linesIterator.toSeq
+    val probeLine = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    val joinLine = lines.indexWhere(_.contains("Join"))
+    assert(probeLine >= 0 && joinLine >= 0 && probeLine > joinLine,
+      "plans print top-down: the probe filter must sit under the join, on the corpus input")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q13: zero-order customers survive — the orders filter stays on the join input") {
     val plan = planOf("q13_order_distribution")
     assert(plan.contains("LeftOuter") || plan.contains("left_outer"),

@@ -64,6 +64,22 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("bloomDecontaminationHits: sketch-independent — equals the exact form on real data") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isBench = col("doc_id") % 3 === 0
+    val exact = TextAnalysis.decontaminationHits(docs, col("doc_id"), col("text"),
+      isBench, n = 8).orderBy("doc_id").collect().toSeq
+    // a sloppy 30% fpp floods the candidate set with false positives; the
+    // confirm join must still strip every one of them
+    for (fpp <- Seq(0.3, 0.01)) {
+      val bloom = TextAnalysis.bloomDecontaminationHits(docs, col("doc_id"),
+        col("text"), isBench, n = 8, fpp = fpp).orderBy("doc_id").collect().toSeq
+      assert(bloom == exact, s"fpp=$fpp diverged from the exact containment join")
+    }
+    assert(exact.nonEmpty, "gate has no positives — split choice is vacuous")
+    GraftCaches.unpersistAll()
+  }
+
   test("bigramSurprisal: hand-computed conditional model, short docs dropped") {
     // corpus bigrams: "a b"x2, "a c"x1 -> c1(a)=3
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
