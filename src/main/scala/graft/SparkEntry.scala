@@ -2820,9 +2820,15 @@ object SparkEntry {
         .join(ordF, col("l_orderkey") === col("o_orderkey"))
         .withColumn("__late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      val ordAgg = base.groupBy(col("o_orderkey").as("agg_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
-          countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
+      // aggregate-before-distinct: a double countDistinct would plan as an
+      // Expand (×2 rows into the exchange); rolling up per (order,
+      // supplier) first keeps the exchange at input size and the second
+      // rollup at one row per pair
+      val ordAgg = base
+        .groupBy(col("o_orderkey").as("agg_orderkey"), col("l_suppkey").as("agg_suppkey"))
+        .agg(max(when(col("__late"), lit(1L))).as("__supp_late"))
+        .groupBy(col("agg_orderkey"))
+        .agg(count(lit(1)).as("__n_supp"), count(col("__supp_late")).as("__n_late"))
       val suppAsia = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)
             .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")
