@@ -1611,6 +1611,39 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // SET OPERATIONS through the SQL surface — audience segmentation:
+    // INTERSECT (viewed AND purchased) and EXCEPT (viewed, never
+    // purchased). Catalyst compiles both to semi/anti joins + distinct —
+    // never a materialized set; the same SQL text runs on DuckDB.
+    "sql_set_ops" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("graft_seg_events")
+      s.sql("""
+        SELECT 'viewed_and_purchased' AS segment, user_id FROM (
+          SELECT user_id FROM graft_seg_events WHERE event_type = 'view'
+          INTERSECT
+          SELECT user_id FROM graft_seg_events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'viewed_never_purchased' AS segment, user_id FROM (
+          SELECT user_id FROM graft_seg_events WHERE event_type = 'view'
+          EXCEPT
+          SELECT user_id FROM graft_seg_events WHERE event_type = 'purchase')
+        ORDER BY segment, user_id""")
+    }),
+
+    // ---------------------------------------------------------------
+    // BOUNDED-STATE EWMA (Relational.ewmaRecent): half-life smoothing of
+    // each user's 64 most recent events through the TopKPerKey plan node
+    // — k-bounded exchange and fold state, exact power-of-two halving
+    // steps (bit-reproducible on any engine). The oracle replays the
+    // identical fold with a window rank + ordered list_reduce.
+    "s8_ewma" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Relational.ewmaRecent(Tables.events(s, dir), col("user_id"), col("ts"),
+          col("event_id"), col("value"), k = 64)
+        .orderBy(col("user_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // BLOOM-SKETCH DECONTAMINATION (TextAnalysis.bloomDecontaminationHits):
     // identical semantics to `decontaminate` on a different split (%7),
     // but the corpus side is pruned by a broadcast Bloom filter BEFORE the
@@ -4248,6 +4281,32 @@ object SparkEntry {
         |SELECT s.doc_id, COUNT(*) AS n_hits
         |FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sql_set_ops" ->
+      """SELECT 'viewed_and_purchased' AS segment, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'viewed_never_purchased' AS segment, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY segment, user_id""".stripMargin,
+
+    "s8_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rank
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    list(value ORDER BY rank DESC) AS vals
+        |  FROM r WHERE rank <= 64 GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  ROUND(list_reduce(vals, (acc, x) -> (x + acc) / 2.0), 6) AS ewma
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "bloom_decontaminate" ->
       """WITH d AS (

@@ -378,6 +378,45 @@ object Relational {
         last(col("__sv"), ignoreNulls = true).over(w).as("filled_sum"))
   }
 
+  /** BOUNDED-STATE EWMA — half-life exponential smoothing of each key's
+    * `k` MOST RECENT observations: s₀ = x_oldest, sₜ = (xₜ + sₜ₋₁)/2,
+    * folded oldest → newest. Returns `(user_id, n_events, ewma)`.
+    *
+    * Two deliberate design points:
+    *  - α = ½, so every fold step is one IEEE add and one EXACT halving —
+    *    with a fixed observation order the result is bit-reproducible on
+    *    any engine (an arbitrary α multiplies by an inexact constant and
+    *    still works, but ½ removes even that wobble from the gate);
+    *  - the window is the newest `k` PER KEY, selected by the TopKPerKey
+    *    plan node — ≤ k rows per (key, partition) reach the exchange and
+    *    the per-key fold state is ≤ k values, so the operator is
+    *    memory-bounded regardless of how long a key's history grows
+    *    (a full-history EWMA is unbounded state at 100 TB; the tail
+    *    beyond k contributes < 2⁻ᵏ of the smoothed value anyway —
+    *    truncation is far below double precision at k = 64).
+    *
+    * Ordering is (ts, tiebreakId) — the id makes equal-timestamp folds
+    * deterministic.
+    */
+  def ewmaRecent(df: DataFrame, key: Column, ts: Column, tiebreakId: Column,
+      value: Column, k: Int = 64): DataFrame = {
+    require(k >= 1, s"window must be >= 1, got $k")
+    val base = df.select(key.as("user_id"), ts.as("__ts"), tiebreakId.as("__eid"),
+      value.as("__v"))
+    val recent = graft.plans.TopKPerKey.topKPerKey(base, Seq("user_id"),
+      Seq(("__ts", false), ("__eid", false)), k)
+    // rank 1 = newest; fold must run oldest -> newest, so sort by -rank
+    recent.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct((-col("rank")).as("ord"),
+          col("__v").as("v")))).as("__seq"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(
+          slice(col("__seq"), lit(2), size(col("__seq")) - 1),
+          col("__seq").getItem(0).getField("v"),
+          (acc, x) => (x.getField("v") + acc) / lit(2.0)), 6).as("ewma"))
+  }
+
   // ---------------------------------------------------------------- range join
   /** POINT-IN-INTERVAL JOIN via a bucketed equi-join — the scale path for
     * the non-equi `pt BETWEEN start AND end` theta-join Spark would

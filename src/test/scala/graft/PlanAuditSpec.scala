@@ -562,6 +562,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s8_ewma: newest-k selection rides the custom plan node, never a window") {
+    val plan = planOf("s8_ewma")
+    assert(plan.contains("GraftTopKPerKeyPartial") && plan.contains("GraftTopKPerKeyFinal"),
+      "recent-k selection lost the k-bounded custom operators")
+    assert(!plan.contains("Window"), "a window rank would shuffle every event")
+  }
+
+  test("sql_set_ops: INTERSECT/EXCEPT compile to semi/anti joins, no materialized sets") {
+    val plan = planOf("sql_set_ops")
+    assert(plan.contains("LeftSemi"), "INTERSECT must become a semi join")
+    assert(plan.contains("LeftAnti"), "EXCEPT must become an anti join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q13: zero-order customers survive — the orders filter stays on the join input") {
     val plan = planOf("q13_order_distribution")
     assert(plan.contains("LeftOuter") || plan.contains("left_outer"),

@@ -132,6 +132,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("A>B>C", 1L), ("B>C>D", 1L), ("C>D>E", 1L)), r.toSeq)
   }
 
+  test("ewmaRecent: oldest-first halving fold; k bounds the window to the newest") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      // user 1: values 1, 2, 4 in time order
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 11L, 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 12L, 4.0),
+      // user 2: single event -> ewma = value
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 20L, 7.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    // full history: s = ((1 + 2)/2 + 4)/2 = 2.75
+    val full = operators.Relational.ewmaRecent(df, col("user_id"), col("ts"),
+      col("event_id"), col("value"), k = 64).orderBy("user_id").collect()
+    assert(full.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 2.75), (2L, 1L, 7.5)))
+    // k = 2 keeps only the newest two: s = (4 + 2)/2 = 3.0
+    val k2 = operators.Relational.ewmaRecent(df, col("user_id"), col("ts"),
+      col("event_id"), col("value"), k = 2).orderBy("user_id").collect()
+    assert(k2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 3.0), (2L, 1L, 7.5)))
+  }
+
   test("funnelCounts: strict in-order progression, same-ts excluded") {
     // u1 completes the funnel in order; u2's purchase precedes its click
     // (view@2 → click@3 → no purchase after 3); u3's click is SIMULTANEOUS
