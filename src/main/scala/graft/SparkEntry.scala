@@ -1611,6 +1611,34 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // WINDOW-FUNCTION SUITE — the rank/navigation family in one keyed
+    // pass: lag/lead, first/last/nth_value (explicit full frame), and the
+    // count-ratio ranks percent_rank/cume_dist. One partition spec, so
+    // every expression rides a single Window operator; ratios divide
+    // exact integer counts — engine-identical. Navigation outputs are raw
+    // column passthroughs (no arithmetic, no rounding needed).
+    "j7_window_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_total"),
+          lead(col("o_totalprice"), 1).over(w).as("next_total"),
+          first(col("o_totalprice")).over(wFull).as("first_total"),
+          last(col("o_totalprice")).over(wFull).as("last_total"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_total"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // ---------------------------------------------------------------
     // SET OPERATIONS through the SQL surface — audience segmentation:
     // INTERSECT (viewed AND purchased) and EXCEPT (viewed, never
     // purchased). Catalyst compiles both to semi/anti joins + distinct —
@@ -4281,6 +4309,23 @@ object SparkEntry {
         |SELECT s.doc_id, COUNT(*) AS n_hits
         |FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j7_window_suite" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  LAG(o_totalprice, 1) OVER w AS prev_total,
+        |  LEAD(o_totalprice, 1) OVER w AS next_total,
+        |  FIRST_VALUE(o_totalprice) OVER wf AS first_total,
+        |  LAST_VALUE(o_totalprice) OVER wf AS last_total,
+        |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_total,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "sql_set_ops" ->
       """SELECT 'viewed_and_purchased' AS segment, user_id FROM (

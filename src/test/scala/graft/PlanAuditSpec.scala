@@ -569,6 +569,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "a window rank would shuffle every event")
   }
 
+  test("j7_window_suite: all seven window expressions share one partition pass") {
+    val plan = planOf("j7_window_suite")
+    assert("\\bWindow\\b".r.findAllIn(plan).length <= 1,
+      "same partition spec + order must plan as a single Window operator")
+  }
+
   test("sql_set_ops: INTERSECT/EXCEPT compile to semi/anti joins, no materialized sets") {
     val plan = planOf("sql_set_ops")
     assert(plan.contains("LeftSemi"), "INTERSECT must become a semi join")
