@@ -2882,14 +2882,17 @@ object SparkEntry {
         .withColumn("__late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       // aggregate-before-distinct: a double countDistinct would plan as an
-      // Expand (×2 rows into the exchange); rolling up per (order,
-      // supplier) first keeps the exchange at input size and the second
-      // rollup at one row per pair
-      val ordAgg = base
-        .groupBy(col("o_orderkey").as("agg_orderkey"), col("l_suppkey").as("agg_suppkey"))
-        .agg(max(when(col("__late"), lit(1L))).as("__supp_late"))
-        .groupBy(col("agg_orderkey"))
-        .agg(count(lit(1)).as("__n_supp"), count(col("__supp_late")).as("__n_late"))
+      // Expand (×2 rows into the exchange). Rolling up per (order,
+      // supplier) FIRST — carrying the late-line count — gives both the
+      // per-order aggregate AND the late-supplier branch the same rollup
+      // subtree, so AQE reuses its shuffle stage and the fact is scanned
+      // once (probed: the l1-as-raw-lines form does not reuse).
+      val perSupp = base
+        .groupBy(col("o_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("__late"), lit(1L)).otherwise(lit(0L))).as("__late_lines"))
+      val ordAgg = perSupp.groupBy(col("o_orderkey").as("agg_orderkey"))
+        .agg(count(lit(1)).as("__n_supp"),
+          sum(when(col("__late_lines") > 0, lit(1L)).otherwise(lit(0L))).as("__n_late"))
       val suppAsia = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)
             .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -2898,12 +2901,12 @@ object SparkEntry {
             .select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      base.filter(col("__late"))
+      perSupp.filter(col("__late_lines") > 0)
         .join(broadcast(suppAsia), col("l_suppkey") === col("s_suppkey"))
         .join(ordAgg, col("o_orderkey") === col("agg_orderkey"))
         .filter(col("__n_supp") > 1 && col("__n_late") === 1)
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("__late_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),
