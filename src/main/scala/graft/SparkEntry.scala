@@ -1611,6 +1611,28 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // COHORT RETENTION — users per (first-activity week, weeks-since)
+    // cell: the classic retention matrix. First-week assignment is one
+    // user-keyed rollup; the join back to events co-partitions on the
+    // same key, and the (cohort, offset, user) distinct runs BEFORE the
+    // cell count (aggregate-before-distinct, no Expand). All-integer/
+    // timestamp outputs — hash-exact by construction.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, "user_id")
+        .select(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int")
+            .as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
+    // ---------------------------------------------------------------
     // WINDOW-FUNCTION SUITE — the rank/navigation family in one keyed
     // pass: lag/lead, first/last/nth_value (explicit full frame), and the
     // count-ratio ranks percent_rank/cume_dist. One partition spec, so
@@ -4312,6 +4334,19 @@ object SparkEntry {
         |SELECT s.doc_id, COUNT(*) AS n_hits
         |FROM sh s JOIN bench b ON s.g = b.g WHERE s.doc_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT DISTINCT f.cohort_wk,
+        |    CAST(date_diff('day', f.cohort_wk, ev.wk) // 7 AS INTEGER) AS week_offset,
+        |    ev.user_id
+        |  FROM ev JOIN f ON ev.user_id = f.user_id)
+        |SELECT cohort_wk, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM cells GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
 
     "j7_window_suite" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
