@@ -45,9 +45,13 @@ object Bench {
     // Durable per-query timing map (name-sorted, one entry per line) — the
     // driver archives only a truncated tail of stdout, which made round-
     // over-round regressions unattributable without tail archaeology.
-    val sorted = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => f"""  "$k": $v%.6f""" }.mkString("{\n", ",\n", "\n}\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), sorted)
+    // Full runs only: an arg-restricted spot-bench must not clobber the
+    // last complete map with a partial one.
+    if (args.isEmpty) {
+      val sorted = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"""  "$k": $v%.6f""" }.mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), sorted)
+    }
     spark.stop()
   }
 }

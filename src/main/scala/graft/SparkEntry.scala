@@ -2511,10 +2511,12 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // TOP SESSION PATHS (Relational.sessionPaths): most frequent 3-step
-    // event sequences inside 6-hour-gap sessions — per-session sorted
-    // gather (bounded by the gap), map-side n-gram transform, partial-
-    // aggregated global count, fused top-20. Oracle re-derives sessions
-    // and paths with LAG/LEAD windows — an independent formulation.
+    // event sequences inside 6-hour-gap sessions — ONE lead-window pass
+    // (a trigram is in-session iff both adjacent gaps ≤ the gap; no
+    // per-session array ever materializes), partial-aggregated global
+    // count, fused top-20. Oracle materializes the sessions explicitly
+    // (boundary-sum then LEAD inside each session) — an independent
+    // formulation of the same semantics.
     "session_paths" -> ((s, dir) => {
       Relational.sessionPaths(Tables.events(s, dir),
         col("user_id"), col("ts"), col("event_id"), col("event_type"),

@@ -460,38 +460,36 @@ object Relational {
     * the navigation-pattern / prompt-flow mining query behind "what do
     * users do next" dashboards.
     *
-    * Shape at scale: ONE user-keyed window pass assigns sessions (same
-    * layout as [[sessionize]], with `tie` added to the ordering so equal
-    * timestamps sequence deterministically); each session's events gather
-    * into ONE sorted array (bounded by session length — the gap bounds a
-    * session in any human-generated stream, unlike a per-USER collect,
-    * which a bot account would blow); n-gram extraction is a map-side
-    * `transform`; the global count is a partial-aggregated rollup and the
-    * top-k fuses to TakeOrderedAndProject.
+    * Shape at scale: a length-`n` consecutive run lies inside ONE session
+    * exactly when every one of its `n−1` adjacent gaps is ≤ the session
+    * gap (a boundary is DEFINED as a gap exceeding it) — so sessions never
+    * need materializing at all. ONE user-keyed window pass reads the next
+    * `n−1` events with `lead` (running state = n rows, however long the
+    * session — strictly tighter than a per-session gather, which a
+    * bot-length session could still blow), the path string is a map-side
+    * concat, the global count is a partial-aggregated rollup, and the
+    * top-k fuses to TakeOrderedAndProject. `tie` joins the ordering so
+    * equal timestamps sequence deterministically.
     */
   def sessionPaths(events: DataFrame, user: Column, ts: Column, tie: Column,
       etype: Column, gapSeconds: Long, n: Int = 3, k: Int = 20): DataFrame = {
     require(n >= 2, "a path needs at least two steps")
     val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
-    val us = unix_micros(col("__ts"))
-    val boundary = when(lag(us, 1).over(w).isNull ||
-      us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L)
-    val sess = events
+    def usAt(j: Int): Column = {
+      val us = unix_micros(col("__ts"))
+      if (j == 0) us else lead(us, j).over(w)
+    }
+    def eAt(j: Int): Column =
+      if (j == 0) col("__e") else lead(col("__e"), j).over(w)
+    val withinOneSession = (1 until n).map(j =>
+      usAt(j).isNotNull && usAt(j) - usAt(j - 1) <= gapSeconds * 1000000L)
+      .reduce(_ && _)
+    events
       .select(user.as("__u"), ts.as("__ts"), tie.as("__tie"), etype.as("__e"))
-      .withColumn("__s",
-        sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val paths = sess
-      .groupBy(col("__u"), col("__s"))
-      .agg(sort_array(collect_list(struct(col("__ts"), col("__tie"), col("__e"))))
-        .as("__evs"))
-      .select(explode(
-        when(size(col("__evs")) < n, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("__evs")) - n),
-            i => concat_ws(">",
-              (0 until n).map(j => element_at(col("__evs"), i + j + 1)("__e")): _*))))
-        .as("path"))
-    paths.groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .select(when(withinOneSession,
+        concat_ws(">", (0 until n).map(eAt): _*)).as("path"))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("path"))
       .limit(k)
   }

@@ -411,11 +411,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"))
   }
 
-  test("session_paths: per-session gather, fused top-20, no cartesian") {
+  test("session_paths: one lead window, fused top-20, no cartesian") {
     val plan = planOf("session_paths")
     assert(plan.contains("TakeOrderedAndProject"), "top-20 must fuse")
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
-      "paths come from per-session arrays, not self-joins of the event stream")
+      "paths come from a lead window, not self-joins of the event stream")
+    assert(!plan.toLowerCase.contains("collect_list"),
+      "no per-session array may materialize — lead state is n rows")
   }
 
   test("readability / char_entropy: map-side signals — no data exchange, no join") {
