@@ -1,13 +1,13 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{HeavyHitters, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.GraftCaches.Persistable
 import graft.kernels.{ImageOps, RegionGrowing}
-import graft.sources.Tables
+import graft.sources.{Tables, Tabular}
 import graft.streaming.EventStreams
 
 /** Driver contract — named queries + DuckDB oracle SQL (SURVEY.md §5/§7).
@@ -2440,6 +2440,65 @@ object SparkEntry {
         .select(lit(nFiles(s"$base/small")).as("n_files_before"),
           lit(nFiles(s"$base/compact")).as("n_files_after"),
           col("n_rows"), col("sum_v"), col("weighted_v"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CSV SOURCE ROUNDTRIP (sources/Tabular) — the interchange edge of
+    // the engine: orders → RFC-4180 CSV (header, quote-escaped) → read
+    // back against an EXPLICIT schema (inference = a second 100 TB scan)
+    // with PERMISSIVE quarantine — two injected vendor-feed lines (an
+    // untypeable price, an untypeable date) must land in the dead-letter
+    // group, not kill the job or vanish. The bad fields are ones this
+    // aggregate PARSES — quarantine is pruning-relative (Tabular scaladoc
+    // edge 2), so a line bad only in a pruned column is clean here by
+    // design. ONE scan, ONE shuffle: the quarantine is just another group
+    // of the same aggregate. The gate proves write→read is value-exact
+    // for long/string/double/timestamp AND exactly the 2 bad lines
+    // quarantined.
+    "csv_source_roundtrip" -> ((s, dir) => {
+      val base = scratchDir("graft_csv_")
+      val csvDir = base.resolve("orders_csv").toString
+      Tabular.writeCsv(Tables.orders(s, dir), csvDir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(csvDir, "part-vendor-bad.csv"),
+        ("o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority\n" +
+         "900001,7,O,not-a-price,2024-01-01T00:00:00.000,1-URGENT\n" +
+         "900002,13,F,55.25,not-a-date,2-HIGH\n").getBytes("UTF-8"))
+      val all = Tabular.readCsv(s, csvDir, Tables.orders(s, dir).schema)
+      val bad = col(Tabular.CorruptCol).isNotNull
+      val ok = (c: Column) => when(!bad, c)
+      all.groupBy(when(bad, lit("__QUARANTINE__")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(ok(round(col("o_totalprice") * 100).cast("long"))).as("sum_cents"),
+          min(ok(unix_micros(col("o_orderdate").cast("timestamp"))))
+            .as("first_order_us"),
+          max(ok(unix_micros(col("o_orderdate").cast("timestamp"))))
+            .as("last_order_us"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---------------------------------------------------------------
+    // ORC PARTITIONED SINK (sources/Tabular) — lineitem lands in a
+    // returnflag-directory-partitioned ORC layout; the readback filters
+    // ONE flag, and partition pruning must make that a directory skip
+    // (PartitionFilters in the scan — plan-audited), not a data filter
+    // over the full table. Revenue in exact micro-units. The gate proves
+    // ORC write→read value parity against the parquet oracle.
+    "orc_partitioned_sink" -> ((s, dir) => {
+      val base = scratchDir("graft_orc_")
+      val orcDir = base.resolve("lineitem_orc").toString
+      Tabular.writeOrc(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag")),
+        orcDir, partitionBy = Seq("l_returnflag"))
+      Tabular.readOrc(s, orcDir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000L)
+            .cast("long")).as("revenue_micro"))
     }),
 
     // ---------------------------------------------------------------
@@ -4945,6 +5004,24 @@ object SparkEntry {
         |  COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
         |  CAST(SUM(id * v) AS BIGINT) AS weighted_v
         |FROM v""".stripMargin,
+
+    "csv_source_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(epoch_us(o_orderdate)) AS first_order_us,
+        |  MAX(epoch_us(o_orderdate)) AS last_order_us
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT '__QUARANTINE__', CAST(2 AS BIGINT), NULL, NULL, NULL
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "orc_partitioned_sink" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag""".stripMargin,
 
     "incremental_agg" ->
       """SELECT source, COUNT(*) AS n_docs,

@@ -420,6 +420,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "no per-session array may materialize — lead state is n rows")
   }
 
+  test("orc_partitioned_sink: the flag filter prunes directories, not rows") {
+    val plan = planOf("orc_partitioned_sink")
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+      "the returnflag predicate must resolve to a directory skip at the ORC scan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(l_returnflag)"
+      + ", EqualTo(l_returnflag,R)]"),
+      "the flag is a partition column — it must not survive as a data filter")
+  }
+
+  test("csv_source_roundtrip: one scan, one exchange — quarantine is a group, not a second pass") {
+    val plan = planOf("csv_source_roundtrip")
+    assert(!plan.contains("Union"),
+      "clean and quarantined rows must flow through ONE aggregate, not a union of scans")
+    assert(plan.toLowerCase.split("exchange").length <= 3,
+      "at most the aggregate exchange + the gate's sort may shuffle")
+  }
+
   test("readability / char_entropy: map-side signals — no data exchange, no join") {
     for (name <- Seq("readability", "char_entropy")) {
       val plan = planOf(name)
