@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{HeavyHitters, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
+import graft.operators.{HeavyHitters, Maintenance, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.GraftCaches.Persistable
 import graft.kernels.{ImageOps, RegionGrowing}
@@ -2499,6 +2499,64 @@ object SparkEntry {
           sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000L)
             .cast("long")).as("revenue_micro"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CDC MERGE (Maintenance.mergeCdc) — the upsert that keeps a 100 TB
+    // snapshot current from a change feed. Deterministic batch: delete
+    // keys ≡5 (mod 17), update keys ≡3 (mod 13) (+1000.00 on the price),
+    // insert a shifted-key tranche with status N. The 100 TB asymmetry is
+    // the design: the target scans ONCE and never shuffles — survivors
+    // via a BROADCAST anti-join on the touched keys, upserts/inserts
+    // union in map-side (plan-audited). Oracle recomputes the merged
+    // state relationally; per-status counts/cents/key-sums pin every row.
+    "cdc_merge_upsert" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val pay = orders.columns.map(col).toSeq
+      val dels = orders.filter(col("o_orderkey") % 17 === 5)
+        .select(pay :+ lit("d").as("__op"): _*)
+      val upds = orders
+        .filter(col("o_orderkey") % 17 =!= 5 && col("o_orderkey") % 13 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .select(pay :+ lit("u").as("__op"): _*)
+      val ins = orders.filter(col("o_orderkey") % 29 === 7)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          lit(99.99).as("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"), lit("u").as("__op"))
+      Maintenance.mergeCdc(orders, dels.unionByName(upds).unionByName(ins),
+          Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---------------------------------------------------------------
+    // Z-ORDER LAYOUT QUALITY (Maintenance.zValue/zBucket) — the
+    // clustering behind `OPTIMIZE ... ZORDER BY`: Morton-interleave
+    // (part, supp) into a 20-bit z so every 1-of-64 z-range file gets a
+    // small range of BOTH columns. The gate measures layout quality
+    // relationally — distinct buckets a predicate's rows occupy = files
+    // a min/max-pruned scan touches: the 2-d box stays in 2/64 z-files,
+    // a y-only band stays in 8/64 z-files but hits all 64 of an x-sorted
+    // layout. Bit-spread is pure codegen'd bitwise algebra (no UDF);
+    // oracle re-derives it from the same twiddling in SQL.
+    "zorder_layout" -> ((s, dir) => {
+      val d = Tables.lineitem(s, dir).select(
+          (col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+        .select(col("x"), col("y"),
+          Maintenance.zBucket(Maintenance.zValue(col("x"), col("y"), 10), 10, 6)
+            .as("zb"),
+          shiftright(col("x"), 4).as("xb"))
+      val box = col("x").between(96, 223) && col("y").between(320, 383)
+      val ybox = col("y").between(320, 383)
+      d.agg(
+        sum(when(box, 1L).otherwise(0L)).as("n_rows_box"),
+        count_distinct(when(box, col("zb"))).as("n_box_zbuckets"),
+        count_distinct(when(ybox, col("zb"))).as("n_ybox_zbuckets"),
+        count_distinct(when(ybox, col("xb"))).as("n_ybox_xbuckets"))
     }),
 
     // ---------------------------------------------------------------
@@ -5022,6 +5080,52 @@ object SparkEntry {
         |    * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY l_returnflag""".stripMargin,
+
+    "cdc_merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 17 <> 5 AND o_orderkey % 13 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 FROM orders
+        |  WHERE o_orderkey % 17 <> 5 AND o_orderkey % 13 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', CAST(99.99 AS DOUBLE) FROM orders
+        |  WHERE o_orderkey % 29 = 7)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "zorder_layout" ->
+      """WITH b AS (
+        |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+        |s1 AS (SELECT x, y,
+        |  (x | (x << 16)) & 281470681808895 AS vx,
+        |  (y | (y << 16)) & 281470681808895 AS vy FROM b),
+        |s2 AS (SELECT x, y,
+        |  (vx | (vx << 8)) & 71777214294589695 AS vx,
+        |  (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+        |s3 AS (SELECT x, y,
+        |  (vx | (vx << 4)) & 1085102592571150095 AS vx,
+        |  (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+        |s4 AS (SELECT x, y,
+        |  (vx | (vx << 2)) & 3689348814741910323 AS vx,
+        |  (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+        |s5 AS (SELECT x, y,
+        |  (vx | (vx << 1)) & 6148914691236517205 AS vx,
+        |  (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4),
+        |z AS (SELECT x, y,
+        |  (vx | (vy << 1)) >> 14 AS zb, x >> 4 AS xb FROM s5)
+        |SELECT
+        |  CAST(SUM(CASE WHEN x BETWEEN 96 AND 223 AND y BETWEEN 320 AND 383
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_box,
+        |  CAST(COUNT(DISTINCT CASE WHEN x BETWEEN 96 AND 223 AND y BETWEEN 320 AND 383
+        |    THEN zb END) AS BIGINT) AS n_box_zbuckets,
+        |  CAST(COUNT(DISTINCT CASE WHEN y BETWEEN 320 AND 383
+        |    THEN zb END) AS BIGINT) AS n_ybox_zbuckets,
+        |  CAST(COUNT(DISTINCT CASE WHEN y BETWEEN 320 AND 383
+        |    THEN xb END) AS BIGINT) AS n_ybox_xbuckets
+        |FROM z""".stripMargin,
 
     "incremental_agg" ->
       """SELECT source, COUNT(*) AS n_docs,

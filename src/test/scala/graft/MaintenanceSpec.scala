@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Maintenance
+
+/** CDC merge semantics and Morton z-value bit algebra. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mergeCdc: delete removes, upsert replaces, insert adds, untouched survive") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val batch = Seq(
+      (2L, "b2", 25.0, "u"), // update: full replacement row
+      (3L, "c", 30.0, "d"),  // delete: payload ignored
+      (9L, "z", 90.0, "u"))  // insert: unmatched upsert
+      .toDF("k", "s", "v", "__op")
+    val out = Maintenance.mergeCdc(target, batch, Seq("k"))
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "z", 90.0)))
+  }
+
+  test("mergeCdc refuses a source missing target payload columns") {
+    val target = Seq((1L, "a")).toDF("k", "s")
+    val batch = Seq((1L, "u")).toDF("k", "__op")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.mergeCdc(target, batch, Seq("k"))
+    }
+    assert(e.getMessage.contains("s"))
+  }
+
+  test("zValue interleaves bits exactly (vs a loop reference), zBucket takes top bits") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((3L, 5L), (0L, 0L), (1023L, 0L), (0L, 1023L),
+      (682L, 341L), (1023L, 1023L), (511L, 512L))
+    val df = cases.toDF("x", "y")
+      .select(Maintenance.zValue(col("x"), col("y"), 10).as("z"))
+    val got = df.as[Long].collect().toSeq
+    assert(got == cases.map { case (x, y) => ref(x, y, 10) })
+    // hand-checked small case: x=3 (b011), y=5 (b101) → z = b100111 = 39
+    assert(ref(3, 5, 3) == 39L)
+    val zb = Seq((1023L, 1023L)).toDF("x", "y")
+      .select(Maintenance.zBucket(
+        Maintenance.zValue(col("x"), col("y"), 10), 10, 6).as("b"))
+      .as[Long].head()
+    assert(zb == 63L, "the max z-value must land in the last of 64 buckets")
+  }
+
+  test("zValue locality: points in the same 2^k-aligned tile share z-prefix buckets") {
+    // every point of an aligned 128x128 tile must fall in ONE of 64 buckets
+    // (tile = 7 free low bits per axis = 14 free z bits = exactly the
+    // bucket granularity of zBucket(z, 10, 6))
+    val pts = for (dx <- 0 until 128 by 31; dy <- 0 until 128 by 37)
+      yield (256L + dx, 640L + dy)
+    val n = pts.toDF("x", "y")
+      .select(Maintenance.zBucket(
+        Maintenance.zValue(col("x"), col("y"), 10), 10, 6).as("b"))
+      .distinct().count()
+    assert(n == 1L)
+  }
+}

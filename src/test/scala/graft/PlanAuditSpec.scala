@@ -437,6 +437,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "at most the aggregate exchange + the gate's sort may shuffle")
   }
 
+  test("cdc_merge_upsert: target never shuffles — survivors via broadcast anti-join") {
+    val plan = planOf("cdc_merge_upsert")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "the touched-key anti-join must broadcast (the batch side is tiny)")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle-merge would exchange the whole 100 TB snapshot")
+  }
+
+  test("zorder_layout: pure bitwise algebra — no join, single aggregation") {
+    val plan = planOf("zorder_layout")
+    assert(!plan.contains("Join"))
+    assert(!plan.toLowerCase.contains("udf"),
+      "the bit-spread must stay codegen'd column algebra")
+  }
+
   test("readability / char_entropy: map-side signals — no data exchange, no join") {
     for (name <- Seq("readability", "char_entropy")) {
       val plan = planOf(name)
