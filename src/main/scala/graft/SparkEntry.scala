@@ -2534,6 +2534,42 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // SCD TYPE-2 HISTORY (Maintenance.scd2Apply) — dimension-history
+    // maintenance: two change waves (keys ≡2 mod 7 at 2021, the ≡2 mod 21
+    // subset again at 2022) applied in ONE batch onto an all-open base.
+    // The history side scans once, unshuffled, unwindowed (broadcast
+    // first-change join closes open versions); only the tiny batch is
+    // windowed for within-batch version chaining. Checksums pin interval
+    // endpoints AND which balance belongs to which interval; the oracle
+    // constructs the final history closed-form.
+    "scd2_history" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val hist0 = cust.select(col("c_custkey"), col("c_acctbal"),
+        to_timestamp(lit("2020-01-01 00:00:00")).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val wave1 = cust.filter(col("c_custkey") % 7 === 2)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+          to_timestamp(lit("2021-01-01 00:00:00")).as("eff"))
+      val wave2 = cust.filter(col("c_custkey") % 21 === 2)
+        .select(col("c_custkey"), (col("c_acctbal") + 300.0).as("c_acctbal"),
+          to_timestamp(lit("2022-01-01 00:00:00")).as("eff"))
+      val hist = Maintenance.scd2Apply(hist0, wave1.unionByName(wave2),
+        Seq("c_custkey"), "eff")
+      val epoch = lit("2020-01-01").cast("date")
+      hist.agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("valid_to").isNull,
+          round(col("c_acctbal") * 100).cast("long"))).as("open_cents"),
+        sum(col("c_custkey") *
+          coalesce(datediff(col("valid_to").cast("date"), epoch), lit(0)))
+          .as("closed_key_days"),
+        sum(round(col("c_acctbal") * 100).cast("long") *
+          (datediff(col("valid_from").cast("date"), epoch) + 1))
+          .as("version_cents_weighted"))
+    }),
+
+    // ---------------------------------------------------------------
     // Z-ORDER LAYOUT QUALITY (Maintenance.zValue/zBucket) — the
     // clustering behind `OPTIMIZE ... ZORDER BY`: Morton-interleave
     // (part, supp) into a 20-bit z so every 1-of-64 z-range file gets a
@@ -5095,6 +5131,31 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd2_history" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    TIMESTAMP '2020-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 7 = 2 THEN TIMESTAMP '2021-01-01' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100, TIMESTAMP '2021-01-01',
+        |    CASE WHEN c_custkey % 21 = 2 THEN TIMESTAMP '2022-01-01' END
+        |  FROM customer WHERE c_custkey % 7 = 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 300, TIMESTAMP '2022-01-01', NULL
+        |  FROM customer WHERE c_custkey % 21 = 2)
+        |SELECT COUNT(*) AS n_versions,
+        |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN valid_to IS NULL
+        |    THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) END) AS BIGINT) AS open_cents,
+        |  CAST(SUM(c_custkey * COALESCE(
+        |    date_diff('day', DATE '2020-01-01', CAST(valid_to AS DATE)), 0))
+        |    AS BIGINT) AS closed_key_days,
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+        |    (date_diff('day', DATE '2020-01-01', CAST(valid_from AS DATE)) + 1))
+        |    AS BIGINT) AS version_cents_weighted
+        |FROM hist""".stripMargin,
 
     "zorder_layout" ->
       """WITH b AS (

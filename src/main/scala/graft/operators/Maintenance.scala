@@ -47,6 +47,50 @@ object Maintenance {
     survivors.unionByName(upserts)
   }
 
+  /** SCD TYPE-2 APPLY — maintain a dimension's FULL HISTORY under a change
+    * batch: each key's row set is a chain of versions with
+    * `[valid_from, valid_to)` intervals, the open (current) version having
+    * `valid_to IS NULL`. Applying a batch closes each touched key's open
+    * version at the key's first change timestamp, and appends one version
+    * per change, chained within the batch by `lead`.
+    *
+    * Contract: `changes` carries the key + payload columns and `effTs`;
+    * timestamps in a batch are strictly after every `valid_from` the key
+    * already has (change feeds are forward-in-time — enforce upstream, a
+    * 100 TB validation join here would cost more than the apply).
+    *
+    * Shape at scale: the history side — the big side — is scanned once,
+    * never shuffled, never windowed: closing the open versions is a
+    * BROADCAST left join against the per-key first-change frame (one tiny
+    * aggregate of the batch). Only the BATCH is windowed (per-key version
+    * chaining), and a CDC batch is small by nature. Mirrors [[mergeCdc]]'s
+    * asymmetry.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, keys: Seq[String],
+      effTs: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    val payload = history.columns.filterNot(c =>
+      c == validFrom || c == validTo).toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry every history column except the validity pair; " +
+        s"missing " + payload.filterNot(changes.columns.contains).mkString(","))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(effTs))
+    val versioned = changes
+      .withColumn(validFrom, col(effTs))
+      .withColumn(validTo, lead(col(effTs), 1).over(w))
+      .select((payload :+ validFrom :+ validTo).map(col): _*)
+    val firstChange = changes.groupBy(keys.map(col): _*)
+      .agg(min(col(effTs)).as("__first_chg"))
+    history
+      .join(broadcast(firstChange), keys, "left")
+      .withColumn(validTo,
+        when(col(validTo).isNull, col("__first_chg")).otherwise(col(validTo)))
+      .drop("__first_chg")
+      .unionByName(versioned)
+  }
+
   /** Z-VALUE — interleave the low `bits` bits of two non-negative integer
     * columns (Morton order): bit i of x lands at 2i, bit i of y at 2i+1.
     * Rows close in z are close in BOTH x and y, so sorting/bucketing a

@@ -32,6 +32,45 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("s"))
   }
 
+  test("scd2Apply: closes open versions, chains batch versions, leaves the rest") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val hist = Seq(
+      // key 1: one closed + one open version already
+      (1L, 10.0, ts("2019-01-01"), Option(ts("2020-01-01"))),
+      (1L, 11.0, ts("2020-01-01"), None),
+      // key 2: open, untouched by the batch
+      (2L, 20.0, ts("2020-01-01"), None))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq(
+      (1L, 12.0, ts("2021-01-01")), // two changes for key 1 in ONE batch
+      (1L, 13.0, ts("2022-01-01")),
+      (3L, 30.0, ts("2021-06-01"))) // brand-new key
+      .toDF("k", "v", "eff")
+    val out = Maintenance.scd2Apply(hist, batch, Seq("k"), "eff")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getTimestamp(2).toString.take(10),
+        Option(r.getTimestamp(3)).map(_.toString.take(10))))
+      .toSeq.sortBy(t => (t._1, t._3))
+    assert(out == Seq(
+      (1L, 10.0, "2019-01-01", Some("2020-01-01")), // already closed: kept
+      (1L, 11.0, "2020-01-01", Some("2021-01-01")), // open: closed at first change
+      (1L, 12.0, "2021-01-01", Some("2022-01-01")), // chained within batch
+      (1L, 13.0, "2022-01-01", None),               // new current
+      (2L, 20.0, "2020-01-01", None),               // untouched key: still open
+      (3L, 30.0, "2021-06-01", None)))              // new key: one open version
+  }
+
+  test("scd2Apply refuses changes missing history payload columns") {
+    val hist = Seq((1L, 1.0, new java.sql.Timestamp(0), None: Option[java.sql.Timestamp]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val batch = Seq((1L, new java.sql.Timestamp(1))).toDF("k", "eff")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.scd2Apply(hist, batch, Seq("k"), "eff")
+    }
+    assert(e.getMessage.contains("v"))
+  }
+
   test("zValue interleaves bits exactly (vs a loop reference), zBucket takes top bits") {
     def ref(x: Long, y: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L) { (z, i) =>

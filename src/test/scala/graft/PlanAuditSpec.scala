@@ -445,6 +445,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "a shuffle-merge would exchange the whole 100 TB snapshot")
   }
 
+  test("scd2_history: the history side joins broadcast and is never windowed") {
+    val plan = planOf("scd2_history")
+    assert(plan.contains("BroadcastHashJoin"),
+      "closing open versions must broadcast the per-key first-change frame")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle-merge would exchange the whole history")
+    // exactly one Window (batch-side version chaining) may appear
+    assert(plan.split("\\bWindow\\b").length - 1 <= 1,
+      "only the batch may be windowed — never the history")
+  }
+
   test("zorder_layout: pure bitwise algebra — no join, single aggregation") {
     val plan = planOf("zorder_layout")
     assert(!plan.contains("Join"))
