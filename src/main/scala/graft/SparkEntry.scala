@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{HeavyHitters, Maintenance, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
+import graft.operators.{Behavior, HeavyHitters, Linkage, Maintenance, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.GraftCaches.Persistable
 import graft.kernels.{ImageOps, RegionGrowing}
@@ -3117,6 +3117,111 @@ object SparkEntry {
           round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 6)
             .as("totacctbal"))
         .orderBy(col("n_name"))
+    }),
+
+    // ---------------------------------------------------------------
+    // MARKOV TRANSITIONS (Behavior.markovTransitions): first-order
+    // next-event model — one user-keyed lead window, two hash aggregates,
+    // broadcast totals join; probability emitted as exact integer
+    // micro-units (n·1e6 div total), so no engine float crosses the gate.
+    "markov_transitions" -> ((s, dir) => {
+      Behavior.markovTransitions(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // ---------------------------------------------------------------
+    // ROLLING DISTINCT ACTIVES (Behavior.rollingActiveUsers): DAU /
+    // trailing-7-day WAU / integer stickiness per active day. distinct-
+    // over-RANGE-frame is unsupported everywhere; the scalable form
+    // dedups to (day,user) grain first, then fans each row out to its ≤7
+    // window ends — bounded ×7 on the deduped grain, never on raw events.
+    "active_users_rolling" -> ((s, dir) => {
+      Behavior.rollingActiveUsers(Tables.events(s, dir),
+          col("user_id"), col("ts"), windowDays = 7)
+        .orderBy(col("day"))
+    }),
+
+    // ---------------------------------------------------------------
+    // EVENT-TYPE CO-OCCURRENCE (Behavior.coOccurrencePairs): market-basket
+    // top-20 — per-user distinct types pair via a user-keyed self-join
+    // (quadratic only in the bounded type vocabulary), per-type totals
+    // broadcast back, top-k fused to TakeOrderedAndProject.
+    "copair_topk" -> ((s, dir) => {
+      Behavior.coOccurrencePairs(Tables.events(s, dir),
+        col("user_id"), col("event_type"), k = 20)
+    }),
+
+    // ---------------------------------------------------------------
+    // ROBUST ANOMALY PROFILE (Behavior.robustAnomalyProfile): per-type
+    // exact median + MAD and the count outside median ± 3.5·1.4826·MAD —
+    // the robust z-score beside s1's mean/stddev form. Two percentile
+    // aggregates keyed by the bounded type vocabulary with the tiny
+    // medians frame broadcast between passes; Spark's percentile and
+    // DuckDB's quantile_cont share the (n−1)·q interpolation convention,
+    // and both emit micro-scaled integers.
+    "robust_anomalies" -> ((s, dir) => {
+      Behavior.robustAnomalyProfile(Tables.events(s, dir),
+          col("event_type"), col("value"), cutoff = 3.5)
+        .orderBy(col("event_type"))
+    }),
+
+    // ---------------------------------------------------------------
+    // PREFIX-FILTERING SIMILARITY JOIN (Dedup.prefixFilterJoin): EXACT
+    // Jaccard ≥ 0.8 pair set with no approximation — candidates only from
+    // rarest-first shingle prefixes (the All-Pairs/PPJoin pruning, provably
+    // lossless), verified by the size-prefiltered intersect join. The
+    // oracle recomputes the pair set by BRUTE FORCE with the identical
+    // integer-quantized threshold predicate — equality proves the pruning
+    // dropped nothing. Complements minhash_lsh_pairs (which trades recall
+    // near the threshold for shorter candidate lists).
+    "sim_prefix_join" -> ((s, dir) => {
+      Dedup.prefixFilterJoin(Tables.documents(s, dir),
+          col("doc_id"), col("text"), threshold = 0.8, shingleK = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---------------------------------------------------------------
+    // BLOCKED FUZZY LINKAGE (Linkage.blockedNameMatches): entity
+    // resolution over part names — block on the last name token, verify
+    // in-block pairs with codegen levenshtein, emit the per-block audit
+    // grain (records, pairs actually compared, matches at ≤3 edits, exact
+    // dups). The oracle replays blocking + edit distance in DuckDB's own
+    // levenshtein.
+    "fuzzy_blocking" -> ((s, dir) => {
+      Linkage.blockedNameMatches(Tables.part(s, dir),
+          col("p_partkey"), col("p_name"), blockRegex = "(\\S+)$", maxDist = 3)
+        .orderBy(col("block_key"))
+    }),
+
+    // ---------------------------------------------------------------
+    // SCHEMA EVOLUTION READBACK: two landed parquet batches with evolving
+    // schemas (early batch: doc_id+lang; later batch adds source+n_chars)
+    // unify under mergeSchema=true — the widened schema null-fills the old
+    // batch. The aggregate separates per-lang totals from evolved-column
+    // totals, and the oracle re-derives both straight from the documents
+    // table. mergeSchema reads every file's footer (why Spark defaults it
+    // off) — production layouts keep ONE authoritative schema per table
+    // version, but an engine must still read mixed layouts landed before a
+    // migration.
+    "schema_evolution" -> ((s, dir) => {
+      val base = scratchDir("graft_evolve_")
+      val d1 = base.resolve("batch1").toString
+      val d2 = base.resolve("batch2").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(d1)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(d2)
+      s.read.option("mergeSchema", "true").parquet(d1, d2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_evolved"),
+          coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+            .as("sum_chars_evolved"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -5587,7 +5692,131 @@ object SparkEntry {
         |    SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+
+    "markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |p AS (SELECT event_type, next_type, COUNT(*) AS n_transitions FROM seq
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(n_transitions) AS tot FROM p GROUP BY 1)
+        |SELECT p.event_type, p.next_type,
+        |  CAST(p.n_transitions AS BIGINT) AS n_transitions,
+        |  CAST(p.n_transitions * 1000000 // t.tot AS BIGINT) AS p_micro
+        |FROM p JOIN t USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin,
+
+    "active_users_rolling" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS n FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS n
+        |        FROM (SELECT DISTINCT day FROM ud) d
+        |        JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |        GROUP BY 1)
+        |SELECT dau.day, CAST(dau.n AS BIGINT) AS dau, CAST(wau.n AS BIGINT) AS wau,
+        |  CAST(dau.n * 1000000 // wau.n AS BIGINT) AS stickiness_micro
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    "copair_topk" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_users_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_users_both AS BIGINT) AS n_users_both,
+        |  CAST(pa.n AS BIGINT) AS n_users_a, CAST(pb.n AS BIGINT) AS n_users_b
+        |FROM pairs JOIN pt pa ON pa.event_type = type_a
+        |           JOIN pt pb ON pb.event_type = type_b
+        |ORDER BY n_users_both DESC, type_a, type_b LIMIT 20""".stripMargin,
+
+    "robust_anomalies" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, m.med, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1, 2)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.5 * 1.4826 * m.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(ROUND(m.med * 1e6) AS BIGINT) AS median_micro,
+        |  CAST(ROUND(m.mad * 1e6) AS BIGINT) AS mad_micro
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type, m.med, m.mad
+        |ORDER BY e.event_type""".stripMargin,
+
+    // Brute force over ALL shingle-sharing pairs — no prefix pruning —
+    // with the identical integer-quantized threshold predicate: equality
+    // with the engine's prefix-filtered result proves the pruning lossless.
+    // (Pairs sharing no shingle have J = 0 < t, so the shingle join loses
+    // nothing at t > 0.)
+    "sim_prefix_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN
+        |           (CASE WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        |                 ELSE CAST([] AS VARCHAR[]) END)
+        |         ELSE list_distinct(list_transform(range(len(toks) - 2),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i.id1, i.id2, s1.sz AS sz1, s2.sz AS sz2,
+        |  CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(i.inter * 1000000 // (s1.sz + s2.sz - i.inter) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM inter i JOIN sz s1 ON i.id1 = s1.doc_id
+        |             JOIN sz s2 ON i.id2 = s2.doc_id
+        |WHERE i.inter * 1000000 >= 800000 * (s1.sz + s2.sz - i.inter)
+        |ORDER BY id1, id2""".stripMargin,
+
+    "fuzzy_blocking" ->
+      """WITH k AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    regexp_extract(p_name, '(\S+)$', 1) AS block_key
+        |  FROM part),
+        |pb AS (SELECT block_key, COUNT(*) AS n_records FROM k GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.block_key, levenshtein(a.name, b.name) AS d
+        |  FROM k a JOIN k b ON a.block_key = b.block_key AND a.id < b.id),
+        |pa AS (
+        |  SELECT block_key, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN d <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        |    CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |  FROM pairs GROUP BY 1)
+        |SELECT pb.block_key, CAST(pb.n_records AS BIGINT) AS n_records,
+        |  COALESCE(CAST(pa.n_pairs AS BIGINT), 0) AS n_pairs,
+        |  COALESCE(pa.n_matches, 0) AS n_matches,
+        |  COALESCE(pa.n_exact, 0) AS n_exact
+        |FROM pb LEFT JOIN pa USING (block_key)
+        |ORDER BY block_key""".stripMargin,
+
+    // Re-derives the merged view straight from the base table: batch
+    // membership is the doc_id parity the engine used to split the landed
+    // files, so the oracle sees through the schema evolution entirely.
+    "schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_evolved,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS sum_chars_evolved
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     )
   }
 }

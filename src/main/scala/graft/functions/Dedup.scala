@@ -629,4 +629,86 @@ object Dedup {
       .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  // --------------------------------------------- prefix-filtering join
+  /** EXACT similarity join by PREFIX FILTERING (the All-Pairs/PPJoin
+    * principle): every pair with word-shingle Jaccard ≥ `threshold`, with
+    * NO approximation — the lossless alternative to MinHash-LSH
+    * ([[minHashDedupPairs]]) for thresholds high enough that prefixes stay
+    * short. Where LSH trades recall for speed (its banding S-curve misses
+    * a tail of true pairs near the threshold), prefix filtering is a
+    * *pruning* of the dense pair space that provably drops only pairs that
+    * cannot reach the threshold.
+    *
+    * The principle: fix one GLOBAL total order over shingles — rarest
+    * first, `(document frequency, shingle)` — and sort each document's
+    * shingle set by it. A pair with `J ≥ t` has overlap `≥ ⌈t·max(n₁,n₂)⌉`
+    * (since `J ≤ min/max`), so if doc x kept only its first
+    * `nₓ − ⌈t·nₓ⌉ + 1` shingles, the overlap cannot fit entirely in the
+    * dropped suffix of either side: the PREFIXES of any qualifying pair
+    * must intersect. Candidates are therefore an equi-join of prefixes on
+    * the shingle — and because prefixes are built from the RAREST
+    * shingles, the join's per-key fan-out is small by construction (the
+    * boilerplate shingle shared by millions of documents sits at the END
+    * of the order and never enters a prefix unless a doc is almost all
+    * boilerplate).
+    *
+    * Shape at scale: document frequencies are one partial-aggregated
+    * count; the per-document sort+prefix is a window over `doc_id`
+    * (per-document width, bounded by document length); candidates are a
+    * self-equi-join on the prefix shingle; verification reuses
+    * [[verifyJaccard]]'s size-prefilter + intersect-join. Nothing is
+    * quadratic in corpus size — the dense all-pairs shape exists only in
+    * the GATE's oracle, which recomputes the same result by brute force to
+    * prove the pruning lossless.
+    *
+    * Emits `(id1, id2, sz1, sz2, inter, jaccard_micro)` with the exact
+    * integer micro-Jaccard `inter·1e6 div (sz1+sz2−inter)` — no float
+    * crosses the gate.
+    */
+  def prefixFilterJoin(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "prefix filtering needs 0 < t <= 1: its prefix length grows 1/t")
+    import org.apache.spark.sql.expressions.Window
+    // The threshold is QUANTIZED to integer micro-units and every
+    // comparison runs in exact integer arithmetic: `J ≥ t` as
+    // `inter·1e6 ≥ tµ·(sz1+sz2−inter)` and `⌈t·n⌉` as
+    // `(tµ·n + 1e6−1) div 1e6`. Doing either in doubles breaks EXACT
+    // boundary pairs — `0.8` is really `0.8000…0444`, so `ceil(0.8·5)`
+    // computes 5 (not 4) and shortens the prefix below the lossless
+    // length, and `4 ≥ 0.8·5` evaluates false for a pair whose Jaccard
+    // is exactly 4/5. The gate's brute-force oracle applies the same
+    // integer forms, so both sides implement the identical quantized
+    // predicate.
+    val tMicro = math.round(threshold * 1e6)
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val sh = docShingles(docs, id, text, shingleK)
+      .persistTracked()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    val ceilTn = idiv(lit(tMicro) * col("__sz") + lit(999999L), lit(1000000L))
+    val prefixes = sh
+      .join(df, Seq("shingle"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      // keep the n − ⌈t·n⌉ + 1 rarest shingles
+      .filter(col("__rn") <= col("__sz") - ceilTn + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // size-ratio prefilter relaxed one micro-unit below t so a float
+    // rounding inside verifyJaccard can never drop an exact-boundary pair
+    // that the integer predicate below would keep
+    val union = col("sz1") + col("sz2") - col("inter")
+    verifyJaccard(cand, sh, minJaccard = (tMicro - 1) / 1e6 - 1e-9)
+      .filter(col("inter") * lit(1000000L) >= lit(tMicro) * union)
+      .select(col("id1"), col("id2"), col("sz1"), col("sz2"), col("inter"),
+        idiv(col("inter") * lit(1000000L), union).as("jaccard_micro"))
+  }
 }

@@ -633,4 +633,54 @@ class PlanAuditSpec extends AnyFunSuite {
       "the customer-orders join must stay LEFT OUTER")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("markov_transitions: one lead window; totals join back broadcast") {
+    val plan = planOf("markov_transitions")
+    // the pairs frame is cached, so the window appears only inside
+    // InMemoryRelation printouts (the cache builds it ONCE at runtime) —
+    // any Window beyond those reprs would be a real second pairing pass
+    assert(plan.contains("InMemoryTableScan"),
+      "the shared pairs frame must be cached, not recomputed per branch")
+    assert("\\bWindow\\b".r.findAllIn(plan).length
+        <= "InMemoryRelation".r.findAllIn(plan).length,
+      "successor pairing must be a single user-keyed window pass")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-sized totals frame must broadcast, not shuffle the pairs")
+  }
+
+  test("active_users_rolling: dedup-then-fan-out, never a distinct-over-frame") {
+    val plan = planOf("active_users_rolling")
+    assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
+      "rolling distinct must not plan a window frame")
+    assert(plan.contains("Generate"), "the bounded day fan-out (explode) is the scale shape")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("copair_topk: per-type totals broadcast; top-k fuses to TakeOrderedAndProject") {
+    val plan = planOf("copair_topk")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(plan.contains("BroadcastHashJoin"), "vocabulary-sized side totals must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("robust_anomalies: medians frames broadcast back between passes") {
+    val plan = planOf("robust_anomalies")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type medians must broadcast onto the events, never shuffle them")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("sim_prefix_join: candidates come from equi-joins only — no dense pair shape") {
+    val plan = planOf("sim_prefix_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the dense all-pairs shape may exist only in the gate's oracle")
+  }
+
+  test("fuzzy_blocking: in-block pairing is an equi-join on the block key") {
+    val plan = planOf("fuzzy_blocking")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "blocking must prune the pair space before any distance is computed")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "levenshtein must stay the codegen built-in, not a UDF")
+  }
 }
