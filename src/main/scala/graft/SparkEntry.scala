@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Behavior, HeavyHitters, Linkage, Maintenance, MaskAlgebra, Relational, Skew, SlicePipeline, Stencil}
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.GraftCaches.Persistable
 import graft.kernels.{ImageOps, RegionGrowing}
 import graft.sources.{Tables, Tabular}
@@ -3222,6 +3222,52 @@ object SparkEntry {
           coalesce(sum(col("n_chars")), lit(0L)).cast("long")
             .as("sum_chars_evolved"))
         .orderBy(col("lang"))
+    }),
+
+    // ---------------------------------------------------------------
+    // COUNT-MIN SKETCH (Sketches): per-user frequency estimates from a
+    // 3×64 counter grid — the bounded-state sketch whose hash family is
+    // the engine's own poly31 fingerprint, so the oracle REBUILDS the
+    // sketch from scratch in SQL and replays construction + estimation.
+    // Width 64 over ~1.5k keys forces heavy collisions: the overest
+    // column is the sketch's actual error surface, gated exactly.
+    "cms_estimate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val counters = Sketches.cmsCounters(ev, col("user_id"), depth = 3, width = 64)
+      val sampled = ev.filter(col("user_id") % 10 === 0)
+      val exact = sampled.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      Sketches.cmsEstimate(counters, sampled, col("user_id"), depth = 3, width = 64)
+        .join(exact, col("__k") === col("user_id").cast("string"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overest"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // INCREMENTAL JOIN MAINTENANCE (Maintenance.incrementalJoinDelta):
+    // orders split into base/delta by date, customers by key parity; the
+    // maintained join = base⋈base ∪ the three delta terms. The oracle
+    // computes the FULL join from the base tables — equality proves the
+    // incremental refresh reconstructs it exactly (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    // is disjoint and complete for insert-only deltas).
+    "incremental_join" -> ((s, dir) => {
+      val cutoff = lit("2000-01-01").cast("timestamp")
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      val oldJoin = o.filter(col("o_orderdate") < cutoff)
+        .join(c.filter(col("custkey") % 2 === 0), Seq("custkey"))
+      val delta = Maintenance.incrementalJoinDelta(
+        o.filter(col("o_orderdate") < cutoff),
+        o.filter(col("o_orderdate") >= cutoff),
+        c.filter(col("custkey") % 2 === 0),
+        c.filter(col("custkey") % 2 === 1), Seq("custkey"))
+      oldJoin.unionByName(delta)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -5816,7 +5862,41 @@ object SparkEntry {
         |    AS n_evolved,
         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
         |    AS sum_chars_evolved
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Rebuilds the 3×64 counter grid from scratch: the hash family is the
+    // same poly31-mod-prime fold corpus_split's oracle already replays,
+    // seeded by the "#j" suffix — construction, merge, and min-estimate
+    // all re-derived independently.
+    "cms_estimate" ->
+      """WITH ks AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |hj AS (
+        |  SELECT k, n, j,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(regexp_extract_all(k || '#' || CAST(j AS VARCHAR), '.'),
+        |         c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859) % 64) AS bucket
+        |  FROM ks CROSS JOIN (SELECT unnest(range(3)) AS j)),
+        |counters AS (SELECT j, bucket, SUM(n) AS counter FROM hj GROUP BY 1, 2),
+        |est AS (SELECT hj.k, MIN(counters.counter) AS cms_est
+        |        FROM hj JOIN counters USING (j, bucket) GROUP BY hj.k)
+        |SELECT CAST(ks.k AS BIGINT) AS user_id, CAST(ks.n AS BIGINT) AS exact_n,
+        |  CAST(est.cms_est AS BIGINT) AS cms_est,
+        |  CAST(est.cms_est - ks.n AS BIGINT) AS overest
+        |FROM est JOIN ks USING (k)
+        |WHERE CAST(ks.k AS BIGINT) % 10 = 0
+        |ORDER BY user_id""".stripMargin,
+
+    // The FULL join, recomputed flat — the engine's base⋈base ∪ three
+    // delta terms must reconstruct it exactly.
+    "incremental_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -131,4 +131,25 @@ object Maintenance {
       "bucketBits must be in [1, 2*bits]")
     shiftright(z, 2 * bits - bucketBits)
   }
+
+  /** INCREMENTAL JOIN MAINTENANCE — the join rows ADDED by insert-only
+    * deltas on both sides of a materialized equi-join:
+    * `Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB` (each new pair has its A-row
+    * new, its B-row new, or both — exactly one of the three terms, so the
+    * union is disjoint and needs no dedup). The point at 100 TB: refreshing
+    * a materialized join touches the DELTAS joined against the other side
+    * — never re-joins the two full inputs. With join keys as the
+    * materialization's storage keys (bucketed layout), the two Δ⋈old terms
+    * are one-sided shuffles of just the delta; the Δ⋈Δ term is usually
+    * broadcast-sized.
+    *
+    * Deletes/updates need retraction rows (negative multiplicity) — out of
+    * scope here by contract, matching the append-only ingest the CDC merge
+    * ([[mergeCdc]]) upstreams handle first.
+    */
+  def incrementalJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, keys: Seq[String]): DataFrame =
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
 }

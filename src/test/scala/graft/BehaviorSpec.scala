@@ -172,4 +172,35 @@ class BehaviorSpec extends AnyFunSuite {
       .select(col("distance")).as[Int].collect().toSeq
     assert(got === Seq(2))
   }
+
+  test("blockedNameMatches: distinct-name rewrite equals record-level pairing") {
+    // heavy duplication + multi-block + singleton: the shapes the rewrite
+    // must weight correctly (n·m cross pairs, C(n,2) same-name pairs)
+    val recs = (1L to 5L).map((_, "red ring")) ++
+      (6L to 8L).map((_, "hot ring")) ++
+      Seq((9L, "blue spanner ring"), (10L, "small widget"))
+    val df = recs.toDF("id", "name")
+    val got = Linkage.blockedNameMatches(df, col("id"), col("name"),
+        "(\\S+)$", maxDist = 3)
+      .orderBy(col("block_key"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // record-level recount from matchPairs — the semantics being preserved
+    val pairs = Linkage.matchPairs(df, col("id"), col("name"), "(\\S+)$")
+    val expect = df
+      .select(regexp_extract(col("name"), "(\\S+)$", 1).as("block_key"))
+      .groupBy("block_key").agg(count(lit(1)).as("n_records"))
+      .join(pairs.groupBy(col("block_key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("distance") <= 3, 1L).otherwise(0L)).as("n_matches"),
+          sum(when(col("distance") === 0, 1L).otherwise(0L)).as("n_exact")),
+        Seq("block_key"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_matches", "n_exact"))
+      .orderBy(col("block_key"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    // and the ring block's numbers are what hand-counting gives:
+    // 9 records, C(9,2)=36 pairs, same-name C(5,2)+C(3,2)=13 exact,
+    // cross red/hot 5*3=15 at lev 3 -> 13+15=28 matches
+    assert(got.head === (("ring", 9L, 36L, 28L, 13L)))
+  }
 }

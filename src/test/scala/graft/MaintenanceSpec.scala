@@ -103,4 +103,32 @@ class MaintenanceSpec extends AnyFunSuite {
       .distinct().count()
     assert(n == 1L)
   }
+
+  test("incrementalJoinDelta: base join + delta ≡ full recompute, disjointly") {
+    // keys chosen so every term fires: k=1 old⋈old only, k=2 ΔA⋈B₀,
+    // k=3 A₀⋈ΔB, k=4 ΔA⋈ΔB, k=5 delta-only on one side (no partner: drops)
+    val aOld = Seq((1L, "a1"), (3L, "a3")).toDF("k", "av")
+    val aNew = Seq((2L, "a2"), (4L, "a4"), (5L, "a5")).toDF("k", "av")
+    val bOld = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val bNew = Seq((3L, "b3"), (4L, "b4")).toDF("k", "bv")
+    val maintained = aOld.join(bOld, Seq("k"))
+      .unionByName(Maintenance.incrementalJoinDelta(aOld, aNew, bOld, bNew, Seq("k")))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    val full = aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(maintained === full)
+    assert(maintained.map(_._1) === maintained.map(_._1).distinct,
+      "terms must be disjoint — a dup row means double counting on refresh")
+  }
+
+  test("incrementalJoinDelta: fan-out keys multiply correctly across terms") {
+    // 2 old + 1 delta A-rows against 1 old + 1 delta B-rows on one key:
+    // full join has 3x2=6 pairs; base join has 2x1=2; delta must add 4
+    val aOld = Seq((7L, "a1"), (7L, "a2")).toDF("k", "av")
+    val aNew = Seq((7L, "a3")).toDF("k", "av")
+    val bOld = Seq((7L, "b1")).toDF("k", "bv")
+    val bNew = Seq((7L, "b2")).toDF("k", "bv")
+    val delta = Maintenance.incrementalJoinDelta(aOld, aNew, bOld, bNew, Seq("k"))
+    assert(delta.count() === 4L)
+  }
 }
