@@ -3268,6 +3268,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CMS JOIN-SIZE ESTIMATE (Sketches.cmsJoinSizeEstimate): |orders ⋈
+    // lineitem| predicted from two 3×16384 sketches over the join key —
+    // the planner's broadcast-vs-shuffle/fan-out question answered without
+    // running the join. min-of-inner-products ≥ the true size (collision
+    // cross-terms are nonnegative); the inner-product error is
+    // ~(e/width)·|A|·|B|, so width must track key cardinality — 16384 over
+    // 15k/60k keys lands ~2× above exact, decision-grade for
+    // broadcast-vs-shuffle. The oracle rebuilds both sketches in SQL and
+    // emits the same integers, plus the exact size for the error surface.
+    "cms_join_size" -> ((s, dir) => {
+      val co = Sketches.cmsCounters(Tables.orders(s, dir),
+        col("o_orderkey"), depth = 3, width = 16384)
+      val cl = Sketches.cmsCounters(Tables.lineitem(s, dir),
+        col("l_orderkey"), depth = 3, width = 16384)
+      val exact = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")), Seq("k"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      Sketches.cmsJoinSizeEstimate(co, cl).crossJoin(exact)
+        .select(col("est_join_rows"), col("exact_join_rows"),
+          (col("est_join_rows") - col("exact_join_rows")).as("overest"))
+    }),
+
+    // ---------------------------------------------------------------
+    // ANTI-ENTROPY TABLE SYNC (Maintenance.segmentChecksums): snapshot B
+    // drops every 89th document and edits every 97th; both snapshots
+    // reduce to 16 (n_rows, xor_sig, add_sig) segment rows, and only
+    // segments whose triples differ would re-transfer. Row signature =
+    // poly31 over md5(doc_id ⧺ normalized text) — ASCII hex, so the
+    // oracle replays the exact fold.
+    "table_sync_diff" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      def sigged(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        call_function("graft_rolling_hash",
+          md5(concat_ws("|", col("doc_id").cast("string"),
+            TextAnalysis.normalizeText(col("text"))).cast("binary"))).as("__sig"))
+      val snapA = sigged(docs)
+      val snapB = sigged(docs.filter(col("doc_id") % 89 =!= 0)
+        .withColumn("text", when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text"))))
+      val ca = Maintenance.segmentChecksums(snapA, col("doc_id"), col("__sig"), 16)
+      val cb = Maintenance.segmentChecksums(snapB, col("doc_id"), col("__sig"), 16)
+      ca.as("a").join(cb.as("b"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("a.n_rows"), lit(0L)).as("n_rows_a"),
+          coalesce(col("b.n_rows"), lit(0L)).as("n_rows_b"),
+          when(col("a.n_rows").isNotNull && col("b.n_rows").isNotNull
+              && col("a.n_rows") === col("b.n_rows")
+              && col("a.xor_sig") === col("b.xor_sig")
+              && col("a.add_sig") === col("b.add_sig"), 1L).otherwise(0L)
+            .as("in_sync"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -5896,7 +5951,85 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Rebuilds BOTH key sketches with the replayed poly31 family, takes
+    // the min inner product, and recomputes the exact join size flat.
+    "cms_join_size" ->
+      """WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+        |           FROM orders GROUP BY 1),
+        |kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+        |       FROM lineitem GROUP BY 1),
+        |ha AS (SELECT j, (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(k || '#' || CAST(j AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 144115188075855859) % 16384) AS bucket,
+        |         SUM(n) AS counter
+        |       FROM ka CROSS JOIN (SELECT unnest(range(3)) AS j) GROUP BY 1, 2),
+        |hb AS (SELECT j, (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(k || '#' || CAST(j AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 144115188075855859) % 16384) AS bucket,
+        |         SUM(n) AS counter
+        |       FROM kb CROSS JOIN (SELECT unnest(range(3)) AS j) GROUP BY 1, 2),
+        |ip AS (SELECT ha.j, SUM(ha.counter * hb.counter) AS p
+        |       FROM ha JOIN hb USING (j, bucket) GROUP BY 1),
+        |est AS (SELECT MIN(p) AS est_join_rows FROM ip),
+        |ex AS (SELECT COUNT(*) AS exact_join_rows
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT CAST(est.est_join_rows AS BIGINT) AS est_join_rows,
+        |  CAST(ex.exact_join_rows AS BIGINT) AS exact_join_rows,
+        |  CAST(est.est_join_rows - ex.exact_join_rows AS BIGINT) AS overest
+        |FROM est, ex""".stripMargin,
+
+    // Replays both snapshots from the base table (delete = %89, edit =
+    // %97 applied BEFORE normalization, exactly as the engine builds
+    // snapshot B), folds each row's md5 hex through the poly31 replay,
+    // and reduces segments with the same xor/add-mod-2^31−1 pair.
+    "table_sync_diff" ->
+      """WITH a0 AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(
+        |      CASE WHEN doc_id % 97 = 0 THEN text || ' edited' ELSE text END),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |af AS (SELECT (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 144115188075855859) % 16) AS bucket,
+        |       (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(h, '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 144115188075855859)) AS sig
+        |     FROM a0),
+        |bf AS (SELECT (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 144115188075855859) % 16) AS bucket,
+        |       (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(h, '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 144115188075855859)) AS sig
+        |     FROM b0),
+        |ac AS (SELECT bucket, COUNT(*) AS n, bit_xor(sig) AS x,
+        |         CAST(SUM(sig % 2147483647) % 2147483647 AS BIGINT) AS s
+        |       FROM af GROUP BY 1),
+        |bc AS (SELECT bucket, COUNT(*) AS n, bit_xor(sig) AS x,
+        |         CAST(SUM(sig % 2147483647) % 2147483647 AS BIGINT) AS s
+        |       FROM bf GROUP BY 1)
+        |SELECT COALESCE(ac.bucket, bc.bucket) AS bucket,
+        |  CAST(COALESCE(ac.n, 0) AS BIGINT) AS n_rows_a,
+        |  CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_rows_b,
+        |  CAST(CASE WHEN ac.n IS NOT NULL AND bc.n IS NOT NULL AND ac.n = bc.n
+        |            AND ac.x = bc.x AND ac.s = bc.s THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_sync
+        |FROM ac FULL OUTER JOIN bc ON ac.bucket = bc.bucket
+        |ORDER BY bucket""".stripMargin
     )
   }
 }

@@ -696,10 +696,16 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       // keep the n − ⌈t·n⌉ + 1 rarest shingles
       .filter(col("__rn") <= col("__sz") - ceilTn + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("__sz"))
+    // LENGTH FILTER inside the candidate join: J ≤ min/max, so a pair
+    // whose sizes differ by more than t can never qualify — pruned here,
+    // before the distinct and the (expensive) intersection join ever see
+    // it. Same integer form as the final predicate.
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && col("a.__sz") * lit(1000000L) >= lit(tMicro) * col("b.__sz")
+          && col("b.__sz") * lit(1000000L) >= lit(tMicro) * col("a.__sz"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     // size-ratio prefilter relaxed one micro-unit below t so a float

@@ -60,6 +60,23 @@ object Sketches {
       .agg(min(coalesce(col("counter"), lit(0L))).as("cms_est"))
   }
 
+  /** JOIN-SIZE ESTIMATE from two sketches over the join key — the classic
+    * planner use of CMS: `|A ⋈ B| = Σ_key cA(key)·cB(key)`, and the sketch
+    * inner product `Σ_bucket counterA[j][b]·counterB[j][b]` equals that
+    * sum PLUS nonnegative collision cross-terms, for every depth row j —
+    * so `min_j` of the inner products is an upper bound that tightens with
+    * width. Estimating a join's output size without running the join is
+    * how an optimizer decides broadcast-vs-shuffle and detects fan-out
+    * blowups BEFORE paying for them; two depth×width tables meet here,
+    * nothing touches the inputs again.
+    */
+  def cmsJoinSizeEstimate(countersA: DataFrame, countersB: DataFrame): DataFrame =
+    countersA.as("a")
+      .join(countersB.as("b"), Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("a.counter") * col("b.counter")).as("__inner"))
+      .agg(min(col("__inner")).as("est_join_rows"))
+
   private def perKey(df: DataFrame, key: Column): DataFrame =
     df.select(key.cast("string").as("__k"))
       .groupBy(col("__k")).agg(count(lit(1)).as("__n"))

@@ -152,4 +152,38 @@ object Maintenance {
     aDelta.join(bOld, keys)
       .unionByName(aOld.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
+
+  /** ANTI-ENTROPY SEGMENT CHECKSUMS — the Merkle-style table-sync
+    * primitive: hash-partition rows into `buckets` segments by key and
+    * reduce each segment to `(n_rows, xor_sig, add_sig)`. Two replicas /
+    * snapshots compare `buckets` tiny rows instead of the tables; only
+    * segments whose triples differ need row-level re-transfer. At 100 TB
+    * this is the difference between a sync that scans both sides always
+    * and one that scans both sides ONCE to build checksums and then moves
+    * just the damaged shards.
+    *
+    * Both reductions are order- and partition-independent: XOR is
+    * commutative; the additive sum runs mod 2³¹−1 in exact decimal
+    * arithmetic. They compensate each other's blind spots — XOR cancels a
+    * row pair inserted twice (add+count catch it), the additive sum misses
+    * swaps that conserve the total (XOR catches them). `rowSig` must be a
+    * collision-resistant row digest (the driver query folds
+    * md5(key ⧺ normalized content) through `graft_rolling_hash`, fully
+    * replayable in the gate's oracle).
+    */
+  def segmentChecksums(df: DataFrame, bucketKey: Column, rowSig: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one segment")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val P = 2147483647L // 2^31 − 1, prime
+    df.select(
+        pmod(call_function("graft_rolling_hash", bucketKey.cast("string")),
+          lit(buckets.toLong)).as("bucket"),
+        rowSig.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        (sum((col("__h") % lit(P)).cast("decimal(28,0)")) % lit(P))
+          .cast("long").as("add_sig"))
+  }
 }

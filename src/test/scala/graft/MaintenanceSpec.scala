@@ -131,4 +131,46 @@ class MaintenanceSpec extends AnyFunSuite {
     val delta = Maintenance.incrementalJoinDelta(aOld, aNew, bOld, bNew, Seq("k"))
     assert(delta.count() === 4L)
   }
+
+  test("segmentChecksums: equal tables agree everywhere; one edit damages one segment") {
+    graft.plans.GraftFunctions.register(spark)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+      call_function("graft_rolling_hash",
+        md5(concat_ws("|", col("k").cast("string"), col("v")).cast("binary"))).as("s"))
+    val base = (0L until 200L).map(i => (i, s"val$i")).toDF("k", "v")
+    val same = Maintenance.segmentChecksums(sig(base), col("k"), col("s"), 8).as("a")
+      .join(Maintenance.segmentChecksums(sig(base), col("k"), col("s"), 8).as("b"),
+        Seq("bucket"))
+      .filter(col("a.n_rows") =!= col("b.n_rows")
+        || col("a.xor_sig") =!= col("b.xor_sig")
+        || col("a.add_sig") =!= col("b.add_sig"))
+    assert(same.count() === 0L)
+    val edited = base.withColumn("v",
+      when(col("k") === 42L, lit("tampered")).otherwise(col("v")))
+    val damaged = Maintenance.segmentChecksums(sig(base), col("k"), col("s"), 8).as("a")
+      .join(Maintenance.segmentChecksums(sig(edited), col("k"), col("s"), 8).as("b"),
+        Seq("bucket"))
+      .filter(col("a.xor_sig") =!= col("b.xor_sig")
+        || col("a.add_sig") =!= col("b.add_sig"))
+    assert(damaged.count() === 1L,
+      "exactly the edited row's segment must flag — that's the re-transfer set")
+  }
+
+  test("segmentChecksums: a row inserted twice beats XOR cancellation via count+sum") {
+    graft.plans.GraftFunctions.register(spark)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+      call_function("graft_rolling_hash",
+        md5(concat_ws("|", col("k").cast("string"), col("v")).cast("binary"))).as("s"))
+    val base = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val dupRow = base.filter(col("k") === 7L)
+    val withDups = base.unionByName(dupRow).unionByName(dupRow)
+    val joined = Maintenance.segmentChecksums(sig(base), col("k"), col("s"), 4).as("a")
+      .join(Maintenance.segmentChecksums(sig(withDups), col("k"), col("s"), 4).as("b"),
+        Seq("bucket"))
+    // the XOR of two extra identical rows cancels to the same signature…
+    assert(joined.filter(col("a.xor_sig") =!= col("b.xor_sig")).count() === 0L)
+    // …but the count and additive checksum both catch it
+    assert(joined.filter(col("a.n_rows") =!= col("b.n_rows")).count() === 1L)
+    assert(joined.filter(col("a.add_sig") =!= col("b.add_sig")).count() === 1L)
+  }
 }

@@ -57,6 +57,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("cmsJoinSizeEstimate: never under the true join size; exact when collision-free") {
+    // A: key i appears i+1 times for i<5; B: each key once -> |A⋈B| = 15
+    val a = (0 until 5).flatMap(i => Seq.fill(i + 1)(s"k$i")).toDF("key")
+    val b = (0 until 5).map(i => s"k$i").toDF("key")
+    val trueSize = 15L
+    // wide: 5 keys cannot collide in 4096 buckets under any of 3 hash rows
+    val wide = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsCounters(a, col("key"), 3, 4096),
+      Sketches.cmsCounters(b, col("key"), 3, 4096))
+      .as[Long].head()
+    assert(wide === trueSize)
+    // narrow: collisions only ADD (cross terms are products of counts)
+    val narrow = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsCounters(a, col("key"), 3, 2),
+      Sketches.cmsCounters(b, col("key"), 3, 2))
+      .as[Long].head()
+    assert(narrow >= trueSize)
+  }
+
   test("bucket hash is the replayable poly31 family, not a JVM-private hash") {
     val keys = Seq("alice", "bob", "42").toDF("key")
     val got = Sketches.cmsCounters(keys, col("key"), depth = 2, width = 64)
