@@ -4493,15 +4493,22 @@ object SparkEntry {
         |ORDER BY cluster_id""".stripMargin,
 
     "corpus_sample_stratified" ->
-      """WITH b AS (
+      """WITH h1 AS (
         |  SELECT lang, n_chars,
-        |    (((((list_reduce(
-        |       list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
-        |           c -> CAST(ord(c) AS BIGINT))),
-        |       (acc, c) -> (acc * 31 + c) % 144115188075855859)
-        |     % 1000003) * 2654435761) % 1000000007) % 1000)) AS bucket
-        |  FROM documents)
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '.'),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 144115188075855859) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, n_chars,
+        |    (list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_extract_all(CAST(h AS VARCHAR), '.'),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 144115188075855859) % 1000) AS bucket
+        |  FROM h1)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
@@ -4653,30 +4660,31 @@ object SparkEntry {
         |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
         |      '\s+', ' ', 'g')), '\S+') AS toks
         |  FROM documents),
-        |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |t AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM d),
         |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
         |uni AS (
-        |  SELECT doc_id, SUM(c) AS n_terms, COUNT(*) AS n_distinct,
-        |    SUM(c * LENGTH(term)) AS term_chars
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_terms, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c * LENGTH(term)) AS BIGINT) AS term_chars
         |  FROM tf GROUP BY 1),
         |topu AS (
-        |  SELECT doc_id, term AS top_word, c AS top_c
+        |  SELECT doc_id, term AS top_word, CAST(c AS BIGINT) AS top_c
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, term) AS rn FROM tf)
         |  WHERE rn = 1),
         |bg AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
-        |  FROM d WHERE len(toks) >= 2),
+        |  SELECT a.doc_id, a.term || ' ' || b.term AS gram
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
         |bf AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
         |topb AS (
-        |  SELECT doc_id, gram AS top_bigram, c AS top_bc
+        |  SELECT doc_id, gram AS top_bigram, CAST(c AS BIGINT) AS top_bc
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM bf)
         |  WHERE rn = 1)
-        |SELECT u.doc_id, CAST(u.n_terms AS BIGINT) AS n_terms,
-        |  ROUND(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_terms, 6) AS dup_word_frac,
+        |SELECT u.doc_id, u.n_terms,
+        |  CAST((2 * (u.n_terms - u.n_distinct) * 1000000 + u.n_terms) // (2 * u.n_terms) AS BIGINT) AS dup_word_frac_e6,
         |  topu.top_word,
-        |  ROUND(CAST(topu.top_c AS DOUBLE) / u.n_terms, 6) AS top_word_frac,
+        |  CAST((2 * topu.top_c * 1000000 + u.n_terms) // (2 * u.n_terms) AS BIGINT) AS top_word_frac_e6,
         |  COALESCE(topb.top_bigram, '') AS top_bigram,
-        |  ROUND(COALESCE(CAST(topb.top_bc * (LENGTH(topb.top_bigram) - 1) AS DOUBLE) / u.term_chars, 0.0), 6) AS top_bigram_char_frac
+        |  CAST((2 * COALESCE(topb.top_bc, 0) * (LENGTH(COALESCE(topb.top_bigram, '')) - 1) * 1000000 + u.term_chars)
+        |       // (2 * u.term_chars) AS BIGINT) AS top_bigram_char_frac_e6
         |FROM uni u JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)
         |ORDER BY u.doc_id""".stripMargin,
 
@@ -4774,18 +4782,21 @@ object SparkEntry {
         |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
         |      '\s+', ' ', 'g')), '\S+') AS toks
         |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM d),
         |bg AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram,
-        |         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1
-        |  FROM d WHERE len(toks) >= 2),
-        |bf AS (SELECT doc_id, gram, w1, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
-        |m12 AS (SELECT gram, SUM(tf) AS c12 FROM bf GROUP BY 1),
-        |m1 AS (SELECT w1, SUM(tf) AS c1 FROM bf GROUP BY 1)
-        |SELECT bf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-        |  ROUND(CAST(SUM(tf * CAST(ROUND(LN(CAST(c1 AS DOUBLE) / c12) * 1000000000, 0) AS BIGINT)) AS DOUBLE)
-        |        / 1000000000 / CAST(SUM(tf) AS BIGINT), 6) AS avg_nll
-        |FROM bf JOIN m12 USING (gram) JOIN m1 USING (w1)
-        |GROUP BY bf.doc_id ORDER BY bf.doc_id""".stripMargin,
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |m12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM bf GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1),
+        |agg AS (
+        |  SELECT bf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf * CAST(ROUND(LN(CAST(c1 AS DOUBLE) / c12) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS nll_e9
+        |  FROM bf JOIN m12 USING (w1, w2) JOIN m1 USING (w1)
+        |  GROUP BY bf.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST((2 * nll_e9 + 1000 * n_bigrams) // (2000 * n_bigrams) AS BIGINT) AS avg_nll_e6
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH e AS (

@@ -298,10 +298,14 @@ object TextAnalysis {
     * The raw polynomial fold does NOT avalanche on short keys (a few-digit
     * numeric id covers only a sliver of the modulus, and `mod 1000` of
     * base-31 digit polynomials is visibly banded — measured 5.7% kept at a
-    * 20% target rate). A multiplicative mix (Knuth constant between two
-    * prime moduli) restores uniformity while staying plain integer
-    * arithmetic any SQL engine reproduces exactly; the intermediate
-    * product is < 1000003·2654435761 < 2^63, so 64-bit-safe.
+    * 20% target rate). Mixing is a SECOND application of the same fold,
+    * over the decimal rendering of the first hash: the inner hash is
+    * near-uniform in [0, 2^57), so its ~17-digit string drives the outer
+    * polynomial through enough state to avalanche (measured 49.8 / 25.5 /
+    * 10.5% kept at 50 / 25 / 10% targets over 10k short ids). Using ONLY
+    * the fold keeps the membership rule expressible with the one hash
+    * primitive every gate already shares with the oracle — no auxiliary
+    * modular-mix constants an engine could evaluate differently.
     */
   def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
       fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
@@ -311,8 +315,7 @@ object TextAnalysis {
         when(stratum === lit(k), lit((f * 1000).round)).otherwise(acc)
       }
     val h = rollingHashFromNormalized(id.cast("string"))
-    val bucket =
-      pmod(pmod(pmod(h, lit(1000003L)) * lit(2654435761L), lit(1000000007L)), lit(1000L))
+    val bucket = pmod(rollingHashFromNormalized(h.cast("string")), lit(1000L))
     df.filter(bucket < threshold)
   }
 
@@ -332,6 +335,12 @@ object TextAnalysis {
     * explode → (doc, gram) count (ONE shuffle, map-side combined) →
     * per-doc argmin rollup. Docs with zero tokens produce no row (no
     * signal to report), matching the oracle's unnest semantics.
+    *
+    * The fraction columns emit as micro-unit BIGINTs (`*_e6` =
+    * round-half-up(1e6·num/den), computed with 64-bit `div` — no double
+    * ever forms), so the gated values are exact integer arithmetic on
+    * both engines rather than a ROUND(double) whose tie behavior is
+    * engine/version-sensitive.
     *
     * Cache contract as [[tfidfTopTerms]].
     */
@@ -359,15 +368,24 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("n_terms"),
-        round(lit(1.0) - col("__n_distinct").cast("double") / col("n_terms"), 6)
-          .as("dup_word_frac"),
+        col("__n_distinct"),
+        col("__term_chars"),
+        (-col("__top.nc")).as("__top_c"),
         col("__top.t").as("top_word"),
-        round((-col("__top.nc")).cast("double") / col("n_terms"), 6)
-          .as("top_word_frac"),
         coalesce(col("__topb.g"), lit("")).as("top_bigram"),
-        round(coalesce(
-          ((-col("__topb.nc")) * (length(col("__topb.g")) - 1)).cast("double")
-            / col("__term_chars"), lit(0.0)), 6).as("top_bigram_char_frac"))
+        coalesce(-col("__topb.nc"), lit(0L)).as("__topb_c"))
+      .select(
+        col("doc_id"),
+        col("n_terms"),
+        expr("(2 * (n_terms - __n_distinct) * 1000000 + n_terms) div (2 * n_terms)")
+          .as("dup_word_frac_e6"),
+        col("top_word"),
+        expr("(2 * __top_c * 1000000 + n_terms) div (2 * n_terms)")
+          .as("top_word_frac_e6"),
+        col("top_bigram"),
+        // no bigram → __topb_c = 0 → numerator is the bare half-den → 0
+        expr("(2 * __topb_c * (length(top_bigram) - 1) * 1000000 + __term_chars)" +
+          " div (2 * __term_chars)").as("top_bigram_char_frac_e6"))
   }
 
   /** BENCHMARK DECONTAMINATION — flag training documents that share any
@@ -491,8 +509,12 @@ object TextAnalysis {
         sum(col("tf") *
           round(log(col("c1").cast("double") / col("c12")) * 1e9).cast("long"))
           .as("__nll_e9"))
+      // micro-nat BIGINT emission: avg_nll_e6 = round-half-up of
+      // __nll_e9 / (1000·n) in pure 64-bit arithmetic — the mean reaches
+      // the gate without any double division or engine ROUND in the loop
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("__nll_e9") / 1e9 / col("n_bigrams"), 6).as("avg_nll"))
+        expr("(2 * __nll_e9 + 1000 * n_bigrams) div (2000 * n_bigrams)")
+          .as("avg_nll_e6"))
   }
 
   /** UNIGRAM DISTRIBUTION DRIFT between two corpus slices — the monitoring

@@ -23,20 +23,20 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.length == 4)
     val d1 = r(0)
     assert(d1.getAs[Long]("n_terms") == 4)
-    assert(d1.getAs[Double]("dup_word_frac") == 0.5) // 1 - 2/4
+    assert(d1.getAs[Long]("dup_word_frac_e6") == 500000L) // 1 - 2/4
     assert(d1.getAs[String]("top_word") == "a")
-    assert(d1.getAs[Double]("top_word_frac") == 0.75)
+    assert(d1.getAs[Long]("top_word_frac_e6") == 750000L)
     assert(d1.getAs[String]("top_bigram") == "a a")
     // 2 occurrences * 2 chars / 4 total term chars
-    assert(d1.getAs[Double]("top_bigram_char_frac") == 1.0)
+    assert(d1.getAs[Long]("top_bigram_char_frac_e6") == 1000000L)
     val d2 = r(1)
-    assert(d2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(d2.getAs[Long]("dup_word_frac_e6") == 0L)
     assert(d2.getAs[String]("top_word") == "x") // count tie -> lexicographic min
     val d3 = r(2)
     assert(d3.getAs[String]("top_bigram") == "" &&
-      d3.getAs[Double]("top_bigram_char_frac") == 0.0)
+      d3.getAs[Long]("top_bigram_char_frac_e6") == 0L)
     val d4 = r(3)
-    assert(d4.getAs[Double]("top_bigram_char_frac") == 1.0)
+    assert(d4.getAs[Long]("top_bigram_char_frac_e6") == 1000000L)
   }
 
   test("repetitionSignals: empty docs emit no row; partitioning-invariant") {
@@ -87,11 +87,17 @@ class TextSignalsSpec extends AnyFunSuite {
     val r = TextAnalysis.bigramSurprisal(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect()
     assert(r.length == 3) // doc 4 has no bigrams
-    val nll12 = BigDecimal(math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val nll3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    assert(BigDecimal(r(0).getAs[Double]("avg_nll")) == nll12)
-    assert(BigDecimal(r(1).getAs[Double]("avg_nll")) == nll12)
-    assert(BigDecimal(r(2).getAs[Double]("avg_nll")) == nll3)
+    // expected micro-nats: the engine's exact integer pipeline — quantize
+    // each ln to nano-nats, then round-half-up the mean to micro-nats
+    def e6(nll: Double, n: Long): Long = {
+      val nllE9 = math.round(nll * 1e9) * n
+      (2 * nllE9 + 1000 * n) / (2000 * n)
+    }
+    val nll12 = e6(math.log(3.0 / 2.0), 1L)
+    val nll3 = e6(math.log(3.0), 1L)
+    assert(r(0).getAs[Long]("avg_nll_e6") == nll12)
+    assert(r(1).getAs[Long]("avg_nll_e6") == nll12)
+    assert(r(2).getAs[Long]("avg_nll_e6") == nll3)
     assert(r.forall(_.getAs[Long]("n_bigrams") == 1L))
   }
 
