@@ -1829,6 +1829,48 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // TOKEN-WINDOW CHUNKING (TextAnalysis.chunkTokens): every doc split
+    // into 32-token windows at stride 16 — the context-window preparation
+    // pass. Pure map-side explode (no shuffle before the presentation
+    // sort); chunk_hash pins the full chunk text engine-exactly without
+    // shipping it.
+    "corpus_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), col("doc_id"),
+          col("text"), chunkLen = 32, stride = 16)
+        .drop("chunk_text")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CHUNK-GRANULARITY DUPLICATION REPORT — per source, the fraction of
+    // token windows whose exact window recurs anywhere in the corpus
+    // (CCNet-style repeated-window measurement at training-window
+    // granularity; exact-dup docs and within-doc repetition both
+    // surface). Chunks derive once (persisted), the recurrence count is
+    // one hash-keyed map-side-combined rollup, and the per-source rollup
+    // joins chunk rows — never the corpus — on co-keyed doc_id.
+    // dup_frac_e6 is integer-scaled round-half-up: no float reaches the
+    // gate.
+    "chunk_dup_stats" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val chunks = TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"),
+          chunkLen = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_hash"))
+        .persistTracked()
+      val counts = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("__cn"))
+      chunks.join(counts, "chunk_hash")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__cn") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(2 * n_dup_chunks * 1000000 + n_chunks) div (2 * n_chunks)")
+            .as("dup_frac_e6"))
+        .orderBy(col("source"))
+    }),
+
+    // ---------------------------------------------------------------
     // Unigram distribution drift between corpus halves
     // (TextAnalysis.unigramDrift): add-one-smoothed per-term KL
     // contributions over the union vocabulary — the snapshot-monitoring
@@ -4890,6 +4932,52 @@ object SparkEntry {
         |    CASE WHEN p.fill + t.n_tokens > 2048 THEN t.n_tokens ELSE p.fill + t.n_tokens END
         |  FROM t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1)
         |SELECT doc_id, shard, seq_idx, n_tokens FROM pack ORDER BY doc_id""".stripMargin,
+
+    "corpus_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks, n, unnest(range((n - 1) // 16 + 1)) AS chunk_idx FROM n),
+        |c AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(chunk_idx * 16 AS BIGINT) AS chunk_start, n,
+        |    array_to_string(toks[(chunk_idx * 16 + 1):(chunk_idx * 16 + 32)], ' ') AS chunk_text
+        |  FROM k)
+        |SELECT doc_id, chunk_idx, chunk_start,
+        |  LEAST(32, n - chunk_start) AS n_chunk_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_extract_all(chunk_text, '.'), ch -> CAST(ord(ch) AS BIGINT))),
+        |    (acc, ch) -> (acc * 31 + ch) % 144115188075855859) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "chunk_dup_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')), '\S+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks, n, unnest(range((n - 1) // 16 + 1)) AS chunk_idx FROM n),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(
+        |        array_to_string(toks[(chunk_idx * 16 + 1):(chunk_idx * 16 + 32)], ' '), '.'),
+        |        ch -> CAST(ord(ch) AS BIGINT))),
+        |      (acc, ch) -> (acc * 31 + ch) % 144115188075855859) AS chunk_hash
+        |  FROM k),
+        |cnt AS (SELECT chunk_hash, COUNT(*) AS cn FROM h GROUP BY 1),
+        |s AS (
+        |  SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(CASE WHEN cnt.cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |  FROM h JOIN cnt USING (chunk_hash) JOIN documents doc USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT source, n_chunks, n_dup_chunks,
+        |  CAST((2 * n_dup_chunks * 1000000 + n_chunks) // (2 * n_chunks) AS BIGINT) AS dup_frac_e6
+        |FROM s ORDER BY source""".stripMargin,
 
     "corpus_drift" ->
       """WITH d AS (

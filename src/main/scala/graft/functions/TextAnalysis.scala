@@ -590,6 +590,49 @@ object TextAnalysis {
       .toDF("doc_id", "shard", "seq_idx", "n_tokens")
   }
 
+  /** TOKEN-WINDOW CHUNKING — split each document into fixed-size token
+    * windows with overlap stride (the context-window preparation step of
+    * every pretraining / RAG pipeline: HuggingFace
+    * `return_overflowing_tokens` semantics). Window k covers tokens
+    * `[k·stride, k·stride + chunkLen)`; windows start while `k·stride < n`,
+    * so every token lands in ≥1 chunk and trailing chunks may be short.
+    *
+    * Returns `(doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text,
+    * chunk_hash)` — chunk_idx/chunk_start 0-based, chunk_hash the rolling
+    * polynomial fingerprint of the chunk text (the chunk-granularity dedup
+    * key: identical windows collide exactly, cross-engine reproducible).
+    *
+    * Shape at scale: pure map-side column algebra — one `transform` over a
+    * `sequence` of window indices, exploded in place; NO shuffle, no UDF,
+    * the whole derivation stays inside WholeStageCodegen at scan speed.
+    * Downstream chunk-keyed aggregations shuffle the (already much
+    * smaller) chunk rows, never the corpus. Registers the graft functions
+    * (codegen rolling hash) on the session.
+    */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column,
+      chunkLen: Int = 128, stride: Int = 64): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
+    require(stride > 0 && stride <= chunkLen,
+      s"stride must be in [1, chunkLen], got $stride")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(id.as("doc_id"), terms(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__n"),
+        explode(expr(
+          s"transform(sequence(0L, (__n - 1) div $stride), k -> struct(" +
+            s"k AS chunk_idx, k * $stride AS chunk_start, " +
+            s"concat_ws(' ', slice(__toks, CAST(k * $stride + 1 AS INT), $chunkLen))" +
+            " AS chunk_text))")).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_start").as("chunk_start"),
+        least(lit(chunkLen.toLong), col("__n") - col("c.chunk_start"))
+          .as("n_chunk_tokens"),
+        col("c.chunk_text"),
+        call_function("graft_rolling_hash", col("c.chunk_text")).as("chunk_hash"))
+  }
+
   /** Per-document text-analysis projection over a documents table. Staged
     * through intermediate columns so each tokenization runs once per row
     * (the naive single-projection form re-extracts tokens per metric). */

@@ -204,6 +204,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "staged token/bigram frame must be persisted (corpus tokenized once)")
   }
 
+  test("corpus_chunks: chunk derivation is map-side — no shuffle before the sort") {
+    // chunking is transform+explode in place; the only exchange is the
+    // presentation sort's range partitioning
+    val plan = planOf("corpus_chunks")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"chunking must not shuffle; got $exchanges:\n${plan.take(400)}")
+    assert(plan.contains("Generate"), "chunk explode missing from the plan")
+  }
+
+  test("chunk_dup_stats: recurrence rollup partial-aggregates; corpus scanned once") {
+    val plan = planOf("chunk_dup_stats")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "chunk-hash recurrence count lost map-side partial aggregation")
+    assert(plan.contains("InMemoryTableScan"),
+      "chunk frame must be persisted (chunks derive once, feed count + join)")
+  }
+
   test("emb_dim_stats: explode stays map-side; exchange carries dims, not values") {
     // partial aggregation must sit between Generate (posexplode) and the
     // one hash exchange — the exploded stream itself never shuffles

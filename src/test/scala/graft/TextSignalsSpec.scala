@@ -101,6 +101,37 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("n_bigrams") == 1L))
   }
 
+  test("chunkTokens: window starts/lengths, short tail, hash pins text") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "solo"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"),
+        chunkLen = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1 (6 tokens): starts 0,2,4; doc 2: one 1-token chunk; 3/4: empty
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx"),
+        x.getAs[Long]("chunk_start"), x.getAs[Long]("n_chunk_tokens"),
+        x.getAs[String]("chunk_text"))).toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 2L, 4L, "c d e f"),
+      (1L, 2L, 4L, 2L, "e f"),
+      (2L, 0L, 0L, 1L, "solo")))
+    // chunk_hash must equal the portable HoF fold of the emitted text
+    val hashed = TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"), 4, 2)
+      .withColumn("__hof",
+        TextAnalysis.rollingHashHofFromNormalized(col("chunk_text")))
+    assert(hashed.filter(col("chunk_hash") =!= col("__hof")).isEmpty)
+  }
+
+  test("chunkTokens: stride == chunkLen partitions tokens without overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(docs, col("doc_id"), col("text"),
+        chunkLen = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(r.map(_.getAs[Long]("n_chunk_tokens")).sum == 10L)
+    assert(r.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
   test("debounce: keeps firsts and post-gap rows, key-scoped, tie-safe") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
