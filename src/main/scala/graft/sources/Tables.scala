@@ -31,18 +31,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` carries TIMESTAMP(NANOS) which Spark's vectorized parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * truncate to microseconds (Spark's native timestamp precision) with
-    * integer division — a double-typed division would lose precision at
-    * ~1.7e18 nanos. DuckDB's `CAST(ts AS TIMESTAMP)` truncates ns→µs the
-    * same way, so oracle comparisons stay exact.
+  /** `events.ts` normalized to Spark's session-timezone TimestampType
+    * whatever the generator wrote:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]), so read nanos as long and truncate to
+    *    microseconds with integer division (a double division would lose
+    *    precision at ~1.7e18 nanos). DuckDB's `CAST(ts AS TIMESTAMP)`
+    *    truncates ns→µs the same way, so oracle comparisons stay exact.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ; cast to TimestampType — with the engine-wide
+    *    `spark.sql.session.timeZone=UTC` the wall-clock values are
+    *    unchanged and match DuckDB's naive TIMESTAMP read bit-for-bit.
+    * Downstream code (windows, watermarks, `Row.getTimestamp`) then sees
+    * one type regardless of generator version.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
+    }
   }
 }

@@ -95,16 +95,32 @@ object EventStreams {
         round(max(col("value")), 6).as("max_value"))
   }
 
+  /** File-source event stream with `ts` normalized to TimestampType, same
+    * contract as [[graft.sources.Tables.events]]. The streaming source needs
+    * an explicit schema, so peek at one parquet footer (a batch read plans
+    * nothing) to learn which generation of the events layout is on disk:
+    * TIMESTAMP(NANOS) → read as long, integer-truncate to µs;
+    * TIMESTAMP(MICROS) untagged → TIMESTAMP_NTZ, cast (UTC session tz). */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.parquet(dir).schema("ts").dataType
+    val readType = if (onDisk.typeName == "long") LongType else onDisk
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = readType) else f)))
+      .parquet(dir)
+    readType.typeName match {
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
+    }
+  }
+
   /** Run [[dedupedTypeCounts]] as a real streaming query (file source →
     * watermark → within-watermark dedup → aggregation → memory sink).
     * Callers `processAllAvailable()` then read table `name`. */
   def startDedupStream(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventStream(spark, dir)
     dedupedTypeCounts(raw.withWatermark("ts", "10 minutes"), withinWatermark = true)
       .writeStream
       .outputMode("complete")
@@ -133,12 +149,7 @@ object EventStreams {
     * watermarked file streams, append sink). */
   def startAttributionStream(spark: SparkSession, dir: String, name: String,
       horizon: String = "10 minutes"): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(eventType: String) = spark.readStream
-      .schema(StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(eventType: String) = eventStream(spark, dir)
       .filter(col("event_type") === eventType)
       .withWatermark("ts", "30 minutes")
     clickViewAttribution(side("click"), side("view"), horizon)
@@ -188,14 +199,7 @@ object EventStreams {
     * harness for streaming semantics.)
     */
   def startTumblingStream(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    // The raw events.parquet carries TIMESTAMP(NANOS); streaming reuses the
-    // same nanosAsLong read path as Tables.events.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventStream(spark, dir)
     tumblingCounts(raw.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("complete")
@@ -208,12 +212,7 @@ object EventStreams {
     * static nation table (memory sink, complete mode). */
   def startStreamStaticJoin(spark: SparkSession, dir: String, nation: DataFrame,
       name: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventStream(spark, dir)
     typeCountsByNation(raw.withWatermark("ts", "10 minutes"), nation)
       .writeStream
       .outputMode("complete")
@@ -224,12 +223,7 @@ object EventStreams {
 
   /** [[slidingCounts]] as a real file-source stream (memory sink). */
   def startSlidingStream(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventStream(spark, dir)
     slidingCounts(raw.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("complete")
