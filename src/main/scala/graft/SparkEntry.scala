@@ -2705,6 +2705,45 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // LEAKAGE-SAFE SPLIT — the CONSTRUCTIVE counterpart of the
+    // split_leakage audit above: instead of measuring how many near-dups
+    // straddle train/validation/test, assign the split by GROUP — every
+    // member of a near-dup cluster hashes on the cluster id (singletons on
+    // their own id), so related documents move between splits as one unit
+    // and cross-split contamination is zero BY CONSTRUCTION. The output
+    // carries `leaked_pairs` computed relationally over the pair set —
+    // the gate proves it lands exactly 0, and proves the per-split doc /
+    // group counts and id checksums against an oracle that re-derives the
+    // clusters (recursive-CTE reachability), the group hash, and the leak
+    // join independently. Shape at scale: components via star contraction
+    // (O(log n) rounds), one left join docs⋈clusters (AQE broadcasts the
+    // cluster map when it is small), map-side hash assignment, one
+    // keyed aggregate; the leak check is two equi-joins on the pair set.
+    "leakage_safe_split" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val pairs = s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet")
+      val cc = Dedup.connectedComponentsStar(pairs)
+      val assigned = docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("group_id"),
+          TextAnalysis.splitAssign(col("group_id")).as("split"))
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("id1"), col("split").as("s1")),
+          Seq("id1"))
+        .join(assigned.select(col("doc_id").as("id2"), col("split").as("s2")),
+          Seq("id2"))
+        .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+          .as("leaked_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_id")).as("n_groups"),
+          sum(col("doc_id")).as("id_sum"))
+        .crossJoin(broadcast(leaks))
+        .orderBy(col("split"))
+    }),
+
+    // ---------------------------------------------------------------
     // TOP SESSION PATHS (Relational.sessionPaths): most frequent 3-step
     // event sequences inside 6-hour-gap sessions — ONE lead-window pass
     // (a trigram is in-session iff both adjacent gaps ≤ the gap; no
@@ -5522,6 +5561,41 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_groups,
         |  CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaking_docs
         |FROM g""".stripMargin,
+
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT id1, id2 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')),
+        |nodes AS (SELECT id1 AS id FROM e UNION SELECT id2 FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT reach.id, CASE WHEN e.id1 = reach.r THEN e.id2 ELSE e.id1 END AS r
+        |  FROM reach JOIN e ON e.id1 = reach.r OR e.id2 = reach.r),
+        |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN cc USING (doc_id)),
+        |s AS (SELECT doc_id, group_id,
+        |  CASE WHEN (list_reduce(
+        |       list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(group_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859) % 100) < 80
+        |         THEN 'train'
+        |       WHEN (list_reduce(
+        |       list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(regexp_extract_all(CAST(group_id AS VARCHAR), '.'),
+        |           c -> CAST(ord(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 144115188075855859) % 100) < 90
+        |         THEN 'validation' ELSE 'test' END AS split
+        |  FROM g),
+        |l AS (SELECT CAST(COALESCE(SUM(CASE WHEN s1.split <> s2.split
+        |                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_pairs
+        |      FROM e JOIN s s1 ON s1.doc_id = e.id1
+        |             JOIN s s2 ON s2.doc_id = e.id2)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT group_id) AS n_groups,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, l.leaked_pairs
+        |FROM s, l GROUP BY split, l.leaked_pairs ORDER BY split""".stripMargin,
 
     "session_paths" ->
       """WITH e AS (

@@ -374,4 +374,25 @@ class DedupTextSpec extends AnyFunSuite {
     // Path/star nodes close no wedge and must not appear at all.
     assert(r.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), r.toSeq)
   }
+
+  test("leakage-safe split: whole clusters share one split, so no pair straddles") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters ({1,2,3} and {10,11}) plus singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponentsStar(pairs)
+    val assigned = docs.join(cc, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"),
+        TextAnalysis.splitAssign(col("group_id")).as("split"))
+    val bySplit = assigned.as[(Long, String)].collect().toMap
+    // every cluster member carries its cluster's split — pairs can't leak
+    assert(bySplit(1L) == bySplit(2L) && bySplit(2L) == bySplit(3L))
+    assert(bySplit(10L) == bySplit(11L))
+    // singletons still split by their own id: same assignment corpus_split
+    // would give them (group_id == doc_id), pinning cross-query consistency
+    val solo = docs.filter(col("doc_id") === 20L)
+      .select(TextAnalysis.splitAssign(col("doc_id"))).as[String].head()
+    assert(bySplit(20L) == solo)
+  }
 }
