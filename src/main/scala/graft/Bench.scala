@@ -31,13 +31,18 @@ object Bench {
       catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries persist shared intermediates (dedup signatures etc.) —
-      // drop them so later timings aren't skewed by eviction/GC pressure
-      GraftCaches.unpersistAll()
+      // drop them so later timings aren't skewed by eviction/GC pressure.
+      // BLOCKING: async removal bleeds into the next query's timed region
+      GraftCaches.unpersistAll(blocking = true)
       dt
     }
-    val results = selected.map { case (name, fn) =>
+    // name-sorted execution: Map iteration order reshuffles whenever a
+    // query is added, which moves every query's predecessor (and the GC /
+    // cache state it inherits) — sorted order keeps round-over-round
+    // timings comparable per query
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -49,11 +49,16 @@ object GraftCaches {
   }
 
   /** Unpersist every registered frame and clear the registry. Never
-    * touches caches the user created directly. */
-  def unpersistAll(): Unit = {
+    * touches caches the user created directly.
+    *
+    * `blocking = true` waits for block removal — benchmark harnesses use
+    * it so one query's cleanup cannot bleed into the next query's timed
+    * region (async removal runs on executor threads and showed up as
+    * 2-4x phantom regressions attributed to whichever query ran next). */
+  def unpersistAll(blocking: Boolean = false): Unit = {
     var df = frames.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = frames.poll()
     }
   }

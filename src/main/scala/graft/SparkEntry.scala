@@ -630,6 +630,21 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // HARD-NEGATIVE MINING (Similarity.hardNegatives): per query vector,
+    // the top-k most-similar corpus vectors with a DIFFERENT label — the
+    // contrastive-training pair miner. Label predicate inside the
+    // broadcast-join condition (same-label candidates never reach
+    // scoring); ranking through the TopKPerKey plan node. Independent
+    // DuckDB window-rank oracle re-derives cosine + label filter.
+    "ann_hard_negatives" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.hardNegatives(queries, emb, 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // Same brute-force ANN contract, ranked through the CUSTOM CATALYST
     // PLAN NODE (GraftTopKPerKey: logical node + planner strategy +
     // partial/final physical operators — map-side k-bound in Tungsten row
@@ -4022,6 +4037,27 @@ object SparkEntry {
         |  FROM c CROSS JOIN q WHERE q_id <> c_id)
         |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank,
         |       c_id, ROUND(cos, 6) AS cos
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id, c_label,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id AND q_label <> c_label)
+        |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank,
+        |       c_id, c_label, ROUND(cos, 6) AS cos
         |FROM scored
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
         |ORDER BY q_id, rank""".stripMargin,

@@ -87,6 +87,35 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per query vector, the
+    * k most similar corpus vectors carrying a DIFFERENT label — "close in
+    * embedding space but semantically distinct", the pairs that sharpen a
+    * retrieval/embedding model fastest (in-batch random negatives are
+    * mostly too easy to carry gradient).
+    *
+    * Shape at scale: the label predicate rides INSIDE the broadcast-join
+    * condition, so same-label candidates are dropped at the probe — they
+    * never reach scoring or ranking; ranking planes through
+    * [[graft.plans.TopKPerKey]], so at most k rows per (query, partition)
+    * cross the one exchange. Same tie contract as [[cosineTopK]]
+    * (cos desc, then id asc), cos rounded to 6.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      .select(col("q_id"), col("c_id"), col("c_label"),
+        cosineFast(col("qv"), col("cv")).as("cos"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        keyCols = Seq("q_id"), orderBy = Seq(("cos", false), ("c_id", true)), k = k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("c_label"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Random-hyperplane sign bucket: plane p's normal component for
     * dimension d is a deterministic pseudo-random ±value derived from
     * murmur3(d, p) — reproducible across runs with zero model state.

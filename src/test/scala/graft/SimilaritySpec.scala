@@ -163,4 +163,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r((0, 1)) == 1.0, "parallel centroids of different scale must cos to 1")
     assert(r((0, 2)) == 0.0 && r((1, 2)) == 0.0)
   }
+
+  test("hardNegatives: nearest different-label vector wins; same-label never appears") {
+    // query 0 (label A) is nearly parallel to 1 (label A, cos≈1) and 2
+    // (label B, cos≈0.995); 3 (label B) is orthogonal. The same-label
+    // near-twin must be EXCLUDED; the cross-label near-twin must rank 1.
+    val emb = Seq(
+      (0L, "A", Seq(1.0f, 0.0f)),
+      (1L, "A", Seq(0.999f, 0.01f)),
+      (2L, "B", Seq(0.995f, 0.1f)),
+      (3L, "B", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = Similarity.hardNegatives(emb.filter(col("vec_id") === 0L), emb, 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[Long]("c_id"),
+        x.getAs[String]("c_label")))
+    assert(r.toSeq == Seq((1L, 2L, "B"), (2L, 3L, "B")), r.toSeq)
+  }
 }
