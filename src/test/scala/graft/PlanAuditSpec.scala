@@ -68,6 +68,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "native ranking must not fall back to a window")
   }
 
+  test("ann_hard_negatives: label filter inside the broadcast join, plan-node ranking") {
+    val plan = planOf("ann_hard_negatives")
+    assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
+      "hard-negative ranking lost the custom physical operators")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(!plan.contains("Window"), "ranking must not fall back to a window")
+    // the label inequality must sit in the join condition (same-label
+    // candidates dropped at the probe), not in a post-join Filter over
+    // the scored pair set
+    assert("BroadcastNestedLoopJoin[^\\n]*NOT[^\\n]*label".r.findFirstIn(plan).isDefined
+        || "BroadcastNestedLoopJoin[^\\n]*label".r.findFirstIn(plan).isDefined,
+      "label predicate must ride in the join condition")
+  }
+
+  test("leakage_safe_split: leak count broadcasts; no sort-merge on the doc join") {
+    val plan = planOf("leakage_safe_split")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "cluster map / leak scalar must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "the single-row leak frame must broadcast-cross, never cartesian")
+  }
+
   test("quality_quantiles: weighted percentile over a histogram, never raw value lists") {
     // plain percentile() buffers every group member; the histogram
     // pre-aggregation partial-aggregates map-side and bounds the buffer at
