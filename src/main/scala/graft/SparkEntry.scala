@@ -1515,6 +1515,18 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // VOCABULARY COVERAGE (TextAnalysis.vocabCoverage): per-doc OOV rate
+    // against the corpus top-2000 vocabulary — the tokenizer-coverage
+    // audit. Vocab = count-desc/term-asc top-N (deterministic at the
+    // cut), broadcast into the token stream; integer permille output.
+    // Oracle re-derives the vocabulary and the left-join count in SQL.
+    "vocab_oov" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir),
+          col("doc_id"), col("text"), vocabSize = 2000)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------------------------
     // NEAR-DUP CANONICAL SELECTION — the step after clustering: keep the
     // BEST-QUALITY member of every near-dup cluster (not the min-id, which
     // corpus_curation uses for exact dups). Clusters come from the
@@ -4770,6 +4782,28 @@ object SparkEntry {
         |        / 1000000000 / COUNT(*), 6) AS avg_nll
         |FROM t JOIN m USING (term)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "vocab_oov" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(regexp_extract_all(norm, '\S+')) AS term FROM d),
+        |v AS (SELECT term FROM (
+        |  SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1
+        |  ORDER BY cnt DESC, term LIMIT 2000)),
+        |agg AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM t LEFT JOIN v USING (term) GROUP BY t.doc_id)
+        |SELECT d0.doc_id, CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(agg.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(CASE WHEN COALESCE(agg.n_tokens, 0) = 0 THEN 0
+        |       ELSE (COALESCE(agg.n_oov, 0) * 1000) // agg.n_tokens END AS BIGINT)
+        |    AS oov_permille
+        |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "quality_repetition" ->
       """WITH d AS (

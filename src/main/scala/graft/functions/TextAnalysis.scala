@@ -206,6 +206,41 @@ object TextAnalysis {
   def terms(text: Column): Column =
     array_remove(split(normalizeText(text), " ", -1), "")
 
+  /** VOCABULARY COVERAGE / OOV-RATE AUDIT — how well a fixed top-N
+    * vocabulary covers each document: `(n_tokens, n_oov, oov_permille)`
+    * per doc. The tokenizer-coverage check a corpus runs before training
+    * (a high OOV tail flags encoding damage, boilerplate languages the
+    * vocab missed, or gibberish the quality filters should have caught).
+    *
+    * Shape at scale: the vocabulary is `count DESC, term ASC` top-N —
+    * a partial-aggregated term rollup into TakeOrderedAndProject (ties at
+    * the cut break deterministically on the term, so the same vocab comes
+    * out on any engine or partitioning); it then BROADCASTS into the
+    * token stream (a vocab is ≤ a few hundred thousand rows — never worth
+    * a shuffle of the corpus), and the per-doc rollup partial-aggregates
+    * map-side into the one `doc_id` exchange. `oov_permille` is exact
+    * integer division — no float crosses a gate.
+    */
+  def vocabCoverage(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    // explode_outer: empty documents keep a null-term row so they emit
+    // (n_tokens = 0, n_oov = 0) instead of vanishing
+    val tok = docs.select(id.as("doc_id"), explode_outer(terms(text)).as("term"))
+    val vocab = tok.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("term")).as("n_tokens"),
+        sum(when(col("term").isNotNull && col("__in").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(n_oov * 1000) div n_tokens")))
+  }
+
   /** TF-IDF TOP-K TERMS per document — the classic corpus-characterization
     * query (keyword extraction, topic labeling at ingest time).
     *

@@ -498,4 +498,19 @@ class TextSignalsSpec extends AnyFunSuite {
       assert(r(i).getAs[Double]("score") == 0.0 && !r(i).getAs[Boolean]("keep"))
     }
   }
+
+  test("vocabCoverage: top-N cut is deterministic; OOV counted; empty doc survives") {
+    // corpus counts: aa=3, bb=2, cc=1, dd=1 — vocabSize=3 cuts at count 1
+    // where cc beats dd on the term tiebreak; dd is the one OOV token.
+    val docs = Seq(
+      (1L, "aa bb aa"), (2L, "aa bb cc"), (3L, "dd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("n_oov"), x.getAs[Long]("oov_permille")))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 0L, 0L), (2L, 3L, 0L, 0L),
+      (3L, 1L, 1L, 1000L), (4L, 0L, 0L, 0L)), r.toSeq)
+  }
 }
