@@ -1150,6 +1150,22 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // IVF-PQ (Similarity.ivfPqTopK — IVFADC): the billion-scale ANN
+    // composition. Coarse probes restrict each query to nProbe inverted
+    // lists; the PQ ADC table scores ONLY those candidates — neither
+    // stage touches the |Q|x|C| pair space. Fixture-gated like the other
+    // approximate ANN variants (bit-stable: integer-quantized ADC sums,
+    // deterministic seeds/ties on both quantizer tiers).
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqTopK(queries, emb, 5,
+          nCentroids = 16, nProbe = 4, coarseIters = 1,
+          m = 8, ksub = 16, pqIters = 1)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.J custom keyed state — flatMapGroupsWithState running anomalies
     // (per-user running mean, flag when value > 3x it), batch form of the
     // identical streaming operator (StreamingSpec proves batch ≡ stream).
@@ -3466,6 +3482,7 @@ object SparkEntry {
     fixture("ann_lsh_topk", "q_id, rank"),
     fixture("ann_ivf_topk", "q_id, rank"),
     fixture("ann_pq_topk", "q_id, rank"),
+    fixture("ann_ivfpq_topk", "q_id, rank"),
 
     "neardup_clusters" ->
       s"""WITH RECURSIVE e AS (

@@ -154,12 +154,27 @@ object Similarity {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
       .persistTracked()
+    val centroids = trainCoarseCentroids(c, nCentroids, lloydIters)
+    val inverted = assignNearest(c, centroids)
+      .persistTracked()
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val probes = probeCentroids(q, centroids, nProbe)
+    val scored = probes.join(inverted, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+  }
+
+  /** Coarse-quantizer Lloyd training, shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]. Seeds from the nCentroids SMALLEST matching ids:
+    * orderBy+limit compiles to TakeOrdered, which is deterministic under
+    * any partitioning — a bare limit() takes whichever partitions answer
+    * first, so the seed set (and every downstream centroid) could differ
+    * across environments. */
+  private def trainCoarseCentroids(c: DataFrame, nCentroids: Int,
+      lloydIters: Int): DataFrame = {
     val n = c.count()
     val stride = math.max(1L, n / nCentroids)
-    // seed from the nCentroids SMALLEST matching ids: orderBy+limit compiles
-    // to TakeOrdered, which is deterministic under any partitioning — a bare
-    // limit() takes whichever partitions answer first, so the seed set (and
-    // every downstream centroid) could differ across environments
     var centroids = c.filter(col("c_id") % stride === 0)
       .orderBy(col("c_id")).limit(nCentroids)
       .select((col("c_id") / stride).cast("int").as("cent_id"), col("cv").as("centroid"))
@@ -181,22 +196,20 @@ object Similarity {
         .select(col("cent_id"), col("dims.m").as("centroid"))
         .localCheckpoint()
     }
-    val inverted = assignNearest(c, centroids)
-      .persistTracked()
-    // query side: nProbe nearest centroids each. A window is fine HERE:
-    // the scored set is |Q|·nCentroids with nCentroids a small constant,
-    // unlike the corpus-sized ranking below which uses TopK.rankTopK.
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    centroids
+  }
+
+  /** Per-query nProbe nearest coarse centroids. A window is fine HERE:
+    * the scored set is |Q|·nCentroids with nCentroids a small constant,
+    * unlike corpus-sized rankings which use TopK.rankTopK. */
+  private def probeCentroids(q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("cent_id").asc)
-    val probes = q.join(broadcast(centroids), lit(true))
+    q.join(broadcast(centroids), lit(true))
       .withColumn("dist", lit(1.0) - cosineFast(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("qv"), col("cent_id"))
-    val scored = probes.join(inverted, Seq("cent_id"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 
   /** Nearest-centroid assignment (centroids broadcast). A min-over-struct
@@ -358,16 +371,39 @@ object Similarity {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("c_id"),
       col("embedding").cast("array<double>").as("cv")).persistTracked()
-    def dsubOf(v: Column) = floor(size(v) / m).cast("int")
+    val csub = pqSubVectors(c, m).persistTracked()
+    val codebook = trainPqCodebook(c, csub, ksub, lloydIters)
+    val codes = assignNearestSub(csub, codebook)
+      .select(col("c_id"), col("sub"), col("code")).persistTracked()
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val dt = pqAdcTable(q, codebook, m)
+    val scored = codes
+      .join(broadcast(dt), col("sub") === col("dt_sub") && col("code") === col("dt_cent"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"),
+        first(col("qnorm")).as("qnorm"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), pqCos)
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+  }
+
+  private def pqDsubOf(v: Column, m: Int) = floor(size(v) / m).cast("int")
+
+  /** Per-subspace rows `(c_id, sub, sv)` of the corpus. */
+  private def pqSubVectors(c: DataFrame, m: Int): DataFrame = {
     def subRows(v: Column) = explode(transform(sequence(lit(0), lit(m - 1)),
       j => struct(j.as("sub"),
-        slice(v, j * dsubOf(v) + 1, dsubOf(v)).as("sv"))))
-    val csub = c.select(col("c_id"), subRows(col("cv")).as("s"))
+        slice(v, j * pqDsubOf(v, m) + 1, pqDsubOf(v, m)).as("sv"))))
+    c.select(col("c_id"), subRows(col("cv")).as("s"))
       .select(col("c_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
-      .persistTracked()
-    // Seed every subspace from the ksub smallest ids (TakeOrdered — the
-    // deterministic-seed rationale of ivfTopK). The k-row window is
-    // bounded by ksub.
+  }
+
+  /** Per-subspace ksub-centroid codebook via Lloyd iterations. Seeds every
+    * subspace from the ksub smallest ids (TakeOrdered — the deterministic-
+    * seed rationale of ivfTopK). The k-row window is bounded by ksub. */
+  private def trainPqCodebook(c: DataFrame, csub: DataFrame, ksub: Int,
+      lloydIters: Int): DataFrame = {
     val seeds = c.select(col("c_id")).orderBy(col("c_id")).limit(ksub)
       .withColumn("cent",
         row_number().over(Window.orderBy(col("c_id"))).cast("int") - 1)
@@ -385,32 +421,80 @@ object Similarity {
         .select(col("sub"), col("cent"), col("dims.mn").as("centroid"))
         .localCheckpoint(false)
     }
-    val codes = assignNearestSub(csub, codebook)
-      .select(col("c_id"), col("sub"), col("code")).persistTracked()
-    // Per-query ADC table: inner products + centroid norm² per (sub, cent),
-    // quantized to integer nano-units (exact, associative per-pair sums).
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qv"))
-    // qnorm rides the broadcast table (constant per q_id, first() in the
-    // pair aggregation) — a separate qnorm frame would cost one more
-    // broadcast join.
-    val dt = q.join(broadcast(codebook), lit(true))
+    codebook
+  }
+
+  /** Per-query ADC table: inner products + centroid norm² per (sub, cent),
+    * quantized to integer nano-units (exact, associative per-pair sums).
+    * qnorm rides the broadcast table (constant per q_id, first() in the
+    * pair aggregation) — a separate qnorm frame would cost one more
+    * broadcast join. */
+  private def pqAdcTable(q: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    q.join(broadcast(codebook), lit(true))
       .select(col("q_id"), sqrt(dotp(col("qv"), col("qv"))).as("qnorm"),
         col("sub").as("dt_sub"), col("cent").as("dt_cent"),
-        round(dotp(slice(col("qv"), col("sub") * dsubOf(col("qv")) + 1,
-          dsubOf(col("qv"))), col("centroid")) * 1e9).cast("long").as("ip_e9"),
+        round(dotp(slice(col("qv"), col("sub") * pqDsubOf(col("qv"), m) + 1,
+          pqDsubOf(col("qv"), m)), col("centroid")) * 1e9).cast("long").as("ip_e9"),
         round(dotp(col("centroid"), col("centroid")) * 1e9).cast("long").as("cn2_e9"))
-    val scored = codes
-      .join(broadcast(dt), col("sub") === col("dt_sub") && col("code") === col("dt_cent"))
+
+  /** ADC cosine from the exact integer partial sums (shared final step of
+    * [[pqTopK]] and [[ivfPqTopK]]). */
+  private def pqCos: Column =
+    when(col("cn2_sum") > 0 && col("qnorm") > 0,
+      (col("ip_sum").cast("double") / 1e9)
+        / (col("qnorm") * sqrt(col("cn2_sum").cast("double") / 1e9)))
+      .otherwise(lit(0.0)).as("cos")
+
+  /** IVF-PQ (IVFADC — Jégou, Douze & Schmid, TPAMI 2011 §IV): the
+    * billion-scale composition. The coarse quantizer restricts each query
+    * to its nProbe inverted lists; the PQ code table scores ONLY those
+    * candidates through the broadcast ADC table. Neither stage touches
+    * the full |Q|×|C| pair space: candidates are `|Q| · nProbe/nCentroids`
+    * of the corpus on average, and each candidate costs m integer table
+    * lookups instead of a d-dimensional float dot product.
+    *
+    * This variant codes RAW vectors (not residuals v − centroid): the
+    * codebook is shared with [[pqTopK]] so the two paths stay directly
+    * comparable, and the gate's recall-vs-exact contract is the committed
+    * fixture. Scale shape: coarse training/assignment scans the corpus
+    * O(lloydIters) times with broadcast centroids; candidate generation is
+    * one equi-join on `cent_id`; scoring joins codes to the broadcast ADC
+    * table and partial-aggregates exactly m rows per surviving pair;
+    * ranking is the k-bounded [[TopK.rankTopK]] aggregation. The corpus
+    * never shuffles — only (q, candidate) partials cross an exchange.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, coarseIters: Int = 2,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv")).persistTracked()
+    // coarse stage: inverted lists + per-query probes
+    val centroids = trainCoarseCentroids(c, nCentroids, coarseIters)
+    val inverted = assignNearest(c, centroids)
+      .select(col("cent_id"), col("c_id")).persistTracked()
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val candidates = probeCentroids(q, centroids, nProbe)
+      .join(inverted, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"))
+    // PQ stage: codes for the full corpus, ADC scoring on candidates only
+    val csub = pqSubVectors(c, m).persistTracked()
+    val codebook = trainPqCodebook(c, csub, ksub, pqIters)
+    val codes = assignNearestSub(csub, codebook)
+      .select(col("c_id"), col("sub"), col("code")).persistTracked()
+    val dt = pqAdcTable(q, codebook, m)
+      .withColumnRenamed("q_id", "dt_qid")
+    val scored = candidates
+      .join(codes, Seq("c_id"))
+      .join(broadcast(dt),
+        col("q_id") === col("dt_qid") && col("sub") === col("dt_sub")
+          && col("code") === col("dt_cent"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"),
         first(col("qnorm")).as("qnorm"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        when(col("cn2_sum") > 0 && col("qnorm") > 0,
-          (col("ip_sum").cast("double") / 1e9)
-            / (col("qnorm") * sqrt(col("cn2_sum").cast("double") / 1e9)))
-          .otherwise(lit(0.0)).as("cos"))
+      .select(col("q_id"), col("c_id"), pqCos)
     TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 

@@ -31,7 +31,8 @@ object FixtureGen {
     "m3_pipeline_stats", "d11_butterworth", "e13_bf_score",
     "g2_dense_segment", "mm_media_features", "m5_dense_kernels",
     "minhash_lsh_pairs", "simhash_pairs", "embedding_neardups",
-    "i1_distinct_counts", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk")
+    "i1_distinct_counts", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -58,6 +58,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pq.contains("ObjectHashAggregate"), "pq lost the k-bounded aggregation")
     assert(!pq.contains("CartesianProduct"),
       "pq scoring must equi-join codes to the broadcast table, never cross")
+    // ivfpq composes both tiers: probe + seed windows only (each constant-
+    // bounded), candidate generation and ADC scoring must stay equi-joins.
+    val ivfpq = planOf("ann_ivfpq_topk")
+    assert("\\bWindow\\b".r.findAllIn(ivfpq).length <= 3, "ivfpq grew a ranking window")
+    assert(ivfpq.contains("ObjectHashAggregate"), "ivfpq lost the k-bounded aggregation")
+    assert(!ivfpq.contains("CartesianProduct"),
+      "ivfpq must equi-join candidates to codes and the broadcast ADC table")
   }
 
   test("ann_cosine_topk_native: ranks through the custom plan-node pair, not a window") {

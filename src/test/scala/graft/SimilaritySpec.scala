@@ -134,6 +134,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq == brute, s"degenerate PQ diverged: ${pq.diff(brute)} vs ${brute.diff(pq)}")
   }
 
+  test("ivfPqTopK: probe-all + degenerate PQ ≡ brute-force ranking") {
+    // nProbe = nCentroids (no list pruned) and own-centroid PQ (codes
+    // reconstruct exactly): the IVFADC composition must collapse to the
+    // brute-force cosine ranking id-for-id — any divergence is a bug in
+    // the candidate join or the ADC restriction, not approximation.
+    val vecs = (0L until 12L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 7 + d * 3) % 13).toFloat - 6.0f) / 6.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, k = 3,
+        nCentroids = 4, nProbe = 4, coarseIters = 1,
+        m = 4, ksub = 12, pqIters = 0)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.cosineTopK(queries, emb, k = 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfpq == brute,
+      s"probe-all IVFADC diverged: ${ivfpq.diff(brute)} vs ${brute.diff(ivfpq)}")
+  }
+
   test("pqTopK: output is partitioning-invariant (trained codebook and all)") {
     val vecs = (0L until 30L).map { i =>
       (i, Seq.tabulate(8)(d => (((i * 11 + d * 5) % 17).toFloat - 8.0f) / 8.0f))
