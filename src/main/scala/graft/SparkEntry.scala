@@ -1166,6 +1166,34 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // ANN RECALL REPORT — the evaluation harness over the approximate
+    // tiers: recall@5 of each committed ANN ranking (LSH / IVF / PQ /
+    // IVF-PQ fixtures) against the EXACT brute-force ranking recomputed
+    // live. "Measure, don't guess": every approximate path carries its
+    // measured recall as a first-class relational result. The fixtures
+    // are sf0.01-pinned (like the rest of the fixture family), so the
+    // sf0.01 gate is the meaningful read; the oracle recomputes the exact
+    // ranking in SQL and replays the same join. One broadcast-sized union
+    // of fixture rankings left-joins the exact pair set — integers only.
+    "ann_recall_report" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineTopK(queries, emb, 5)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk")
+        .map { name =>
+          s.read.parquet(s"$fixturesDir/$name.parquet")
+            .select(lit(name).as("method"), col("q_id"), col("c_id"))
+        }.reduce(_.unionByName(_))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_ranked"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr("(n_hits * 1000) div n_ranked"))
+        .orderBy(col("method"))
+    }),
+
+    // ---------------------------------------------------------------
     // §2.J custom keyed state — flatMapGroupsWithState running anomalies
     // (per-user running mean, flag when value > 3x it), batch form of the
     // identical streaming operator (StreamingSpec proves batch ≡ stream).
@@ -4069,6 +4097,39 @@ object SparkEntry {
         |FROM scored
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_recall_report" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+        |exact AS (
+        |  SELECT q_id, c_id FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5),
+        |approx AS (
+        |  SELECT 'ann_lsh_topk' AS method, q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_lsh_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivf_topk', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivf_topk.parquet')
+        |  UNION ALL SELECT 'ann_pq_topk', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_pq_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_topk', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet'))
+        |SELECT method, COUNT(*) AS n_ranked,
+        |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+        |       // COUNT(*) AS BIGINT) AS recall_permille
+        |FROM approx a LEFT JOIN exact e USING (q_id, c_id)
+        |GROUP BY method ORDER BY method""".stripMargin,
 
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
