@@ -446,20 +446,29 @@ object Similarity {
       .otherwise(lit(0.0)).as("cos")
 
   /** IVF-PQ (IVFADC — Jégou, Douze & Schmid, TPAMI 2011 §IV): the
-    * billion-scale composition. The coarse quantizer restricts each query
-    * to its nProbe inverted lists; the PQ code table scores ONLY those
-    * candidates through the broadcast ADC table. Neither stage touches
-    * the full |Q|×|C| pair space: candidates are `|Q| · nProbe/nCentroids`
-    * of the corpus on average, and each candidate costs m integer table
-    * lookups instead of a d-dimensional float dot product.
+    * billion-scale composition, with RESIDUAL coding as the paper
+    * specifies. The coarse quantizer restricts each query to its nProbe
+    * inverted lists, and PQ codes the residual `r = v − centroid(v)` —
+    * residuals concentrate around the origin, so the same ksub codebook
+    * budget quantizes far more finely than coding raw vectors (the
+    * recall gain is measured by `ann_recall_report`). Neither stage
+    * touches the full |Q|×|C| pair space: candidates are
+    * `|Q| · nProbe/nCentroids` of the corpus on average, and each costs m
+    * integer table lookups instead of a d-dimensional float dot product.
     *
-    * This variant codes RAW vectors (not residuals v − centroid): the
-    * codebook is shared with [[pqTopK]] so the two paths stay directly
-    * comparable, and the gate's recall-vs-exact contract is the committed
-    * fixture. Scale shape: coarse training/assignment scans the corpus
-    * O(lloydIters) times with broadcast centroids; candidate generation is
-    * one equi-join on `cent_id`; scoring joins codes to the broadcast ADC
-    * table and partial-aggregates exactly m rows per surviving pair;
+    * Scoring decomposes exactly (c = u + r with u the coarse centroid,
+    * r the codeword reconstruction):
+    *   dot(q, c)  = dot(q, u) + Σ_sub dot(q_sub, r_sub)
+    *   ‖c‖²       = ‖u‖² + 2·Σ_sub dot(u_sub, r_sub) + Σ_sub ‖r_sub‖²
+    * so the per-query table carries dot(q_sub, codeword) per (sub, code),
+    * the probe frame carries dot(q, u) and ‖u‖² per (q, cent), and a
+    * QUERY-INDEPENDENT table carries the centroid-codeword cross terms
+    * per (cent, sub, code) — all broadcast-sized, every term quantized to
+    * integer nano-units so the partial sums are exact whatever the merge
+    * order. Scale shape: coarse training/assignment scans the corpus
+    * O(iters) times with broadcast centroids; candidate generation is one
+    * equi-join on `cent_id`; scoring joins codes to the two broadcast
+    * tables and partial-aggregates exactly m rows per surviving pair;
     * ranking is the k-bounded [[TopK.rankTopK]] aggregation. The corpus
     * never shuffles — only (q, candidate) partials cross an exchange.
     */
@@ -471,30 +480,69 @@ object Similarity {
       col("embedding").cast("array<double>").as("cv")).persistTracked()
     // coarse stage: inverted lists + per-query probes
     val centroids = trainCoarseCentroids(c, nCentroids, coarseIters)
-    val inverted = assignNearest(c, centroids)
-      .select(col("cent_id"), col("c_id")).persistTracked()
+    val assigned = assignNearest(c, centroids).persistTracked()
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    val candidates = probeCentroids(q, centroids, nProbe)
-      .join(inverted, Seq("cent_id"))
+    // probe frame: per (q, probed cent) — dot(q, u), ‖u‖², ‖q‖ ride along
+    val probes = probeCentroids(q, centroids, nProbe)
+      .join(broadcast(centroids), Seq("cent_id"))
+      .select(col("q_id"), col("cent_id"),
+        sqrt(dotp(col("qv"), col("qv"))).as("qnorm"),
+        round(dotp(col("qv"), col("centroid")) * 1e9).cast("long").as("qu_e9"),
+        round(dotp(col("centroid"), col("centroid")) * 1e9).cast("long").as("un2_e9"),
+        col("qv"))
+      .persistTracked()
+    val candidates = probes.select(col("q_id"), col("cent_id"),
+        col("qnorm"), col("qu_e9"), col("un2_e9"))
+      .join(assigned.select(col("cent_id"), col("c_id")), Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"))
-    // PQ stage: codes for the full corpus, ADC scoring on candidates only
-    val csub = pqSubVectors(c, m).persistTracked()
+    // PQ stage on RESIDUALS: rv = cv − centroid(cent_id)
+    val resid = assigned.join(broadcast(centroids), Seq("cent_id"))
+      .select(col("c_id"),
+        zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
+    val csub = pqSubVectors(resid, m).persistTracked()
     val codebook = trainPqCodebook(c, csub, ksub, pqIters)
     val codes = assignNearestSub(csub, codebook)
       .select(col("c_id"), col("sub"), col("code")).persistTracked()
-    val dt = pqAdcTable(q, codebook, m)
-      .withColumnRenamed("q_id", "dt_qid")
+    // per-query table: dot(q_sub, codeword) per (sub, code)
+    val qt = q.join(broadcast(codebook), lit(true))
+      .select(col("q_id").as("qt_qid"), col("sub").as("qt_sub"),
+        col("cent").as("qt_cent"),
+        round(dotp(slice(col("qv"), col("sub") * pqDsubOf(col("qv"), m) + 1,
+          pqDsubOf(col("qv"), m)), col("centroid")) * 1e9).cast("long").as("qr_e9"))
+    // query-independent cross-term table: 2·dot(u_sub, codeword) + ‖codeword‖²
+    // per (coarse cent, sub, code)
+    val ut = centroids.join(broadcast(codebook.withColumnRenamed("centroid", "codeword")),
+        lit(true))
+      .select(col("cent_id").as("ut_cent_id"), col("sub").as("ut_sub"),
+        col("cent").as("ut_cent"),
+        (round(dotp(slice(col("centroid"), col("sub") * pqDsubOf(col("centroid"), m) + 1,
+          pqDsubOf(col("centroid"), m)), col("codeword")) * 1e9).cast("long") * 2
+          + round(dotp(col("codeword"), col("codeword")) * 1e9).cast("long"))
+          .as("ur2rn2_e9"))
     val scored = candidates
       .join(codes, Seq("c_id"))
-      .join(broadcast(dt),
-        col("q_id") === col("dt_qid") && col("sub") === col("dt_sub")
-          && col("code") === col("dt_cent"))
+      .join(broadcast(qt),
+        col("q_id") === col("qt_qid") && col("sub") === col("qt_sub")
+          && col("code") === col("qt_cent"))
+      .join(broadcast(ut),
+        col("cent_id") === col("ut_cent_id") && col("sub") === col("ut_sub")
+          && col("code") === col("ut_cent"))
       .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"),
-        first(col("qnorm")).as("qnorm"))
-      .select(col("q_id"), col("c_id"), pqCos)
+      .agg(sum(col("qr_e9")).as("qr_sum"), sum(col("ur2rn2_e9")).as("x_sum"),
+        first(col("qnorm")).as("qnorm"), first(col("qu_e9")).as("qu_e9"),
+        first(col("un2_e9")).as("un2_e9"))
+      .select(col("q_id"), col("c_id"),
+        // rank at the OUTPUT's 6-dp granularity: the u/r decomposition
+        // rounds each term to nano-units independently, so two corpus
+        // vectors whose true cosines tie exactly can differ by ~1e-8 here
+        // — ranking the rounded value keeps exact ties breaking on c_id,
+        // matching the brute-force tie contract
+        round(when(col("un2_e9") + col("x_sum") > 0 && col("qnorm") > 0,
+          ((col("qu_e9") + col("qr_sum")).cast("double") / 1e9)
+            / (col("qnorm")
+               * sqrt((col("un2_e9") + col("x_sum")).cast("double") / 1e9)))
+          .otherwise(lit(0.0)), 6).as("cos"))
     TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
   }
 
