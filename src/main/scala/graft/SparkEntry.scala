@@ -1161,7 +1161,7 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.ivfPqTopK(queries, emb, 5,
           nCentroids = 16, nProbe = 4, coarseIters = 1,
-          m = 16, ksub = 32, pqIters = 2)
+          m = 16, ksub = 32, pqIters = 1)
         .orderBy(col("q_id"), col("rank"))
     }),
 
