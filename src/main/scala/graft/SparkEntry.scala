@@ -1166,6 +1166,20 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // IVF-PQ + EXACT RE-RANK (Similarity.ivfPqRerankTopK): the standard
+    // production two-stage retrieval — the compressed index shortlists
+    // rerank=20 deep, then only those pairs score with the exact cosine.
+    // Recall approaches the coarse-probe ceiling (see ann_recall_report).
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqRerankTopK(queries, emb, 5, rerank = 20,
+          nCentroids = 16, nProbe = 4, coarseIters = 1,
+          m = 16, ksub = 32, pqIters = 1)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // ANN RECALL REPORT — the evaluation harness over the approximate
     // tiers: recall@5 of each committed ANN ranking (LSH / IVF / PQ /
     // IVF-PQ fixtures) against the EXACT brute-force ranking recomputed
@@ -1180,7 +1194,8 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 50 === 0)
       val exact = Similarity.cosineTopK(queries, emb, 5)
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk")
+      Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+          "ann_ivfpq_rerank")
         .map { name =>
           s.read.parquet(s"$fixturesDir/$name.parquet")
             .select(lit(name).as("method"), col("q_id"), col("c_id"))
@@ -3511,6 +3526,7 @@ object SparkEntry {
     fixture("ann_ivf_topk", "q_id, rank"),
     fixture("ann_pq_topk", "q_id, rank"),
     fixture("ann_ivfpq_topk", "q_id, rank"),
+    fixture("ann_ivfpq_rerank", "q_id, rank"),
 
     "neardup_clusters" ->
       s"""WITH RECURSIVE e AS (
@@ -4123,7 +4139,9 @@ object SparkEntry {
         |  UNION ALL SELECT 'ann_pq_topk', q_id, c_id
         |    FROM read_parquet('$fixturesDir/ann_pq_topk.parquet')
         |  UNION ALL SELECT 'ann_ivfpq_topk', q_id, c_id
-        |    FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet'))
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_rerank', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank.parquet'))
         |SELECT method, COUNT(*) AS n_ranked,
         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)

@@ -116,6 +116,34 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF-PQ with EXACT RE-RANKING — the standard production two-stage
+    * retrieval: the compressed ADC index produces a `rerank`-deep
+    * shortlist cheaply (no raw vectors touched), then ONLY those
+    * |Q|·rerank pairs are scored with the exact cosine and the final
+    * top-k re-ranks on true similarity. The raw corpus is read once,
+    * unshuffled, in the second stage — the broadcast-sized shortlist
+    * probes it — so the expensive exactness is paid on a candidate set
+    * thousands of times smaller than the corpus. Recall approaches the
+    * coarse-probe ceiling (`ann_recall_report` measures both stages).
+    */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      coarseIters: Int = 2, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 2): DataFrame = {
+    require(rerank >= k, "the shortlist must be at least k deep")
+    val shortlist = ivfPqTopK(queries, corpus, rerank, nCentroids, nProbe,
+        coarseIters, m, ksub, pqIters)
+      .select(col("q_id"), col("c_id"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = broadcast(shortlist.join(broadcast(q), Seq("q_id")))
+      .join(c, Seq("c_id"))
+      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+  }
+
   /** Random-hyperplane sign bucket: plane p's normal component for
     * dimension d is a deterministic pseudo-random ±value derived from
     * murmur3(d, p) — reproducible across runs with zero model state.

@@ -156,6 +156,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"probe-all IVFADC diverged: ${ivfpq.diff(brute)} vs ${brute.diff(ivfpq)}")
   }
 
+  test("ivfPqRerankTopK: full-depth shortlist ≡ brute force even with a COARSE codebook") {
+    // probe-all + rerank >= |corpus|: every candidate reaches the exact
+    // re-rank stage, so the output must equal brute force no matter how
+    // lossy the PQ shortlist scoring was (ksub=2 — maximally coarse).
+    val vecs = (0L until 12L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 7 + d * 3) % 13).toFloat - 6.0f) / 6.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+    val reranked = Similarity.ivfPqRerankTopK(queries, emb, k = 3, rerank = 12,
+        nCentroids = 4, nProbe = 4, coarseIters = 1, m = 4, ksub = 2, pqIters = 1)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.cosineTopK(queries, emb, k = 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reranked == brute,
+      s"exact re-rank diverged: ${reranked.diff(brute)} vs ${brute.diff(reranked)}")
+  }
+
   test("pqTopK: output is partitioning-invariant (trained codebook and all)") {
     val vecs = (0L until 30L).map { i =>
       (i, Seq.tabulate(8)(d => (((i * 11 + d * 5) % 17).toFloat - 8.0f) / 8.0f))
