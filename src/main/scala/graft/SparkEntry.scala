@@ -807,6 +807,28 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // SOURCE-OVERLAP DUP MATRIX — which sources near-duplicate each
+    // other: the diagnostics behind source pruning and mixture design
+    // (two sources sharing many near-dup pairs carry redundant material;
+    // a source heavy in SELF-pairs needs internal dedup first). Pairs
+    // from the committed fixture join the doc→source map on both ends;
+    // the (source, source) key is canonicalized least/greatest so the
+    // matrix is upper-triangular whatever order the pair was emitted in.
+    // Integers only; two equi-joins + one small keyed aggregate.
+    "source_dup_matrix" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$fixturesDir/minhash_lsh_pairs.parquet")
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), Seq("id1"))
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), Seq("id2"))
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // ---------------------------------------------------------------
     // TRIANGLE COUNTS over the near-dup pair graph (Dedup.triangleCounts,
     // degree-ordered orientation — O(m^1.5), hot-vertex-proof): local
     // clustering density per doc. Over the committed pair fixture so the
@@ -3539,6 +3561,19 @@ object SparkEntry {
         |  FROM reach JOIN e ON e.id1 = reach.r OR e.id2 = reach.r)
         |SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "source_dup_matrix" ->
+      s"""WITH p AS (
+        |  SELECT id1, id2 FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')),
+        |j AS (
+        |  SELECT LEAST(d1.source, d2.source) AS source_a,
+        |         GREATEST(d1.source, d2.source) AS source_b
+        |  FROM p
+        |  JOIN documents d1 ON d1.doc_id = p.id1
+        |  JOIN documents d2 ON d2.doc_id = p.id2)
+        |SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+        |FROM j GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "neardup_clusters_star" ->
       s"""WITH RECURSIVE e AS (
