@@ -25,10 +25,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: the full 188-query bench spends ~12% of wall time in GC at 8g
+// (measured 131s -> 116s at 24g), but 24g unconditionally would fail to
+// start on small dev/CI machines — so default 24g only when the host
+// physically has >=64g, 8g otherwise, SPARK_DRIVER_MEM overrides both.
+val defaultDriverMem: String = {
+  val physGb =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize >> 30
+    catch { case _: Throwable => 0L }
+  if (physGb >= 64) "24g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the full 181-query bench spends ~12% of wall time in GC
-  // at 8g (measured 131s -> 116s); the box has 125g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )

@@ -1211,11 +1211,16 @@ object SparkEntry {
     // sf0.01 gate is the meaningful read; the oracle recomputes the exact
     // ranking in SQL and replays the same join. One broadcast-sized union
     // of fixture rankings left-joins the exact pair set — integers only.
+    // recall_permille divides by the FULL k·|Q| opportunity set (not by
+    // the rows a method happened to return): a tier whose thin buckets
+    // return fewer than k rows is penalized for the misses, so the column
+    // is true recall@5 — precision-of-retrieved would read higher.
     "ann_recall_report" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
       val exact = Similarity.cosineTopK(queries, emb, 5)
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val nq = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
       Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
           "ann_ivfpq_rerank")
         .map { name =>
@@ -1226,7 +1231,10 @@ object SparkEntry {
         .groupBy(col("method"))
         .agg(count(lit(1)).as("n_ranked"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .withColumn("recall_permille", expr("(n_hits * 1000) div n_ranked"))
+        .crossJoin(broadcast(nq))
+        .withColumn("recall_permille",
+          expr("(n_hits * 1000) div (5 * n_queries)"))
+        .drop("n_queries")
         .orderBy(col("method"))
     }),
 
@@ -2841,8 +2849,10 @@ object SparkEntry {
           Seq("id1"))
         .join(assigned.select(col("doc_id").as("id2"), col("split").as("s2")),
           Seq("id2"))
-        .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
-          .as("leaked_pairs"))
+        // coalesce: sum() over zero joined rows is NULL, while the oracle
+        // COALESCEs to 0 — an empty pair set must report 0 leaks, not NULL
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)),
+          lit(0L)).as("leaked_pairs"))
       assigned.groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("group_id")).as("n_groups"),
@@ -4180,7 +4190,7 @@ object SparkEntry {
         |SELECT method, COUNT(*) AS n_ranked,
         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
-        |       // COUNT(*) AS BIGINT) AS recall_permille
+        |       // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS recall_permille
         |FROM approx a LEFT JOIN exact e USING (q_id, c_id)
         |GROUP BY method ORDER BY method""".stripMargin,
 

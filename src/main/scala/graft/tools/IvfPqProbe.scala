@@ -16,12 +16,15 @@ object IvfPqProbe {
     for ((m, ksub, iters) <- Seq((16, 32, 2), (32, 32, 2), (32, 64, 2))) {
       val adc = graft.functions.Similarity.ivfPqTopK(queries, emb, 500,
         nCentroids = 16, nProbe = 4, coarseIters = 1, m = m, ksub = ksub, pqIters = iters)
-      val exact = graft.functions.Similarity.cosineTopK(queries, emb, 499)
+      val exact = graft.functions.Similarity.cosineTopK(queries, emb, 500)
         .select(col("q_id"), col("c_id"), col("cos").as("cos_true"))
       val err = adc.join(exact, Seq("q_id", "c_id"))
         .select(abs(col("cos") - col("cos_true")).as("e"))
         .agg(avg("e").as("avg_e"), max("e").as("max_e")).head()
-      println(f"PROBE m=$m ksub=$ksub iters=$iters avg_err=${err.getDouble(0)}%.4f max_err=${err.getDouble(1)}%.4f")
+      if (err.isNullAt(0))
+        println(s"PROBE m=$m ksub=$ksub iters=$iters no overlapping pairs")
+      else
+        println(f"PROBE m=$m ksub=$ksub iters=$iters avg_err=${err.getDouble(0)}%.4f max_err=${err.getDouble(1)}%.4f")
       graft.GraftCaches.unpersistAll()
     }
     spark.stop()

@@ -84,8 +84,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the label inequality must sit in the join condition (same-label
     // candidates dropped at the probe), not in a post-join Filter over
     // the scored pair set
-    assert("BroadcastNestedLoopJoin[^\\n]*NOT[^\\n]*label".r.findFirstIn(plan).isDefined
-        || "BroadcastNestedLoopJoin[^\\n]*label".r.findFirstIn(plan).isDefined,
+    assert("BroadcastNestedLoopJoin[^\\n]*label".r.findFirstIn(plan).isDefined,
       "label predicate must ride in the join condition")
   }
 
