@@ -654,13 +654,14 @@ object Dedup {
     * boilerplate).
     *
     * Shape at scale: document frequencies are one partial-aggregated
-    * count; the per-document sort+prefix is a window over `doc_id`
-    * (per-document width, bounded by document length); candidates are a
-    * self-equi-join on the prefix shingle; verification reuses
-    * [[verifyJaccard]]'s size-prefilter + intersect-join. Nothing is
-    * quadratic in corpus size — the dense all-pairs shape exists only in
-    * the GATE's oracle, which recomputes the same result by brute force to
-    * prove the pruning lossless.
+    * count; document sizes and the per-document sort+prefix share ONE
+    * `doc_id` exchange (two windows, per-document width bounded by
+    * document length); candidates are a self-equi-join on the prefix
+    * shingle with both sizes riding along, so verification is just the
+    * intersect-join + integer predicate — no second corpus-wide size
+    * frame. Nothing is quadratic in corpus size — the dense all-pairs
+    * shape exists only in the GATE's oracle, which recomputes the same
+    * result by brute force to prove the pruning lossless.
     *
     * Emits `(id1, id2, sz1, sz2, inter, jaccard_micro)` with the exact
     * integer micro-Jaccard `inter·1e6 div (sz1+sz2−inter)` — no float
@@ -685,14 +686,22 @@ object Dedup {
     def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val sh = docShingles(docs, id, text, shingleK)
       .persistTracked()
+    // Document frequency stays a partial-aggregated count (a window over
+    // `shingle` would put every holder of a boilerplate shingle in ONE
+    // window partition — the exact skew this operator is built to dodge).
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__df"), col("shingle"))
+    // Document size and prefix rank both come from the SAME doc_id
+    // exchange: count() and row_number() over doc_id-partitioned windows
+    // plan as two WindowExecs behind one shuffle+sort (a separate
+    // groupBy(doc_id) size frame plus its join back cost two more
+    // exchanges for the identical numbers). Window width = one document's
+    // shingle count — bounded by document length at any corpus size.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val w = wDoc.orderBy(col("__df"), col("shingle"))
     val ceilTn = idiv(lit(tMicro) * col("__sz") + lit(999999L), lit(1000000L))
     val prefixes = sh
       .join(df, Seq("shingle"))
-      .join(sizes, Seq("doc_id"))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
       .withColumn("__rn", row_number().over(w))
       // keep the n − ⌈t·n⌉ + 1 rarest shingles
       .filter(col("__rn") <= col("__sz") - ceilTn + 1)
@@ -700,19 +709,29 @@ object Dedup {
     // LENGTH FILTER inside the candidate join: J ≤ min/max, so a pair
     // whose sizes differ by more than t can never qualify — pruned here,
     // before the distinct and the (expensive) intersection join ever see
-    // it. Same integer form as the final predicate.
+    // it. Same integer form as the final predicate. Sizes ride along so
+    // verification never rebuilds a corpus-wide size frame (sz is
+    // functionally dependent on the id, so the distinct is unchanged).
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
           && col("a.__sz") * lit(1000000L) >= lit(tMicro) * col("b.__sz")
           && col("b.__sz") * lit(1000000L) >= lit(tMicro) * col("a.__sz"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.__sz").as("sz1"), col("b.__sz").as("sz2"))
       .distinct()
-    // size-ratio prefilter relaxed one micro-unit below t so a float
-    // rounding inside verifyJaccard can never drop an exact-boundary pair
-    // that the integer predicate below would keep
+    // Exact verification inline (the [[verifyJaccard]] shape minus its
+    // size joins — candidate rows already carry both sizes): intersection
+    // count per surviving pair, then the integer threshold predicate.
+    // Only candidates pay this cost; pairs sharing no shingle beyond the
+    // prefix still verify correctly via the left join's inter=0.
+    val inter = cand.select(col("id1"), col("id2"))
+      .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
     val union = col("sz1") + col("sz2") - col("inter")
-    verifyJaccard(cand, sh, minJaccard = (tMicro - 1) / 1e6 - 1e-9)
+    cand.join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter"))
       .filter(col("inter") * lit(1000000L) >= lit(tMicro) * union)
       .select(col("id1"), col("id2"), col("sz1"), col("sz2"), col("inter"),
         idiv(col("inter") * lit(1000000L), union).as("jaccard_micro"))
