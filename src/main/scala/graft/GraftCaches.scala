@@ -24,6 +24,11 @@ import org.apache.spark.storage.StorageLevel
   *   GraftCaches.unpersistAll()  // releases them; user caches untouched
   * }}}
   *
+  * Two tiers: WORKING caches (per-pipeline intermediates, released by
+  * [[unpersistAll]] after each query) and ARTIFACTS (built-once/queried-
+  * many structures like the ANN index, released only by
+  * [[releaseArtifacts]] — see that section).
+  *
   * References are STRONG deliberately: the internal frame object is
   * unreachable the moment the pipeline returns (only its plan survives
   * inside the returned frame), while Spark's CacheManager keeps the cached
@@ -37,6 +42,8 @@ import org.apache.spark.storage.StorageLevel
 object GraftCaches {
 
   private val frames = new ConcurrentLinkedQueue[DataFrame]()
+  private val artifacts = new ConcurrentLinkedQueue[DataFrame]()
+  private val artifactHooks = new ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist `df` at `level` (the library default MEMORY_AND_DISK — image
     * and shingle intermediates are bigger than memory at scale) and
@@ -66,6 +73,41 @@ object GraftCaches {
   /** Frames currently registered (persisted but not yet released) —
     * observability for tests and session debugging. */
   def registeredCount(): Int = frames.size()
+
+  // ------------------------------------------------------------ artifacts
+  /** ARTIFACT TIER: caches that deliberately OUTLIVE [[unpersistAll]] —
+    * built-once / queried-many structures (the IVF-PQ ANN index). A
+    * production pipeline builds an index in an offline job and serves
+    * many queries from it; per-query cleanup must not evict it, or every
+    * query silently pays a full re-train. Artifacts are released only by
+    * [[releaseArtifacts]] (long-lived sessions call it when the
+    * corpus/index generation rolls over; Bench/Verify call it at session
+    * end). */
+  def persistedArtifact(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    artifacts.add(df)
+    df
+  }
+
+  /** Register a hook run by [[releaseArtifacts]] BEFORE frames unpersist —
+    * builders use it to drop memo tables so no stale handle can serve a
+    * released artifact. */
+  def onArtifactRelease(hook: () => Unit): Unit = artifactHooks.add(hook)
+
+  /** Release the artifact tier: run registered hooks (memo invalidation),
+    * then unpersist every artifact frame. */
+  def releaseArtifacts(blocking: Boolean = false): Unit = {
+    artifactHooks.forEach(h => h())
+    var df = artifacts.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      df = artifacts.poll()
+    }
+  }
+
+  /** Artifact frames currently held — observability for tests. */
+  def artifactCount(): Int = artifacts.size()
 
   /** Postfix form for pipeline chains: `frame.persistTracked()` ==
     * `GraftCaches.persisted(frame)`. */
