@@ -1239,6 +1239,35 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // DEEPER PARAMETER POINT of the IVF ladder: nProbe=8 doubles the
+    // probed inverted lists (half the corpus at nCentroids=16), raising
+    // the coarse-quantization recall ceiling. Gated alongside the
+    // nProbe=4 point so ann_recall_report reads the ladder at TWO
+    // operating points — the recall/cost trade-off is measured, not
+    // asserted.
+    "ann_ivf_topk_p8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(queries, emb, 5, nCentroids = 16, nProbe = 8, lloydIters = 1)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF-PQ + exact re-rank at the deeper point (nProbe=8, rerank=50):
+    // with a 50-deep shortlist scored exactly, recall should MEET the
+    // nProbe=8 IVF ceiling — the quantization-independence guarantee
+    // SimilaritySpec pins, here measured at gate scale. Same build
+    // parameters as ann_ivfpq_topk → shares the one trained index
+    // through the memo; only the query-time probe/shortlist deepen.
+    "ann_ivfpq_rerank_p8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqRerankTopK(queries, emb, 5, rerank = 50,
+          nCentroids = 16, nProbe = 8, coarseIters = 1,
+          m = 16, ksub = 32, pqIters = 1)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // ANN RECALL REPORT — the evaluation harness over the approximate
     // tiers: recall@5 of each committed ANN ranking (LSH / IVF / PQ /
     // IVF-PQ fixtures) against the EXACT brute-force ranking recomputed
@@ -1259,7 +1288,7 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
       val nq = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
       Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-          "ann_ivfpq_rerank")
+          "ann_ivfpq_rerank", "ann_ivf_topk_p8", "ann_ivfpq_rerank_p8")
         .map { name =>
           s.read.parquet(s"$fixturesDir/$name.parquet")
             .select(lit(name).as("method"), col("q_id"), col("c_id"))
@@ -3596,6 +3625,8 @@ object SparkEntry {
     fixture("ann_pq_topk", "q_id, rank"),
     fixture("ann_ivfpq_topk", "q_id, rank"),
     fixture("ann_ivfpq_rerank", "q_id, rank"),
+    fixture("ann_ivf_topk_p8", "q_id, rank"),
+    fixture("ann_ivfpq_rerank_p8", "q_id, rank"),
 
     "neardup_clusters" ->
       s"""WITH RECURSIVE e AS (
@@ -4223,7 +4254,11 @@ object SparkEntry {
         |  UNION ALL SELECT 'ann_ivfpq_topk', q_id, c_id
         |    FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet')
         |  UNION ALL SELECT 'ann_ivfpq_rerank', q_id, c_id
-        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank.parquet'))
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank.parquet')
+        |  UNION ALL SELECT 'ann_ivf_topk_p8', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivf_topk_p8.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_rerank_p8', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank_p8.parquet'))
         |SELECT method, COUNT(*) AS n_ranked,
         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)

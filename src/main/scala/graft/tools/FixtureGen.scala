@@ -32,7 +32,8 @@ object FixtureGen {
     "g2_dense_segment", "mm_media_features", "m5_dense_kernels",
     "minhash_lsh_pairs", "simhash_pairs", "embedding_neardups",
     "i1_distinct_counts", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_ivfpq_rerank")
+    "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_topk_p8",
+    "ann_ivfpq_rerank_p8")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

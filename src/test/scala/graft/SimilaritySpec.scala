@@ -176,6 +176,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"exact re-rank diverged: ${reranked.diff(brute)} vs ${brute.diff(reranked)}")
   }
 
+  test("ivfPqRerankTopK at deep rerank ≡ ivfTopK at equal probes (quantization-independent ceiling)") {
+    // The recall ceiling of IVF-PQ+rerank is the coarse-probe ceiling:
+    // with the same coarse quantizer and nProbe, a shortlist deep enough
+    // to hold every probed candidate scored exactly must reproduce
+    // ivfTopK's ranking EXACTLY — however lossy the PQ codebook (ksub=2)
+    // that produced the shortlist order. This is the guarantee the gate's
+    // deeper parameter point (ann_ivfpq_rerank_p8: recall ≡ ann_ivf_topk_p8)
+    // measures at sf0.01.
+    val vecs = (0L until 24L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 5 + d * 7) % 19).toFloat - 9.0f) / 9.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val ivf = Similarity.ivfTopK(queries, emb, k = 3,
+        nCentroids = 3, nProbe = 2, lloydIters = 1)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reranked = Similarity.ivfPqRerankTopK(queries, emb, k = 3, rerank = 24,
+        nCentroids = 3, nProbe = 2, coarseIters = 1, m = 4, ksub = 2, pqIters = 1)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reranked == ivf,
+      s"deep rerank must meet the IVF ceiling: ${reranked.diff(ivf)} vs ${ivf.diff(reranked)}")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("pqTopK: output is partitioning-invariant (trained codebook and all)") {
     val vecs = (0L until 30L).map { i =>
       (i, Seq.tabulate(8)(d => (((i * 11 + d * 5) % 17).toFloat - 8.0f) / 8.0f))
