@@ -44,6 +44,42 @@ object GraftCaches {
   private val frames = new ConcurrentLinkedQueue[DataFrame]()
   private val artifacts = new ConcurrentLinkedQueue[DataFrame]()
   private val artifactHooks = new ConcurrentLinkedQueue[() => Unit]()
+  private val ckpts = new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private val artifactCkpts = new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private val artifactScope = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** Tracked `localCheckpoint`: checkpoint `df` and register the
+    * checkpointed RDD so its storage blocks release DETERMINISTICALLY
+    * with [[unpersistAll]] (or [[releaseArtifacts]] inside an
+    * [[inArtifactScope]] build). A bare `Dataset.localCheckpoint` frees
+    * its blocks only when the GC happens to collect the last plan
+    * reference and ContextCleaner notices — at 100 TB an index build's
+    * checkpoint is hundreds of GB of executor storage, and "whenever GC
+    * runs" is not a release policy. NOTE the checkpoint contract:
+    * lineage is truncated, so a released checkpoint frame cannot be
+    * re-materialized — release happens only at the documented
+    * end-of-query / end-of-index-life points, where nothing may read
+    * these frames again. */
+  def checkpointed(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val ck = df.localCheckpoint(eager)
+    ck.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(r => (if (artifactScope.get()) artifactCkpts else ckpts).add(r))
+    ck
+  }
+
+  /** Run `f` with checkpoints registering in the ARTIFACT tier — index
+    * builds use it so their training checkpoints (coarse centroids,
+    * codebook, cross-terms) outlive per-query cleanup and release with
+    * the index they serve. Thread-local: builds are driver-side and
+    * single-threaded. */
+  def inArtifactScope[T](f: => T): T = {
+    val prev = artifactScope.get()
+    artifactScope.set(true)
+    try f finally artifactScope.set(prev)
+  }
 
   /** Persist `df` at `level` (the library default MEMORY_AND_DISK — image
     * and shingle intermediates are bigger than memory at scale) and
@@ -67,6 +103,11 @@ object GraftCaches {
     while (df != null) {
       df.unpersist(blocking)
       df = frames.poll()
+    }
+    var r = ckpts.poll()
+    while (r != null) {
+      r.unpersist(blocking)
+      r = ckpts.poll()
     }
   }
 
@@ -104,6 +145,11 @@ object GraftCaches {
       df.unpersist(blocking)
       df = artifacts.poll()
     }
+    var r = artifactCkpts.poll()
+    while (r != null) {
+      r.unpersist(blocking)
+      r = artifactCkpts.poll()
+    }
   }
 
   /** Artifact frames currently held — observability for tests. */
@@ -115,5 +161,9 @@ object GraftCaches {
     def persistTracked(
         level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
       persisted(df, level)
+
+    /** Postfix form of [[GraftCaches.checkpointed]]. */
+    def localCheckpointTracked(eager: Boolean = true): DataFrame =
+      checkpointed(df, eager)
   }
 }

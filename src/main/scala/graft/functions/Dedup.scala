@@ -307,14 +307,14 @@ object Dedup {
     // materialize the edge list ONCE before symmetrizing — the union's two
     // branches would otherwise each re-evaluate the (possibly expensive)
     // pair-producing pipeline upstream
-    val e = edges.select(col("id1"), col("id2")).localCheckpoint()
+    val e = edges.select(col("id1"), col("id2")).localCheckpointTracked()
     // lazy checkpoints from here on: each round's ONE action (the changed
     // count) materializes the round's frame — no separate checkpoint jobs
     val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
       .union(e.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpointTracked(false)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(false)
+      .withColumn("label", col("id")).localCheckpointTracked(false)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -326,7 +326,7 @@ object Dedup {
         .select(col("id"),
           least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
           col("old"))
-        .localCheckpoint(false)
+        .localCheckpointTracked(false)
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
       round += 1
@@ -366,7 +366,7 @@ object Dedup {
       .filter(col("id1") =!= col("id2"))
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointTracked()
     var nE = e.count()
     var converged = false
     var round = 0
@@ -381,7 +381,7 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(false)
+        .distinct().localCheckpointTracked(false)
       // ---- small-star over the (u > v)-oriented edges
       val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = ls.join(minsS, Seq("u"))
@@ -391,7 +391,7 @@ object Dedup {
           struct(col("u"), col("m").as("v")))).as("edge"))
         .select(col("edge.u"), col("edge.v"))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(false)
+        .distinct().localCheckpointTracked(false)
       // ONE action per round: the count materializes ls and ss (both lazy
       // checkpoints). |ss| = |e| AND ss ∖ e = ∅ ⟺ ss = e, so the anti-join
       // only runs on rounds whose edge count already matches.
@@ -467,7 +467,7 @@ object Dedup {
         .groupBy(col("dst"))
         .agg((base + lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
         .select(col("dst").as("doc_id"), col("rank"))
-      if (i % checkpointEvery == 0 && i < iterations) rank = rank.localCheckpoint(false)
+      if (i % checkpointEvery == 0 && i < iterations) rank = rank.localCheckpointTracked(false)
     }
     rank.select(col("doc_id"), round(col("rank"), 9).as("rank"))
   }
@@ -599,7 +599,7 @@ object Dedup {
       .filter(col("id1") =!= col("id2"))
       .select(least(col("id1"), col("id2")).as("a"),
         greatest(col("id1"), col("id2")).as("b"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpointTracked(false)
     val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // Orient by (deg, id): ord(x) = struct(deg(x), x) gives a total order.
@@ -615,7 +615,7 @@ object Dedup {
             struct(col("dega").as("d"), col("a").as("i")).as("dord"),
             col("a").as("dst"))).as("d"))
       .select(col("d.src").as("src"), col("d.dord").as("dord"), col("d.dst").as("dst"))
-      .localCheckpoint(false)
+      .localCheckpointTracked(false)
     // Wedges from the lowest-order vertex u: (v, w) with ord(v) < ord(w).
     val e1 = withOrd.select(col("src").as("u"), col("dord").as("vord"), col("dst").as("v"))
     val e2 = withOrd.select(col("src").as("u"), col("dord").as("word"), col("dst").as("w"))

@@ -216,7 +216,7 @@ object Similarity {
     var centroids = c.filter(col("c_id") % stride === 0)
       .orderBy(col("c_id")).limit(nCentroids)
       .select((col("c_id") / stride).cast("int").as("cent_id"), col("cv").as("centroid"))
-      .localCheckpoint()
+      .localCheckpointTracked()
     // Lloyd: assign to nearest centroid, recompute means (element-wise
     // aggregate over the vector column)
     for (_ <- 1 to lloydIters) {
@@ -232,7 +232,7 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .select(col("cent_id"), col("dims.m").as("centroid"))
-        .localCheckpoint()
+        .localCheckpointTracked()
     }
     centroids
   }
@@ -447,7 +447,7 @@ object Similarity {
         row_number().over(Window.orderBy(col("c_id"))).cast("int") - 1)
     var codebook = csub.join(broadcast(seeds), Seq("c_id"))
       .select(col("sub"), col("cent"), col("sv").as("centroid"))
-      .localCheckpoint(false)
+      .localCheckpointTracked(false)
     for (_ <- 1 to lloydIters) {
       val assigned = assignNearestSub(csub, codebook)
       codebook = assigned
@@ -457,7 +457,7 @@ object Similarity {
         .groupBy(col("sub"), col("cent"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dims"))
         .select(col("sub"), col("cent"), col("dims.mn").as("centroid"))
-        .localCheckpoint(false)
+        .localCheckpointTracked(false)
     }
     codebook
   }
@@ -547,7 +547,7 @@ object Similarity {
     * plan no training jobs. */
   def buildIvfPqIndex(corpus: DataFrame, nCentroids: Int = 16,
       coarseIters: Int = 2, m: Int = 8, ksub: Int = 16,
-      pqIters: Int = 2): IvfPqIndex = {
+      pqIters: Int = 2): IvfPqIndex = graft.GraftCaches.inArtifactScope {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = graft.GraftCaches.persistedArtifact(
       corpus.select(col("vec_id").as("c_id"),
@@ -578,7 +578,7 @@ object Similarity {
           pqDsubOf(col("centroid"), m)), col("codeword")) * 1e9).cast("long") * 2
           + round(dotp(col("codeword"), col("codeword")) * 1e9).cast("long"))
           .as("ur2rn2_e9"))
-      .localCheckpoint()
+      .localCheckpointTracked()
     // materialize the artifact INSIDE the build (count forces the cache),
     // so query wall-time measures serving, not deferred training
     codes.count(); assigned.count(); c.count()

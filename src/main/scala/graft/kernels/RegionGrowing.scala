@@ -3,6 +3,8 @@ package graft.kernels
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Persistable
+
 /** G1/G2 — region-growing segmentation (`/root/reference/region_growing.py`).
   *
   * Two implementations, cross-checked in tests (SURVEY.md §5.4):
@@ -142,7 +144,7 @@ object RegionGrowing {
           .filter(abs(col("v") / 255.0 - col("seed_v") / 255.0) <= threshold)
           .select(col("image_id"), col("y"), col("x"))
       }
-      .localCheckpoint(false)
+      .localCheckpointTracked(false)
     val admissible = maybeBroadcast(admissibleBase, admissibleBase.count())
 
     // BFS-layer invariant: a neighbour of a layer-k pixel has BFS distance
@@ -159,7 +161,7 @@ object RegionGrowing {
     // proof below is distance-from-set, so it is start-set agnostic.
     val seed0 = initial.getOrElse(
         seeds.select(col("image_id"), col("seed_y").as("y"), col("seed_x").as("x")))
-      .localCheckpoint(false) // materialized by the frontier count below
+      .localCheckpointTracked(false) // materialized by the frontier count below
     var layers = List(seed0)
     var prev = seed0.limit(0)
     var prevSize = 0L
@@ -188,7 +190,7 @@ object RegionGrowing {
       val newFrontier = acc.distinct()
         .join(maybeBroadcast(frontier, frontierSize), Seq("image_id", "y", "x"), "left_anti")
         .join(maybeBroadcast(prev, prevSize), Seq("image_id", "y", "x"), "left_anti")
-        .localCheckpoint(false)
+        .localCheckpointTracked(false)
       prevSize = frontierSize
       frontierSize = newFrontier.count() // materializes the checkpoint
       if (frontierSize > 0) {
@@ -200,7 +202,7 @@ object RegionGrowing {
         // disjoint, so a plain union preserves the mask; the localCheckpoint
         // truncates the folded branch to one leaf.
         if (layers.length >= compactEvery)
-          layers = List(layers.reduce(_.union(_)).localCheckpoint(false))
+          layers = List(layers.reduce(_.union(_)).localCheckpointTracked(false))
       }
       prev = frontier
       frontier = newFrontier
@@ -274,7 +276,7 @@ object RegionGrowing {
     // are independent of the image count. Lazy checkpoints throughout: the
     // one action per round (improved count) materializes the round's chain.
     val pxCounts = pixels.groupBy(col("image_id"))
-      .agg(count(lit(1)).as("n_px")).localCheckpoint(false)
+      .agg(count(lit(1)).as("n_px")).localCheckpointTracked(false)
 
     // ONE pixel scan for the WHOLE θ schedule: precompute each pixel's
     // seed distance and keep the superset band at the largest θ any pass
@@ -291,7 +293,7 @@ object RegionGrowing {
       .withColumn("delta", abs(col("v") / 255.0 - col("seed_v") / 255.0))
       .filter(col("delta") <= maxTheta)
       .select(col("image_id"), col("y"), col("x"), col("delta"))
-      .localCheckpoint(false)
+      .localCheckpointTracked(false)
     val poolBc =
       if (pool.count() <= maxBroadcastRows) broadcast(pool) else pool
 
@@ -301,7 +303,7 @@ object RegionGrowing {
     // coordinate is missing from the pixel table.
     val seed0 = seeds.select(col("image_id"), col("seed_y").as("y"),
         col("seed_x").as("x"), lit(0.0).as("m"))
-      .localCheckpoint(false)
+      .localCheckpointTracked(false)
     var best = seed0
     var frontier = seed0
     var frontierSize = frontier.count()
@@ -334,12 +336,12 @@ object RegionGrowing {
         .join(best.withColumnRenamed("m", "__bm"), Seq("image_id", "y", "x"), "left")
         .filter(col("__bm").isNull || col("m") < col("__bm"))
         .select(col("image_id"), col("y"), col("x"), col("m"))
-        .localCheckpoint(false)
+        .localCheckpointTracked(false)
       frontierSize = improved.count() // the round's ONE action
       if (frontierSize > 0) {
         best = best.join(improved, Seq("image_id", "y", "x"), "left_anti")
           .union(improved)
-          .localCheckpoint(false) // lazy; materialized by next round's count
+          .localCheckpointTracked(false) // lazy; materialized by next round's count
         frontier = improved
       }
       round += 1
@@ -366,7 +368,7 @@ object RegionGrowing {
       .select(col("image_id"), col("theta"),
         (coalesce(col("n_mask"), lit(0L)) < col("n_px") * minFrac).as("under"),
         (coalesce(col("n_mask"), lit(0L)) > col("n_px") * maxFrac).as("over"))
-      .localCheckpoint(false)
+      .localCheckpointTracked(false)
 
     // ---- phase-1 selection: settle at the FIRST escalation θ that is not
     // undersized (= min, by band monotonicity), else the schedule's last θ
