@@ -72,12 +72,12 @@ object SparkEntry {
     *    absorbing their one-time JIT/codegen cost — the round-6 bench
     *    recorded 3.85s vs 1.22s for the identical audited plan depending
     *    on what had run before it.
-    *  - `ann_ivfpq_index_build`: trains the IVF-PQ index at the gates'
-    *    exact parameters through the build-once memo, mirroring
-    *    production's offline-build/online-serve split. The ANN query
-    *    lines then measure SERVING; the build cost stays visible as its
-    *    own setup line instead of silently inflating whichever ANN query
-    *    runs first.
+    *  - `ann_*_index_build`: trains the IVF-PQ, IVF, and PQ indexes at
+    *    the gates' exact parameters through the build-once memos,
+    *    mirroring production's offline-build/online-serve split. The ANN
+    *    query lines then measure SERVING; each build cost stays visible
+    *    as its own setup line instead of silently inflating whichever
+    *    ANN query runs first.
     */
   def benchSetup: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "vector_path_warmup" -> ((s: SparkSession, dir: String) => {
@@ -90,6 +90,18 @@ object SparkEntry {
       Similarity.ivfPqIndexFor(Tables.embeddings(s, dir),
         nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
       GraftCaches.unpersistAll(blocking = true) // build-scoped working caches
+      ()
+    }),
+    "ann_ivf_index_build" -> ((s: SparkSession, dir: String) => {
+      Similarity.ivfIndexFor(Tables.embeddings(s, dir),
+        nCentroids = 16, lloydIters = 1)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    "ann_pq_index_build" -> ((s: SparkSession, dir: String) => {
+      Similarity.pqIndexFor(Tables.embeddings(s, dir),
+        m = 8, ksub = 16, lloydIters = 1)
+      GraftCaches.unpersistAll(blocking = true)
       ()
     }))
 

@@ -188,19 +188,60 @@ object Similarity {
     * higher-order-function column math — no UDFs, no MLlib.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame =
+    ivfTopKIndexed(queries, ivfIndexFor(corpus, nCentroids, lloydIters), k, nProbe)
+
+  /** BUILT IVF INDEX — coarse quantizer + inverted lists WITH the raw
+    * vectors (IVF scores exact cosines inside the probed lists, so the
+    * lists carry `cv`). Same build-once/serve-many artifact contract as
+    * [[IvfPqIndex]]: members persist in the artifact tier, released only
+    * by `GraftCaches.releaseArtifacts()`. */
+  final case class IvfIndex(corpus: DataFrame, centroids: DataFrame,
+      inverted: DataFrame)
+
+  /** Train an IVF index over `corpus` (offline build job): coarse Lloyd
+    * centroids, then the corpus assigned once into inverted lists.
+    * Identical training math to the pre-split ivfTopK — the committed
+    * ANN fixtures are unchanged. */
+  def buildIvfIndex(corpus: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2): IvfIndex = graft.GraftCaches.inArtifactScope {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
-      .persistTracked()
+    val c = graft.GraftCaches.persistedArtifact(
+      corpus.select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv")))
     val centroids = trainCoarseCentroids(c, nCentroids, lloydIters)
-    val inverted = assignNearest(c, centroids)
-      .persistTracked()
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
-    val probes = probeCentroids(q, centroids, nProbe)
-    val scored = probes.join(inverted, Seq("cent_id"))
+    val inverted = graft.GraftCaches.persistedArtifact(assignNearest(c, centroids))
+    inverted.count(); c.count() // materialize inside the build
+    IvfIndex(c, centroids, inverted)
+  }
+
+  /** Build-once memo over [[buildIvfIndex]] (same contract and keying as
+    * [[ivfPqIndexFor]]): ann_ivf_topk and ann_ivf_topk_p8 differ only in
+    * query-time nProbe, so they serve from ONE trained index. */
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int), IvfIndex]
+  graft.GraftCaches.onArtifactRelease(() => ivfMemo.clear())
+
+  def ivfIndexFor(corpus: DataFrame, nCentroids: Int = 16,
+      lloydIters: Int = 2): IvfIndex = {
+    val key = (System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.semanticHash(), nCentroids, lloydIters)
+    ivfMemo.getOrElseUpdate(key, buildIvfIndex(corpus, nCentroids, lloydIters))
+  }
+
+  /** IVF serving over a BUILT index: probe the trained coarse quantizer,
+    * score exact cosines against only the probed inverted lists, rank
+    * k-bounded. Plans zero training jobs. */
+  def ivfTopKIndexed(queries: DataFrame, index: IvfIndex, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val probes = probeCentroids(q, index.centroids, nProbe)
+    val scored = probes.join(index.inverted, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
   }
 
   /** Coarse-quantizer Lloyd training, shared by [[ivfTopK]] and
@@ -405,25 +446,64 @@ object Similarity {
     * that equivalence against [[cosineTopK]].
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, lloydIters: Int = 2): DataFrame = {
+      m: Int = 8, ksub: Int = 16, lloydIters: Int = 2): DataFrame =
+    pqTopKIndexed(queries, pqIndexFor(corpus, m, ksub, lloydIters), k)
+
+  /** BUILT PQ INDEX — per-subspace codebook + per-vector codes (the
+    * compressed corpus) plus the keyed raw vectors for surrogate-id
+    * candidate mapping. Artifact-tier, like [[IvfPqIndex]]. */
+  final case class PqIndex(corpus: DataFrame, codebook: DataFrame,
+      codes: DataFrame, m: Int)
+
+  /** Train a PQ codebook + codes over `corpus` (offline build job) —
+    * identical training math to the pre-split pqTopK, so the committed
+    * PQ fixture is unchanged. */
+  def buildPqIndex(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 2): PqIndex = graft.GraftCaches.inArtifactScope {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col("vec_id").as("c_id"),
-      col("embedding").cast("array<double>").as("cv")).persistTracked()
+    val c = graft.GraftCaches.persistedArtifact(
+      corpus.select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv")))
+    // build-scoped: the per-subspace explosion feeds training and coding,
+    // nothing serves from it afterwards — working tier, released by the
+    // caller's next unpersistAll
     val csub = pqSubVectors(c, m).persistTracked()
     val codebook = trainPqCodebook(c, csub, ksub, lloydIters)
-    val codes = assignNearestSub(csub, codebook)
-      .select(col("c_id"), col("sub"), col("code")).persistTracked()
+    val codes = graft.GraftCaches.persistedArtifact(
+      assignNearestSub(csub, codebook)
+        .select(col("c_id"), col("sub"), col("code")))
+    codes.count(); c.count() // materialize inside the build
+    PqIndex(c, codebook, codes, m)
+  }
+
+  /** Build-once memo over [[buildPqIndex]] (contract of [[ivfPqIndexFor]]). */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int, Int), PqIndex]
+  graft.GraftCaches.onArtifactRelease(() => pqMemo.clear())
+
+  def pqIndexFor(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 2): PqIndex = {
+    val key = (System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.semanticHash(), m, ksub, lloydIters)
+    pqMemo.getOrElseUpdate(key, buildPqIndex(corpus, m, ksub, lloydIters))
+  }
+
+  /** PQ-ADC serving over a BUILT index: per-query broadcast distance
+    * table, code equi-join, exact integer partial sums, k-bounded rank.
+    * Plans zero training jobs. */
+  def pqTopKIndexed(queries: DataFrame, index: PqIndex, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    val dt = pqAdcTable(q, codebook, m)
-    val scored = codes
+    val dt = pqAdcTable(q, index.codebook, index.m)
+    val scored = index.codes
       .join(broadcast(dt), col("sub") === col("dt_sub") && col("code") === col("dt_cent"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"),
         first(col("qnorm")).as("qnorm"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), pqCos)
-    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
   }
 
   private def pqDsubOf(v: Column, m: Int) = floor(size(v) / m).cast("int")
