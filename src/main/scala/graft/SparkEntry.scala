@@ -1280,6 +1280,46 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // INDEX PERSISTENCE ROUNDTRIP — the production artifact lifecycle:
+    // the memoized gate-parameter index is SAVED to parquet, LOADED back
+    // (fresh artifact frames, no retraining), and served. The oracle is
+    // the committed ann_ivfpq_topk fixture itself: save→load must change
+    // NOTHING about the served ranking (integer ADC terms + id
+    // tie-breaks make it storage-partitioning-independent), so this gate
+    // hard-pins loaded-serving ≡ built-serving row for row.
+    "ann_index_roundtrip" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val built = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivfpq_index_rt").getAbsolutePath
+      Similarity.saveIvfPqIndex(built, path)
+      val loaded = Similarity.loadIvfPqIndex(s, path)
+      Similarity.ivfPqTopKIndexed(queries, loaded, 5, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // INCREMENTAL INDEX APPEND — corpus freshness without retraining
+    // (FAISS `add` semantics): the index trains on the 80% of vectors
+    // with vec_id % 5 != 0, the remaining 20% append through the frozen
+    // quantizers (assignment + residual coding only), and the standard
+    // query set serves against the grown index. Fixture-gated like the
+    // other trained-ANN variants (train-on-subset + deterministic
+    // append coding — bit-stable).
+    "ann_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val appended = Similarity.ivfPqIndexAppend(base,
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          appended, 5, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // ANN RECALL REPORT — the evaluation harness over the approximate
     // tiers: recall@5 of each committed ANN ranking (LSH / IVF / PQ /
     // IVF-PQ fixtures) against the EXACT brute-force ranking recomputed
@@ -3639,6 +3679,11 @@ object SparkEntry {
     fixture("ann_ivfpq_rerank", "q_id, rank"),
     fixture("ann_ivf_topk_p8", "q_id, rank"),
     fixture("ann_ivfpq_rerank_p8", "q_id, rank"),
+    fixture("ann_index_append", "q_id, rank"),
+    // save→load must not change the served ranking: the roundtrip gate's
+    // oracle IS the built-index fixture
+    "ann_index_roundtrip" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet') ORDER BY q_id, rank",
 
     "neardup_clusters" ->
       s"""WITH RECURSIVE e AS (

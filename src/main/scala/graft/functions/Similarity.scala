@@ -245,18 +245,23 @@ object Similarity {
   }
 
   /** Coarse-quantizer Lloyd training, shared by [[ivfTopK]] and
-    * [[ivfPqTopK]]. Seeds from the nCentroids SMALLEST matching ids:
-    * orderBy+limit compiles to TakeOrdered, which is deterministic under
-    * any partitioning — a bare limit() takes whichever partitions answer
-    * first, so the seed set (and every downstream centroid) could differ
-    * across environments. */
+    * [[ivfPqTopK]]. Seeds are the nCentroids rows with the SMALLEST
+    * `(murmur3(c_id), c_id)` — a deterministic pseudo-random sample:
+    * orderBy+limit compiles to TakeOrdered (k = nCentroids rows cross the
+    * exchange, deterministic under any partitioning — a bare limit()
+    * takes whichever partitions answer first), and hash order spreads the
+    * seeds uniformly over ANY id distribution. (The previous scheme —
+    * every ⌊n/k⌋-th id — assumed contiguous ids and collapsed to ZERO
+    * seeds on filtered corpora whose ids all miss the stride, e.g. a
+    * `vec_id % 5 != 0` training subset with stride 25.) */
   private def trainCoarseCentroids(c: DataFrame, nCentroids: Int,
       lloydIters: Int): DataFrame = {
-    val n = c.count()
-    val stride = math.max(1L, n / nCentroids)
-    var centroids = c.filter(col("c_id") % stride === 0)
-      .orderBy(col("c_id")).limit(nCentroids)
-      .select((col("c_id") / stride).cast("int").as("cent_id"), col("cv").as("centroid"))
+    var centroids = c
+      .orderBy(pmod(hash(col("c_id")), lit(1000000007)).asc, col("c_id").asc)
+      .limit(nCentroids)
+      .orderBy(col("c_id"))
+      .select((row_number().over(Window.orderBy(col("c_id"))) - 1).as("cent_id"),
+        col("cv").as("centroid"))
       .localCheckpointTracked()
     // Lloyd: assign to nearest centroid, recompute means (element-wise
     // aggregate over the vector column)
@@ -664,6 +669,84 @@ object Similarity {
     codes.count(); assigned.count(); c.count()
     IvfPqIndex(c, centroids, assigned, codebook, codes, crossTerms, m)
   }
+
+  /** PERSIST a built IVF-PQ index to parquet — the production artifact
+    * lifecycle: the offline build job writes the index once; any number
+    * of serving jobs (other sessions, other clusters) [[loadIvfPqIndex]]
+    * it without retraining. Six member directories plus a one-row meta
+    * table (m). Serving from a saved-then-loaded index is EXACTLY the
+    * in-memory serving (integer-quantized ADC terms and id tie-breaks
+    * make the ranking independent of storage partitioning) — the
+    * `ann_index_roundtrip` gate pins loaded-serving equal to the
+    * committed `ann_ivfpq_topk` fixture. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.corpus.sparkSession
+    index.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.crossTerms.write.mode("overwrite").parquet(s"$path/cross_terms")
+    spark.range(1).select(lit(index.m).as("m"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveIvfPqIndex]]'d index for serving: all members persist
+    * in the artifact tier and materialize here, so queries plan no
+    * training jobs and no repeated parquet scans of the index. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
+    graft.GraftCaches.inArtifactScope {
+      graft.plans.GraftFunctions.register(spark)
+      def part(n: String) = graft.GraftCaches.persistedArtifact(
+        spark.read.parquet(s"$path/$n"))
+      val m = spark.read.parquet(s"$path/meta").head().getInt(0)
+      val ix = IvfPqIndex(part("corpus"), part("centroids"), part("assigned"),
+        part("codebook"), part("codes"), part("cross_terms"), m)
+      ix.codes.count(); ix.assigned.count(); ix.corpus.count()
+      ix.centroids.count(); ix.codebook.count(); ix.crossTerms.count()
+      ix
+    }
+
+  /** INCREMENTAL APPEND — grow a built index without retraining: new
+    * vectors are assigned to the EXISTING coarse centroids and their
+    * residuals coded with the EXISTING codebook, then corpus / inverted
+    * lists / codes union in. Quantizers (and therefore the cross-term
+    * table and every already-coded vector) are untouched — the standard
+    * production freshness path (FAISS `add` semantics): a corpus that
+    * grows daily pays assignment+coding per batch, never a rebuild.
+    * Recall for appended vectors matches build-time coding EXACTLY when
+    * the quantizers are fixed, because append runs the identical
+    * assignment/coding pipeline the build runs after training
+    * (`SimilaritySpec` pins: build(old) + append(new) ≡ coding new
+    * through build's own stages; the `ann_index_append` gate pins the
+    * served ranking end-to-end). Rebuild when drift accumulates —
+    * quantization error vs a fresh build is measurable per batch by
+    * comparing [[ivfPqTopKIndexed]] to [[cosineTopK]] on a sample. */
+  def ivfPqIndexAppend(index: IvfPqIndex, newVectors: DataFrame): IvfPqIndex =
+    graft.GraftCaches.inArtifactScope {
+      graft.plans.GraftFunctions.register(index.corpus.sparkSession)
+      val nc = graft.GraftCaches.persistedArtifact(
+        newVectors.select(col("vec_id").as("c_id"),
+          col("embedding").cast("array<double>").as("cv")))
+      // identical post-training pipeline to buildIvfPqIndex, against the
+      // index's frozen quantizers
+      val assignedFull = assignNearest(nc, index.centroids).persistTracked()
+      val resid = assignedFull.join(broadcast(index.centroids), Seq("cent_id"))
+        .select(col("c_id"),
+          zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
+      val csub = pqSubVectors(resid, index.m).persistTracked()
+      val corpus = graft.GraftCaches.persistedArtifact(
+        index.corpus.unionByName(nc))
+      val assigned = graft.GraftCaches.persistedArtifact(
+        index.assigned.unionByName(assignedFull.select(col("cent_id"), col("c_id"))))
+      val codes = graft.GraftCaches.persistedArtifact(
+        index.codes.unionByName(
+          assignNearestSub(csub, index.codebook)
+            .select(col("c_id"), col("sub"), col("code"))))
+      codes.count(); assigned.count(); corpus.count()
+      IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
+        index.crossTerms, index.m)
+    }
 
   /** Build-once memo over [[buildIvfPqIndex]]: one trained index per
     * (session, corpus plan, parameters) — `ivfPqTopK` and

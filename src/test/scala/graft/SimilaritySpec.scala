@@ -203,6 +203,68 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("saveIvfPqIndex → loadIvfPqIndex serves identically to the built index") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 3 + d * 5) % 11).toFloat - 5.0f) / 5.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+    val built = Similarity.buildIvfPqIndex(emb, nCentroids = 4, coarseIters = 1,
+      m = 4, ksub = 4, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix_rt_").toString
+    Similarity.saveIvfPqIndex(built, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    def serve(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopKIndexed(queries, ix, k = 3, nProbe = 2)
+        .select("q_id", "rank", "c_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(serve(loaded) == serve(built),
+      "a saved-then-loaded index must serve the exact built-index ranking")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
+  test("ivfPqIndexAppend codes appended vectors exactly like the build pipeline") {
+    // old corpus trains the quantizers; the appended batch duplicates old
+    // vectors under new ids — frozen quantizers must assign and code each
+    // twin IDENTICALLY to its original (same centroid, same PQ codes),
+    // and serving over the grown index must surface the exact twin top-1.
+    val base = (0L until 16L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 7 + d * 3) % 13).toFloat - 6.0f) / 6.0f))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+    val twins = base.take(6).map { case (i, v) => (i + 100L, v) }
+      .toDF("vec_id", "embedding")
+    val built = Similarity.buildIvfPqIndex(emb, nCentroids = 4, coarseIters = 1,
+      m = 4, ksub = 4, pqIters = 1)
+    val grown = Similarity.ivfPqIndexAppend(built, twins)
+    assert(grown.corpus.count() == 22 && grown.assigned.count() == 22,
+      "append must union corpus and inverted lists")
+    // twin codes ≡ original codes (join on (sub, vec offset))
+    val codes = grown.codes.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    for (j <- 0 until 6; sub <- 0 until 4)
+      assert(codes((j + 100L, sub)) == codes((j.toLong, sub)),
+        s"twin $j sub $sub coded differently from its original")
+    val asg = grown.assigned.collect()
+      .map(r => (r.getLong(1), r.getInt(0))).toMap
+    for (j <- 0 until 6)
+      assert(asg(j + 100L) == asg(j.toLong),
+        s"twin $j assigned to a different inverted list than its original")
+    // serving: each twin's top-1 is ADC-INDISTINGUISHABLE from its
+    // original — same coarse cell, same codes (PQ cannot tell exact
+    // duplicates from same-cell-same-code candidates, and ties break on
+    // id, so the top-1 need not be the original itself)
+    val served = Similarity.ivfPqTopKIndexed(twins, grown, k = 1, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    def sig(id: Long) = (asg(id), (0 until 4).map(sub => codes((id, sub))))
+    for (j <- 0 until 6)
+      assert(sig(served(j + 100L)) == sig(j.toLong),
+        s"twin ${j + 100}'s top-1 ${served(j + 100L)} is not ADC-equal to its duplicate $j")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("pqTopK: output is partitioning-invariant (trained codebook and all)") {
     val vecs = (0L until 30L).map { i =>
       (i, Seq.tabulate(8)(d => (((i * 11 + d * 5) % 17).toFloat - 8.0f) / 8.0f))
