@@ -720,18 +720,24 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.__sz").as("sz1"), col("b.__sz").as("sz2"))
       .distinct()
-    // Exact verification inline (the [[verifyJaccard]] shape minus its
-    // size joins — candidate rows already carry both sizes): intersection
-    // count per surviving pair, then the integer threshold predicate.
-    // Only candidates pay this cost; pairs sharing no shingle beyond the
-    // prefix still verify correctly via the left join's inter=0.
-    val inter = cand.select(col("id1"), col("id2"))
-      .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    // Exact verification MAP-SIDE: per-doc shingle-set arrays aggregate
+    // once from the cached shingle frame (array length bounded by
+    // document length at any corpus size), the candidate set — tiny by
+    // the prefix principle — broadcast-joins both arrays in, and the
+    // intersection is one codegen `array_intersect` per surviving pair.
+    // The former shape re-joined the FULL shingle frame twice and
+    // regrouped per pair: three corpus-sized exchanges plus a final
+    // join-back, all replaced by one keyed aggregation and two
+    // broadcast probes. Exact as before — set intersection in integer
+    // arithmetic, pairs sharing nothing beyond the prefix get inter=0.
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("__set"))
+      .persistTracked()
     val union = col("sz1") + col("sz2") - col("inter")
-    cand.join(inter, Seq("id1", "id2"), "left")
-      .na.fill(0L, Seq("inter"))
+    cand
+      .join(docSets.select(col("doc_id").as("id1"), col("__set").as("__s1")), Seq("id1"))
+      .join(docSets.select(col("doc_id").as("id2"), col("__set").as("__s2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("__s1"), col("__s2"))).cast("long"))
       .filter(col("inter") * lit(1000000L) >= lit(tMicro) * union)
       .select(col("id1"), col("id2"), col("sz1"), col("sz2"), col("inter"),
         idiv(col("inter") * lit(1000000L), union).as("jaccard_micro"))
