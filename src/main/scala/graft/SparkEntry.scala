@@ -1320,6 +1320,21 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // INDEX HEALTH REPORT — per-list balance + measured ADC quantization
+    // error of the gate-parameter index (Similarity.ivfPqIndexHealth):
+    // the ops metrics that decide nProbe tuning and rebuild cadence.
+    // Integer-only long format; fixture-gated (kmeans lists are
+    // engine-specific, bit-stable).
+    "ann_index_health" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      Similarity.ivfPqIndexHealth(index, emb.filter(col("vec_id") % 50 === 0),
+          k = 5, nProbe = 4)
+        .orderBy(col("metric"), col("key"))
+    }),
+
+    // ---------------------------------------------------------------
     // ANN RECALL REPORT — the evaluation harness over the approximate
     // tiers: recall@5 of each committed ANN ranking (LSH / IVF / PQ /
     // IVF-PQ fixtures) against the EXACT brute-force ranking recomputed
@@ -3680,6 +3695,7 @@ object SparkEntry {
     fixture("ann_ivf_topk_p8", "q_id, rank"),
     fixture("ann_ivfpq_rerank_p8", "q_id, rank"),
     fixture("ann_index_append", "q_id, rank"),
+    fixture("ann_index_health", "metric, key"),
     // save→load must not change the served ranking: the roundtrip gate's
     // oracle IS the built-index fixture
     "ann_index_roundtrip" ->

@@ -748,6 +748,55 @@ object Similarity {
         index.crossTerms, index.m)
     }
 
+  /** INDEX HEALTH REPORT — the ops-side read on a built index that
+    * decides nProbe tuning and rebuild cadence: per-inverted-list sizes
+    * (a skewed list turns nProbe=4 into a half-corpus scan for queries
+    * probing it), the global imbalance factor (max/mean list size,
+    * permille), and the measured ADC quantization error on a query
+    * sample (served ADC cosine vs exact cosine per shortlist pair —
+    * growing error means the corpus has drifted from the trained
+    * quantizers and append-without-rebuild is going stale). Long-format
+    * `(metric, key, value)` with integer values only: list sizes are
+    * exact counts; the error aggregates integer micro-unit diffs via
+    * exact sum-div-count, so the report is bit-stable on any
+    * partitioning. Costs one pass over the (vector-free) inverted lists
+    * plus one `|sample|·k` shortlist scoring — never a corpus scan of
+    * raw vectors beyond the sampled pairs' probe.
+    */
+  def ivfPqIndexHealth(index: IvfPqIndex, sampleQueries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val lists = index.assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"))
+    val listRows = lists.select(lit("list_size").as("metric"),
+      col("cent_id").cast("long").as("key"), col("n").as("value"))
+    val imbalance = lists.agg(
+      idiv(max(col("n")) * lit(1000L) * count(lit(1)), sum(col("n"))).as("value"))
+      .select(lit("imbalance_permille").as("metric"), lit(-1L).as("key"), col("value"))
+    // ADC error on the sample's served shortlist: both sides in exact
+    // integer micro-units (served cos is 6-dp rounded by contract)
+    val served = ivfPqTopKIndexed(sampleQueries, index, k, nProbe)
+      .select(col("q_id"), col("c_id"),
+        round(col("cos") * 1e6).cast("long").as("adc_micro"))
+    val q = sampleQueries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val diffs = served
+      .join(broadcast(q), Seq("q_id"))
+      .join(index.corpus, Seq("c_id"))
+      .select(abs(col("adc_micro")
+        - round(cosineFast(col("qv"), col("cv")) * 1e6).cast("long")).as("e"))
+    val errRows = diffs.agg(
+        idiv(sum(col("e")), count(lit(1))).as("avg_e"), max(col("e")).as("max_e"),
+        count(lit(1)).as("n_pairs"))
+      .select(explode(array(
+        struct(lit("adc_err_micro_avg").as("metric"), lit(-1L).as("key"), col("avg_e").as("value")),
+        struct(lit("adc_err_micro_max").as("metric"), lit(-1L).as("key"), col("max_e").as("value")),
+        struct(lit("adc_err_pairs").as("metric"), lit(-1L).as("key"), col("n_pairs").as("value")))).as("r"))
+      .select(col("r.metric"), col("r.key"), col("r.value"))
+    listRows.unionByName(imbalance).unionByName(errRows)
+  }
+
   /** Build-once memo over [[buildIvfPqIndex]]: one trained index per
     * (session, corpus plan, parameters) — `ivfPqTopK` and
     * `ivfPqRerankTopK` against the same corpus share one training run,

@@ -179,4 +179,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(1).getAs[Long]("n_events") == 1)
     assert(sessions(2).getAs[Long]("n_events") == 1)
   }
+
+  test("streaming ANN serving over a built index equals batch serving, across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.functions.Similarity.buildIvfPqIndex(emb,
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val batch = graft.functions.Similarity
+      .ivfPqTopKIndexed(queries, index, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // stage the queries as TWO files; maxFilesPerTrigger=1 forces two
+    // separate micro-batches, so the equality below proves per-batch
+    // serving composes (not just the trivial single-batch case)
+    val qDir = java.nio.file.Files.createTempDirectory("ann_q_stream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ann_q_out").toString + "/res"
+    queries.repartition(2).write.mode("overwrite").parquet(qDir)
+    val q = graft.streaming.AnnServing.startServingStream(
+      spark, qDir, index, k = 3, nProbe = 2, outDir)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch,
+        s"stream-served != batch-served: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }
