@@ -1320,6 +1320,52 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // RANKING METRICS (MRR@5, nDCG@5) — the retrieval-eval complement to
+    // ann_recall_report: recall ignores WHERE in the top-k the relevant
+    // items land; MRR rewards the first relevant hit's position and nDCG
+    // the whole ranked order. Relevance = membership in the exact
+    // brute-force top-5 (recomputed live, same as the recall gate). All
+    // arithmetic is integer micro-units: reciprocal rank as
+    // 1000000 div rank, DCG position gains as the CONSTANT quantized
+    // table round(1e6/log2(i+1)) — both engines hardcode the same five
+    // integers, so no float log crosses the gate — and per-query nDCG as
+    // dcg·1e6 div IDCG@5 (=2948460, all five positions relevant).
+    // Missing queries (thin buckets) contribute zero: sums divide by the
+    // FULL query count, mirroring the recall gate's honest denominator.
+    "ann_ranking_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineTopK(queries, emb, 5)
+        .select(col("q_id"), col("c_id"), lit(1L).as("rel"))
+      val nq = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      val gain = when(col("rank") === 1, 1000000L)
+        .when(col("rank") === 2, 630930L)
+        .when(col("rank") === 3, 500000L)
+        .when(col("rank") === 4, 430677L)
+        .when(col("rank") === 5, 386853L)
+        .otherwise(0L)
+      Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+          "ann_ivfpq_rerank", "ann_ivf_topk_p8", "ann_ivfpq_rerank_p8")
+        .map { name =>
+          s.read.parquet(s"$fixturesDir/$name.parquet")
+            .select(lit(name).as("method"), col("q_id"), col("rank"), col("c_id"))
+        }.reduce(_.unionByName(_))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy(col("method"), col("q_id"))
+        .agg(min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          sum(when(col("rel") === 1, gain).otherwise(lit(0L))).as("dcg"))
+        .groupBy(col("method"))
+        .agg(
+          sum(coalesce(expr("1000000 div first_rel"), lit(0L))).as("__rr_sum"),
+          sum(expr("(dcg * 1000000) div 2948460")).as("__ndcg_sum"))
+        .crossJoin(broadcast(nq))
+        .select(col("method"),
+          expr("__rr_sum div n_queries").as("mrr_micro"),
+          expr("__ndcg_sum div n_queries").as("ndcg_micro"))
+        .orderBy(col("method"))
+    }),
+
+    // ---------------------------------------------------------------
     // INDEX HEALTH REPORT — per-list balance + measured ADC quantization
     // error of the gate-parameter index (Similarity.ivfPqIndexHealth):
     // the ops metrics that decide nProbe tuning and rebuild cadence.
@@ -4338,6 +4384,52 @@ object SparkEntry {
         |       // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS recall_permille
         |FROM approx a LEFT JOIN exact e USING (q_id, c_id)
         |GROUP BY method ORDER BY method""".stripMargin,
+
+    "ann_ranking_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+        |exact AS (
+        |  SELECT q_id, c_id FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5),
+        |approx AS (
+        |  SELECT 'ann_lsh_topk' AS method, q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_lsh_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivf_topk', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivf_topk.parquet')
+        |  UNION ALL SELECT 'ann_pq_topk', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_pq_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_topk', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_rerank', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank.parquet')
+        |  UNION ALL SELECT 'ann_ivf_topk_p8', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivf_topk_p8.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_rerank_p8', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank_p8.parquet')),
+        |perq AS (
+        |  SELECT method, a.q_id,
+        |    MIN(CASE WHEN e.c_id IS NOT NULL THEN a.rank END) AS first_rel,
+        |    SUM(CASE WHEN e.c_id IS NOT NULL THEN
+        |      CASE a.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        |                  WHEN 4 THEN 430677 WHEN 5 THEN 386853 ELSE 0 END
+        |      ELSE 0 END) AS dcg
+        |  FROM approx a LEFT JOIN exact e USING (q_id, c_id)
+        |  GROUP BY method, a.q_id)
+        |SELECT method,
+        |  CAST(SUM(COALESCE(1000000 // first_rel, 0)) // (SELECT COUNT(*) FROM q) AS BIGINT) AS mrr_micro,
+        |  CAST(SUM((dcg * 1000000) // 2948460) // (SELECT COUNT(*) FROM q) AS BIGINT) AS ndcg_micro
+        |FROM perq GROUP BY method ORDER BY method""".stripMargin,
 
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv

@@ -51,6 +51,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val ivf = planOf("ann_ivf_topk")
     assert("\\bWindow\\b".r.findAllIn(ivf).length <= 2, "ivf grew a ranking window")
     assert(ivf.contains("ObjectHashAggregate"), "ivf lost the k-bounded aggregation")
+    // the cent_id candidate join has nCentroids distinct keys — a shuffle
+    // join on it would funnel the corpus through 16 reducers; the tiny
+    // probe side must broadcast, the inverted lists stay unshuffled
+    assert(!ivf.contains("SortMergeJoin"),
+      "ivf serving must broadcast the probe side, never sort-merge the corpus")
     // pq keeps only the ksub-bounded seed window; scoring must be the
     // broadcast distance-table equi-join + k-bounded aggregation.
     val pq = planOf("ann_pq_topk")
@@ -65,6 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ivfpq.contains("ObjectHashAggregate"), "ivfpq lost the k-bounded aggregation")
     assert(!ivfpq.contains("CartesianProduct"),
       "ivfpq must equi-join candidates to codes and the broadcast ADC table")
+    assert(!ivfpq.contains("SortMergeJoin"),
+      "ivfpq serving must broadcast probes/tables, never sort-merge the corpus")
   }
 
   test("ann_cosine_topk_native: ranks through the custom plan-node pair, not a window") {
