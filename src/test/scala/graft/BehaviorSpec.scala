@@ -137,6 +137,45 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 1000000L), "exact dup pair must score 1.0")
   }
 
+  test("prefixFilterJoin: lossless on seeded random corpora across thresholds") {
+    // Randomized sweep of the lossless-pruning property: seeded corpora
+    // of overlapping word sets (so near-threshold pairs actually occur),
+    // three thresholds including awkward ones (1/3 is inexpressible in
+    // binary; .5 and .85 hit ceil boundaries). Every corpus × threshold
+    // must reproduce the dense brute-force pair set EXACTLY — missing
+    // pair = pruning bug, extra pair = verification bug.
+    val rng = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    for (trial <- 1 to 3; threshold <- Seq(1.0 / 3, 0.5, 0.85)) {
+      val docs = (1L to 12L).map { id =>
+        val n = 3 + rng.nextInt(6)
+        (id, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).distinct.mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Dedup.prefixFilterJoin(docs, col("doc_id"), col("text"), threshold, 1)
+        .select(col("id1"), col("id2"), col("jaccard_micro"))
+        .orderBy(col("id1"), col("id2"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val tMicro = math.round(threshold * 1e6)
+      val sh = Dedup.docShingles(docs, col("doc_id"), col("text"), 1)
+      val ids = docs.select(col("doc_id"))
+      val dense = ids.select(col("doc_id").as("id1"))
+        .join(ids.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+      val expect = Dedup.verifyJaccard(dense, sh)
+        .filter(col("inter") * 1000000L >= lit(tMicro) * (col("sz1") + col("sz2") - col("inter")))
+        .select(col("id1"), col("id2"),
+          ((col("inter") * 1000000L - pmod(col("inter") * 1000000L,
+              col("sz1") + col("sz2") - col("inter")))
+            / (col("sz1") + col("sz2") - col("inter"))).cast("long"))
+        .orderBy(col("id1"), col("id2"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === expect,
+        s"trial $trial t=$threshold: prefix join diverged from brute force — " +
+          s"missing ${expect.diff(got)}, extra ${got.diff(expect)}")
+      GraftCaches.unpersistAll()
+    }
+  }
+
   test("prefixFilterJoin: keeps a pair at EXACTLY the threshold (float ceil would drop it)") {
     // 1-shingles: A={a,b,c,d} (sz 4), B={a,b,c,d,e} (sz 5): J = 4/5 = 0.8.
     // With t=0.8 the exact prefix for B keeps 5-4+1=2 shingles; the
