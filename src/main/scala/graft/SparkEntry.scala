@@ -1320,6 +1320,33 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // FILTERED SEARCH, exact tier — brute-force cosine top-k restricted
+    // by a metadata predicate (label=2), the oracle-able baseline of the
+    // vector-DB "filtered search" surface. Closed-form SQL oracle.
+    "ann_filtered_exact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopKFiltered(emb.filter(col("vec_id") % 50 === 0),
+          emb, 5, col("label") === 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // FILTERED SEARCH, index tier — the same predicate applied to the
+    // IVF-PQ candidate lists BEFORE ADC scoring (post-filtering a top-k
+    // would under-fill k and waste scoring on discarded rows). Probes
+    // deepen to nProbe=8: a selective filter empties probed lists, the
+    // recall caveat every vector DB documents. Fixture-gated like the
+    // other trained-ANN variants.
+    "ann_filtered_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      Similarity.ivfPqTopKFilteredIndexed(emb.filter(col("vec_id") % 50 === 0),
+          index, emb.select(col("vec_id").as("c_id"), col("label")),
+          col("label") === 2, 5, nProbe = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // RANKING METRICS (MRR@5, nDCG@5) — the retrieval-eval complement to
     // ann_recall_report: recall ignores WHERE in the top-k the relevant
     // items land; MRR rewards the first relevant hit's position and nDCG
@@ -3742,6 +3769,27 @@ object SparkEntry {
     fixture("ann_ivfpq_rerank_p8", "q_id, rank"),
     fixture("ann_index_append", "q_id, rank"),
     fixture("ann_index_health", "metric, key"),
+    fixture("ann_filtered_search", "q_id, rank"),
+
+    "ann_filtered_exact" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE label = 2),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank,
+        |       c_id, ROUND(cos, 6) AS cos
+        |FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // save→load must not change the served ranking: the roundtrip gate's
     // oracle IS the built-index fixture
     "ann_index_roundtrip" ->

@@ -748,6 +748,38 @@ object Similarity {
         index.crossTerms, index.m)
     }
 
+  /** METADATA-FILTERED ANN over a built index — the vector-DB "filtered
+    * search" surface: top-k among only the corpus vectors whose metadata
+    * row satisfies `pred`. The filter applies to the CANDIDATE list
+    * (inverted-list ids ⋈ metadata, predicate pushed into that join)
+    * BEFORE any ADC scoring — post-filtering a top-k instead would both
+    * under-fill k and score candidates the filter was going to discard.
+    * `meta` is keyed by `c_id`; at scale it joins the (vector-free)
+    * candidate ids keyed — the raw corpus is never touched. k-bounded
+    * ranking as everywhere. Note the recall caveat every vector DB
+    * carries: a highly selective filter empties probed lists, so
+    * filtered recall needs higher nProbe (measure with
+    * [[ivfPqIndexHealth]] / the recall gate at the chosen operating
+    * point). */
+  def ivfPqTopKFilteredIndexed(queries: DataFrame, index: IvfPqIndex,
+      meta: DataFrame, pred: Column, k: Int, nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val keep = meta.filter(pred).select(col("c_id"))
+    val filtered = IvfPqIndex(index.corpus, index.centroids,
+      index.assigned.join(keep, Seq("c_id")), index.codebook, index.codes,
+      index.crossTerms, index.m)
+    ivfPqTopKIndexed(queries, filtered, k, nProbe)
+  }
+
+  /** Exact filtered search — brute-force cosine top-k restricted to the
+    * corpus rows satisfying `pred` (the oracle-able baseline of
+    * [[ivfPqTopKFilteredIndexed]], and the right tool outright when the
+    * filter is selective enough that the survivor set is small). The
+    * predicate pushes into the corpus scan before any scoring. */
+  def cosineTopKFiltered(queries: DataFrame, corpus: DataFrame, k: Int,
+      pred: Column): DataFrame =
+    cosineTopK(queries, corpus.filter(pred), k)
+
   /** INDEX HEALTH REPORT — the ops-side read on a built index that
     * decides nProbe tuning and rebuild cadence: per-inverted-list sizes
     * (a skewed list turns nProbe=4 into a half-corpus scan for queries

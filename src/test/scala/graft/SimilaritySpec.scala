@@ -203,6 +203,33 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("filtered search: probe-all filtered IVF-PQ ≡ exact filtered brute force; no predicate leaks") {
+    val vecs = (0L until 18L).map { i =>
+      (i, (i % 3).toInt, Seq.tabulate(8)(d => (((i * 5 + d * 7) % 17).toFloat - 8.0f) / 8.0f))
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val meta = emb.select(col("vec_id").as("c_id"), col("label"))
+    // probe-all + ksub >= |corpus| degenerates the quantizers, so the
+    // filtered ADC ranking must equal the filtered exact ranking
+    val index = Similarity.buildIvfPqIndex(emb, nCentroids = 3, coarseIters = 1,
+      m = 4, ksub = 18, pqIters = 0)
+    val filtered = Similarity.ivfPqTopKFilteredIndexed(queries, index, meta,
+        col("label") === 1, k = 3, nProbe = 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.cosineTopKFiltered(queries, emb, k = 3, col("label") === 1)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(filtered == exact,
+      s"filtered ADC diverged from filtered exact: ${filtered.diff(exact)} vs ${exact.diff(filtered)}")
+    // every returned candidate satisfies the predicate
+    assert(filtered.forall { case (_, _, c) => c % 3 == 1 },
+      "filtered search returned a candidate violating the predicate")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("saveIvfPqIndex → loadIvfPqIndex serves identically to the built index") {
     val vecs = (0L until 20L).map { i =>
       (i, Seq.tabulate(8)(d => (((i * 3 + d * 5) % 11).toFloat - 5.0f) / 5.0f))
