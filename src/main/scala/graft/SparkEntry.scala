@@ -103,6 +103,16 @@ object SparkEntry {
         m = 8, ksub = 16, lloydIters = 1)
       GraftCaches.unpersistAll(blocking = true)
       ()
+    }),
+    // the append gate's BASE index (trained on the 80% split) — built
+    // here so the gate's bench line measures append+serve, not a hidden
+    // training run absorbed by whichever timeOnce goes first
+    "ann_append_base_build" -> ((s: SparkSession, dir: String) => {
+      Similarity.ivfPqIndexFor(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
