@@ -31,7 +31,14 @@ object Bench {
     // whichever ANN query runs first.
     val setupTimes = SparkEntry.benchSetup.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir) catch { case _: Throwable => () }
+      // a swallowed failure here would silently move the training cost
+      // back into whichever ANN query runs first — the exact
+      // misattribution this phase exists to prevent; say so loudly
+      try fn(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] setup $name FAILED: ${e.getMessage} — " +
+          "the first dependent query line will absorb this work")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -683,7 +683,7 @@ object Dedup {
     // integer forms, so both sides implement the identical quantized
     // predicate.
     val tMicro = math.round(threshold * 1e6)
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = Exact.idiv(a, b)
     val sh = docShingles(docs, id, text, shingleK)
       .persistTracked()
     // Document frequency stays a partial-aggregated count (a window over

@@ -259,7 +259,6 @@ object Similarity {
     var centroids = c
       .orderBy(pmod(hash(col("c_id")), lit(1000000007)).asc, col("c_id").asc)
       .limit(nCentroids)
-      .orderBy(col("c_id"))
       .select((row_number().over(Window.orderBy(col("c_id"))) - 1).as("cent_id"),
         col("cv").as("centroid"))
       .localCheckpointTracked()
@@ -728,6 +727,17 @@ object Similarity {
       val nc = graft.GraftCaches.persistedArtifact(
         newVectors.select(col("vec_id").as("c_id"),
           col("embedding").cast("array<double>").as("cv")))
+      // c_id is the KEY of codes/assigned: re-adding an existing id would
+      // put 2·m code rows under one key and the serving aggregation would
+      // sum both copies' ADC terms — a silently corrupted cosine. Fail
+      // fast instead (one cheap join of the small batch against the
+      // cached id column; an update is delete+rebuild or a new id).
+      val clashes = nc.select(col("c_id"))
+        .join(index.corpus.select(col("c_id")), Seq("c_id")).count()
+      require(clashes == 0L,
+        s"ivfPqIndexAppend: $clashes appended vec_id(s) already exist in the " +
+          "index — appends must carry fresh ids (re-coding an existing id " +
+          "would double its ADC sums, not replace it)")
       // identical post-training pipeline to buildIvfPqIndex, against the
       // index's frozen quantizers
       val assignedFull = assignNearest(nc, index.centroids).persistTracked()
@@ -764,7 +774,11 @@ object Similarity {
   def ivfPqTopKFilteredIndexed(queries: DataFrame, index: IvfPqIndex,
       meta: DataFrame, pred: Column, k: Int, nProbe: Int = 4): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
-    val keep = meta.filter(pred).select(col("c_id"))
+    // distinct: a metadata table with several rows per c_id (multi-label)
+    // would otherwise duplicate inverted-list rows and DOUBLE the per-pair
+    // ADC sums downstream — one thin-column exchange buys correctness for
+    // any caller input
+    val keep = meta.filter(pred).select(col("c_id")).distinct()
     val filtered = IvfPqIndex(index.corpus, index.centroids,
       index.assigned.join(keep, Seq("c_id")), index.codebook, index.codes,
       index.crossTerms, index.m)
@@ -797,14 +811,17 @@ object Similarity {
     */
   def ivfPqIndexHealth(index: IvfPqIndex, sampleQueries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
-    def idiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = Exact.idiv(a, b)
     val lists = index.assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"))
     val listRows = lists.select(lit("list_size").as("metric"),
       col("cent_id").cast("long").as("key"), col("n").as("value"))
+    // coalesce guards the integer-only contract on degenerate inputs
+    // (empty inverted lists / empty sample → zero-row aggregates would
+    // otherwise emit NULL values)
     val imbalance = lists.agg(
-      idiv(max(col("n")) * lit(1000L) * count(lit(1)), sum(col("n"))).as("value"))
+      coalesce(idiv(max(col("n")) * lit(1000L) * count(lit(1)), sum(col("n"))),
+        lit(0L)).as("value"))
       .select(lit("imbalance_permille").as("metric"), lit(-1L).as("key"), col("value"))
     // ADC error on the sample's served shortlist: both sides in exact
     // integer micro-units (served cos is 6-dp rounded by contract)
@@ -819,7 +836,8 @@ object Similarity {
       .select(abs(col("adc_micro")
         - round(cosineFast(col("qv"), col("cv")) * 1e6).cast("long")).as("e"))
     val errRows = diffs.agg(
-        idiv(sum(col("e")), count(lit(1))).as("avg_e"), max(col("e")).as("max_e"),
+        coalesce(idiv(sum(col("e")), count(lit(1))), lit(0L)).as("avg_e"),
+        coalesce(max(col("e")), lit(0L)).as("max_e"),
         count(lit(1)).as("n_pairs"))
       .select(explode(array(
         struct(lit("adc_err_micro_avg").as("metric"), lit(-1L).as("key"), col("avg_e").as("value")),
@@ -827,6 +845,23 @@ object Similarity {
         struct(lit("adc_err_pairs").as("metric"), lit(-1L).as("key"), col("n_pairs").as("value")))).as("r"))
       .select(col("r.metric"), col("r.key"), col("r.value"))
     listRows.unionByName(imbalance).unionByName(errRows)
+  }
+
+  /** Release ONE index generation's DATA-tier caches (corpus, inverted
+    * lists, codes) without touching the quantizer frames it SHARES with
+    * successor generations ([[ivfPqIndexAppend]] reuses centroids /
+    * codebook / cross-terms). The daily-append pattern in a long-lived
+    * session: `g2 = ivfPqIndexAppend(g1, batch)`, materialize g2's first
+    * result, then `releaseIndexData(g1)` — otherwise every superseded
+    * generation keeps a full corpus copy pinned in the artifact tier, and
+    * the only other lever (`GraftCaches.releaseArtifacts()`) drops
+    * EVERYTHING including the live index and the memos. Unpersist is
+    * idempotent, so the artifact registry's own later release of the same
+    * frames is harmless. */
+  def releaseIndexData(index: IvfPqIndex, blocking: Boolean = false): Unit = {
+    index.corpus.unpersist(blocking)
+    index.assigned.unpersist(blocking)
+    index.codes.unpersist(blocking)
   }
 
   /** Build-once memo over [[buildIvfPqIndex]]: one trained index per
@@ -863,17 +898,18 @@ object Similarity {
     val m = index.m
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    // probe frame: per (q, probed cent) — dot(q, u), ‖u‖², ‖q‖ ride along
+    // probe frame: per (q, probed cent) — dot(q, u), ‖u‖², ‖q‖ ride
+    // along. NOT persisted: it has exactly one consumer below, and a
+    // tracked cache here would leak one dead frame per micro-batch in a
+    // long-lived serving stream (AnnServing) that never reaches a
+    // between-queries unpersistAll.
     val probes = probeCentroids(q, index.centroids, nProbe)
       .join(broadcast(index.centroids), Seq("cent_id"))
       .select(col("q_id"), col("cent_id"),
         sqrt(dotp(col("qv"), col("qv"))).as("qnorm"),
         round(dotp(col("qv"), col("centroid")) * 1e9).cast("long").as("qu_e9"),
-        round(dotp(col("centroid"), col("centroid")) * 1e9).cast("long").as("un2_e9"),
-        col("qv"))
-      .persistTracked()
-    val candidates = probes.select(col("q_id"), col("cent_id"),
-        col("qnorm"), col("qu_e9"), col("un2_e9"))
+        round(dotp(col("centroid"), col("centroid")) * 1e9).cast("long").as("un2_e9"))
+    val candidates = probes
       .join(index.assigned, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
     // per-query table: dot(q_sub, codeword) per (sub, code)

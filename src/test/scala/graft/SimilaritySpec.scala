@@ -288,6 +288,19 @@ class SimilaritySpec extends AnyFunSuite {
     for (j <- 0 until 6)
       assert(sig(served(j + 100L)) == sig(j.toLong),
         s"twin ${j + 100}'s top-1 ${served(j + 100L)} is not ADC-equal to its duplicate $j")
+    // generation rollover: releasing the SUPERSEDED generation's data
+    // caches must leave the grown index fully serviceable (shared
+    // quantizer frames untouched; unpinned data recomputes from lineage)
+    Similarity.releaseIndexData(built, blocking = true)
+    val reServed = Similarity.ivfPqTopKIndexed(twins, grown, k = 1, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(reServed == served,
+      "grown index must serve identically after the old generation's release")
+    // appending a CLASHING id must fail fast, not corrupt ADC sums
+    val clash = Seq((3L, base(3)._2)).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(grown, clash)
+    }
     graft.GraftCaches.unpersistAll()
     graft.GraftCaches.releaseArtifacts()
   }
