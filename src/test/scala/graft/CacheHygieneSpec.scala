@@ -19,10 +19,14 @@ class CacheHygieneSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // the round-6 audit targets (shared-intermediate pipelines) plus the
-  // two ANN training paths (localCheckpoint chains + the artifact index)
+  // the round-6 audit targets (shared-intermediate pipelines), the two
+  // ANN training paths (localCheckpoint chains + the artifact index),
+  // and the index-LIFECYCLE gates — roundtrip loads a fresh artifact set
+  // per call and append unions new artifact generations, so they are the
+  // likeliest accumulation paths in a long-lived session
   private val heavyBatch = Seq("chunk_dup_stats", "sim_prefix_join",
-    "source_dup_matrix", "ann_pq_topk", "ann_ivfpq_topk")
+    "source_dup_matrix", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_index_roundtrip", "ann_index_append")
 
   /** Run one query exactly as Bench/Verify do: materialize through the
     * noop sink, then release the working tier. */
