@@ -55,24 +55,37 @@ object Bench {
     // name-sorted execution: Map iteration order reshuffles whenever a
     // query is added, which moves every query's predecessor (and the GC /
     // cache state it inherits) — sorted order keeps round-over-round
-    // timings comparable per query
+    // timings comparable per query.
+    // CONTENTION-PROOF RECORDS: min-of-2 reports the engine's cost, not
+    // the neighbours' — but when the two back-to-back samples disagree
+    // by >2×, that's a shared-VM interference window, and a min alone
+    // makes the contended run of ANOTHER record look like a plan
+    // regression. So: take a THIRD sample on >2× disagreement, and
+    // record {min, max, n} per query — a noisy window is then visible
+    // IN the record instead of as an unexplained cross-record delta.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      var samples = List(timeOnce(fn), timeOnce(fn))
+      if (samples.max / samples.min > 2.0) samples = timeOnce(fn) :: samples
+      name -> ((samples.min, samples.max, samples.length))
+    }
+    val qs = results.map { case (k, (mn, _, _)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, (mn, mx, n)) =>
+      f""""$k":{"min":$mn%.6f,"max":$mx%.6f,"n":$n}""" }
       .mkString("{", ",", "}")
     val setup = setupTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setup,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"setup":$setup,"sf":"$sfDir"}""")
     // Durable per-query timing map (name-sorted, one entry per line) — the
     // driver archives only a truncated tail of stdout, which made round-
     // over-round regressions unattributable without tail archaeology.
     // Full sf0.1 runs only: an arg-restricted spot-bench or a smoke run at
     // another SF must not clobber the last complete sf0.1 record.
     if (args.isEmpty && sfDir.contains("sf0.1")) {
-      val sorted = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => f"""  "$k": $v%.6f""" } ++
+      val sorted = results
+        .map { case (k, (mn, mx, n)) =>
+          f"""  "$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n}""" } ++
         setupTimes.map { case (k, v) => f"""  "setup:$k": $v%.6f""" }
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"),
         sorted.mkString("{\n", ",\n", "\n}\n"))

@@ -62,6 +62,15 @@ object SparkEntry {
 
   private def q(name: String): (SparkSession, String) => DataFrame = queries(name)
 
+  /** Save path for the roundtrip gate's index: keyed by PID (two harness
+    * processes must not race on one directory) and by the sf-dir (a
+    * process verifying one SF then benching another must not serve the
+    * stale index). */
+  private def savedIndexPath(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpq_index_rt_${ProcessHandle.current().pid()}_" +
+        (sfDir.hashCode & 0x7fffffff).toString).getAbsolutePath
+
   /** BENCH SETUP PHASE — runs once before the timed query loop, each
     * entry timed and reported under `setup` in the bench JSON (never
     * mixed into the per-query lines). Two jobs:
@@ -111,6 +120,29 @@ object SparkEntry {
       Similarity.ivfPqIndexFor(
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
         nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // scale-adaptive geometry build (nCentroids ≈ √N, sampled training) —
+    // the ann_auto_geometry line then measures serving at the derived
+    // operating point
+    "ann_auto_index_build" -> ((s: SparkSession, dir: String) => {
+      Similarity.ivfPqAutoIndexFor(Tables.embeddings(s, dir))
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // parquet save of the roundtrip gate's index (build resolves through
+    // the memo — already trained above): the ann_index_roundtrip query
+    // line then measures LOAD+SERVE, the serving-job shape, with the
+    // one-time save cost attributed here
+    "ann_index_save" -> ((s: SparkSession, dir: String) => {
+      val path = savedIndexPath(dir)
+      if (!new java.io.File(path, "meta").isDirectory) {
+        Similarity.saveIvfPqIndex(
+          Similarity.ivfPqIndexFor(Tables.embeddings(s, dir),
+            nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1),
+          path)
+      }
       GraftCaches.unpersistAll(blocking = true)
       ()
     }))
@@ -1291,20 +1323,25 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // INDEX PERSISTENCE ROUNDTRIP — the production artifact lifecycle:
-    // the memoized gate-parameter index is SAVED to parquet, LOADED back
-    // (fresh artifact frames, no retraining), and served. The oracle is
-    // the committed ann_ivfpq_topk fixture itself: save→load must change
-    // NOTHING about the served ranking (integer ADC terms + id
-    // tie-breaks make it storage-partitioning-independent), so this gate
-    // hard-pins loaded-serving ≡ built-serving row for row.
+    // the memoized gate-parameter index is SAVED to parquet once per
+    // process (Bench does it in its setup phase as `ann_index_save`, so
+    // this query line measures LOAD+SERVE only; Verify saves lazily on
+    // first call), LOADED back (fresh artifact frames, no retraining),
+    // and served. The save path is keyed by PID and sf-dir: two harness
+    // processes on one machine previously raced on a fixed tmpdir path —
+    // one overwriting while the other loads. The oracle is the committed
+    // ann_ivfpq_topk fixture itself: save→load must change NOTHING about
+    // the served ranking (integer ADC terms + id tie-breaks make it
+    // storage-partitioning-independent), so this gate hard-pins
+    // loaded-serving ≡ built-serving row for row.
     "ann_index_roundtrip" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      val built = Similarity.ivfPqIndexFor(emb,
-        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_ivfpq_index_rt").getAbsolutePath
-      Similarity.saveIvfPqIndex(built, path)
+      val path = savedIndexPath(dir)
+      if (!new java.io.File(path, "meta").isDirectory) {
+        Similarity.saveIvfPqIndex(Similarity.ivfPqIndexFor(emb,
+          nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1), path)
+      }
       val loaded = Similarity.loadIvfPqIndex(s, path)
       Similarity.ivfPqTopKIndexed(queries, loaded, 5, nProbe = 4)
         .orderBy(col("q_id"), col("rank"))
@@ -1354,6 +1391,116 @@ object SparkEntry {
           index, emb.select(col("vec_id").as("c_id"), col("label")),
           col("label") === 2, 5, nProbe = 8)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // FILTERED RECALL at the gate's operating point — the committed
+    // filtered-indexed ranking (ann_filtered_search fixture: nProbe=8,
+    // label=2) measured against the filtered-EXACT ranking recomputed
+    // live. The docs warn that selective filters empty probed lists; this
+    // gate makes the warning a NUMBER: whether nProbe=8 actually holds
+    // recall under the label=2 filter (~1/4 selectivity) is recorded,
+    // not asserted. Same honest denominator as ann_recall_report
+    // (5·|Q|, missing queries penalized).
+    "ann_filtered_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineTopKFiltered(queries, emb, 5, col("label") === 2)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val nq = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      s.read.parquet(s"$fixturesDir/ann_filtered_search.parquet")
+        .select(col("q_id"), col("c_id"))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("n_ranked"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit("ann_filtered_search").as("method"),
+          col("n_ranked"), col("n_hits"),
+          expr("(n_hits * 1000) div (5 * n_queries)").as("recall_permille"))
+    }),
+
+    // ---------------------------------------------------------------
+    // SCALE-ADAPTIVE INDEX GEOMETRY (Similarity.ivfPqTopKAuto): the
+    // geometry is DERIVED from the corpus count — nCentroids ≈ √N so
+    // inverted lists stay √N-bounded, nProbe ≈ √nCentroids to hold the
+    // recall operating point, quantizers trained on a deterministic
+    // 128-per-centroid hash sample (assignment/coding still scan every
+    // vector once). The fixed-geometry gates pin nCentroids=16, whose
+    // per-query serving grows LINEARLY with the corpus; this entry point
+    // is the plan that survives 10⁴ → 10¹⁰ vectors (probed rows ≈ N^¾).
+    // Fixture-gated like the other trained-ANN tiers (hash-seeded
+    // training and integer ADC sums are bit-stable); recall joins the
+    // ladder in ann_operating_report.
+    "ann_auto_geometry" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqTopKAuto(queries, emb, 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // OPERATING REPORT — the one ops-facing artifact a retrieval team
+    // reads: recall@5, MRR@5, nDCG@5 per committed ANN tier (including
+    // the auto-geometry tier), the filtered-search recall at its gate
+    // operating point, and the index health summary (list imbalance,
+    // measured ADC error), all as one long-format integer table
+    // (method, metric, value). Unions the SAME integer pipelines the
+    // individual gates run — nothing new is measured, the trade-off
+    // surface is just joined into one relational result.
+    "ann_operating_report" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineTopK(queries, emb, 5)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val nq = queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      val gain = when(col("rank") === 1, 1000000L)
+        .when(col("rank") === 2, 630930L)
+        .when(col("rank") === 3, 500000L)
+        .when(col("rank") === 4, 430677L)
+        .when(col("rank") === 5, 386853L)
+        .otherwise(0L)
+      val perMethod =
+        Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+            "ann_ivfpq_rerank", "ann_ivf_topk_p8", "ann_ivfpq_rerank_p8",
+            "ann_auto_geometry")
+          .map { name =>
+            s.read.parquet(s"$fixturesDir/$name.parquet")
+              .select(lit(name).as("method"), col("q_id"), col("rank"), col("c_id"))
+          }.reduce(_.unionByName(_))
+          .join(exact, Seq("q_id", "c_id"), "left")
+          .groupBy(col("method"), col("q_id"))
+          .agg(min(when(col("hit") === 1, col("rank"))).as("first_rel"),
+            sum(when(col("hit") === 1, gain).otherwise(lit(0L))).as("dcg"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .groupBy(col("method"))
+          .agg(sum(col("hits")).as("__n_hits"),
+            sum(coalesce(expr("1000000 div first_rel"), lit(0L))).as("__rr_sum"),
+            sum(expr("(dcg * 1000000) div 2948460")).as("__ndcg_sum"))
+          .crossJoin(broadcast(nq))
+          .select(col("method"), explode(array(
+            struct(lit("recall_permille").as("metric"),
+              expr("(__n_hits * 1000) div (5 * n_queries)").as("value")),
+            struct(lit("mrr_micro").as("metric"),
+              expr("__rr_sum div n_queries").as("value")),
+            struct(lit("ndcg_micro").as("metric"),
+              expr("__ndcg_sum div n_queries").as("value")))).as("r"))
+          .select(col("method"), col("r.metric").as("metric"), col("r.value").as("value"))
+      val filteredExact = Similarity.cosineTopKFiltered(queries, emb, 5,
+          col("label") === 2)
+        .select(col("q_id"), col("c_id"), lit(1L).as("fhit"))
+      val filteredRow = s.read.parquet(s"$fixturesDir/ann_filtered_search.parquet")
+        .select(col("q_id"), col("c_id"))
+        .join(filteredExact, Seq("q_id", "c_id"), "left")
+        .agg(sum(coalesce(col("fhit"), lit(0L))).as("__n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit("ann_filtered_search").as("method"),
+          lit("filtered_recall_permille").as("metric"),
+          expr("(__n_hits * 1000) div (5 * n_queries)").as("value"))
+      val indexRows = s.read.parquet(s"$fixturesDir/ann_index_health.parquet")
+        .filter(col("metric").isin(
+          "imbalance_permille", "adc_err_micro_avg", "adc_err_micro_max"))
+        .select(lit("index").as("method"), col("metric"), col("value"))
+      perMethod.unionByName(filteredRow).unionByName(indexRows)
+        .orderBy(col("method"), col("metric"))
     }),
 
     // ---------------------------------------------------------------
@@ -3780,6 +3927,7 @@ object SparkEntry {
     fixture("ann_index_append", "q_id, rank"),
     fixture("ann_index_health", "metric, key"),
     fixture("ann_filtered_search", "q_id, rank"),
+    fixture("ann_auto_geometry", "q_id, rank"),
 
     "ann_filtered_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
@@ -3804,6 +3952,106 @@ object SparkEntry {
     // oracle IS the built-index fixture
     "ann_index_roundtrip" ->
       s"SELECT * FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet') ORDER BY q_id, rank",
+
+    // filtered recall: the committed filtered-indexed ranking scored
+    // against the filtered-exact ranking recomputed from first principles
+    "ann_filtered_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE label = 2),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+        |exact AS (
+        |  SELECT q_id, c_id FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5)
+        |SELECT 'ann_filtered_search' AS method, COUNT(*) AS n_ranked,
+        |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+        |       // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS recall_permille
+        |FROM read_parquet('$fixturesDir/ann_filtered_search.parquet') a
+        |LEFT JOIN exact e USING (q_id, c_id)""".stripMargin,
+
+    // operating report: recall/MRR/nDCG per tier + filtered recall +
+    // index health summary, one long-format integer table
+    "ann_operating_report" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, c_id,
+        |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |      THEN 0.0
+        |      ELSE list_sum(list_transform(list_zip(qv, cv),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |              * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      END AS cos
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+        |exact AS (
+        |  SELECT q_id, c_id FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5),
+        |approx AS (
+        |  SELECT 'ann_lsh_topk' AS method, q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_lsh_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivf_topk', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivf_topk.parquet')
+        |  UNION ALL SELECT 'ann_pq_topk', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_pq_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_topk', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_rerank', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank.parquet')
+        |  UNION ALL SELECT 'ann_ivf_topk_p8', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivf_topk_p8.parquet')
+        |  UNION ALL SELECT 'ann_ivfpq_rerank_p8', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_ivfpq_rerank_p8.parquet')
+        |  UNION ALL SELECT 'ann_auto_geometry', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_auto_geometry.parquet')),
+        |perq AS (
+        |  SELECT method, a.q_id,
+        |    MIN(CASE WHEN e.c_id IS NOT NULL THEN a.rank END) AS first_rel,
+        |    SUM(CASE WHEN e.c_id IS NOT NULL THEN
+        |      CASE a.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        |                  WHEN 4 THEN 430677 WHEN 5 THEN 386853 ELSE 0 END
+        |      ELSE 0 END) AS dcg,
+        |    SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        |  FROM approx a LEFT JOIN exact e USING (q_id, c_id)
+        |  GROUP BY method, a.q_id),
+        |pm AS (
+        |  SELECT method,
+        |    CAST((SUM(hits) * 1000) // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS recall_permille,
+        |    CAST(SUM(COALESCE(1000000 // first_rel, 0)) // (SELECT COUNT(*) FROM q) AS BIGINT) AS mrr_micro,
+        |    CAST(SUM((dcg * 1000000) // 2948460) // (SELECT COUNT(*) FROM q) AS BIGINT) AS ndcg_micro
+        |  FROM perq GROUP BY method),
+        |fscored AS (
+        |  SELECT q_id, c_id, cos FROM scored
+        |  WHERE c_id IN (SELECT vec_id FROM embeddings WHERE label = 2)),
+        |fexact AS (
+        |  SELECT q_id, c_id FROM fscored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5),
+        |frow AS (
+        |  SELECT 'ann_filtered_search' AS method, 'filtered_recall_permille' AS metric,
+        |    CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+        |         // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS value
+        |  FROM read_parquet('$fixturesDir/ann_filtered_search.parquet') a
+        |  LEFT JOIN fexact e USING (q_id, c_id))
+        |SELECT method, metric, value FROM (
+        |  SELECT method, 'recall_permille' AS metric, recall_permille AS value FROM pm
+        |  UNION ALL SELECT method, 'mrr_micro', mrr_micro FROM pm
+        |  UNION ALL SELECT method, 'ndcg_micro', ndcg_micro FROM pm
+        |  UNION ALL SELECT method, metric, value FROM frow
+        |  UNION ALL SELECT 'index' AS method, metric, value
+        |    FROM read_parquet('$fixturesDir/ann_index_health.parquet')
+        |    WHERE metric IN ('imbalance_permille', 'adc_err_micro_avg', 'adc_err_micro_max'))
+        |ORDER BY method, metric""".stripMargin,
 
     "neardup_clusters" ->
       s"""WITH RECURSIVE e AS (

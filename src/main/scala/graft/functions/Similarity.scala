@@ -180,12 +180,15 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: k-means-lite centroids via DataFrame-only
-    * Lloyd iterations (deterministic seeding from every `stride`-th
-    * vector), corpus assigned to its nearest centroid once, queries probe
-    * only the `nProbe` nearest centroid lists. At scale the corpus
-    * partitions by centroid id (the "inverted file"), centroids broadcast,
-    * and a query touches nProbe/k of the data. All arithmetic is
-    * higher-order-function column math — no UDFs, no MLlib.
+    * Lloyd iterations (deterministically seeded by the nCentroids rows
+    * smallest in `(murmur3(c_id), c_id)` order — hash order spreads seeds
+    * uniformly over ANY id distribution, where the earlier every-stride-th
+    * scheme collapsed to zero seeds on filtered corpora; see
+    * [[trainCoarseCentroids]]), corpus assigned to its nearest centroid
+    * once, queries probe only the `nProbe` nearest centroid lists. At
+    * scale the corpus partitions by centroid id (the "inverted file"),
+    * centroids broadcast, and a query touches nProbe/k of the data. All
+    * arithmetic is higher-order-function column math — no UDFs, no MLlib.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame =
@@ -631,12 +634,29 @@ object Similarity {
     * plan no training jobs. */
   def buildIvfPqIndex(corpus: DataFrame, nCentroids: Int = 16,
       coarseIters: Int = 2, m: Int = 8, ksub: Int = 16,
-      pqIters: Int = 2): IvfPqIndex = graft.GraftCaches.inArtifactScope {
+      pqIters: Int = 2): IvfPqIndex =
+    buildIvfPqIndex(corpus, nCentroids, coarseIters, m, ksub, pqIters, None)
+
+  /** [[buildIvfPqIndex]] with an optional TRAINING SAMPLE predicate over
+    * `c_id`: when set, ONLY rows satisfying it feed the coarse-centroid
+    * and PQ-codebook Lloyd iterations — assignment and coding still cover
+    * the full corpus. This is how a 100-TB build bounds training cost:
+    * k-means needs only O(10²) vectors per centroid to converge (FAISS
+    * trains on a capped sample by default), so the quantizers train on a
+    * deterministic hash-sampled slice while the linear-cost
+    * assignment/coding pass — the part that MUST see every vector — scans
+    * the corpus exactly once. `trainSample = None` reproduces the
+    * full-corpus training bit for bit (the committed gate fixtures). */
+  def buildIvfPqIndex(corpus: DataFrame, nCentroids: Int,
+      coarseIters: Int, m: Int, ksub: Int,
+      pqIters: Int, trainSample: Option[Column]): IvfPqIndex =
+      graft.GraftCaches.inArtifactScope {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = graft.GraftCaches.persistedArtifact(
       corpus.select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("cv")))
-    val centroids = trainCoarseCentroids(c, nCentroids, coarseIters)
+    val cTrain = trainSample.map(c.filter).getOrElse(c)
+    val centroids = trainCoarseCentroids(cTrain, nCentroids, coarseIters)
     // build-scoped: (cent_id, c_id, cv) feeds both the inverted lists and
     // the residuals; only the vector-free list persists beyond the build
     val assignedFull = assignNearest(c, centroids).persistTracked()
@@ -647,7 +667,11 @@ object Similarity {
       .select(col("c_id"),
         zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
     val csub = pqSubVectors(resid, m).persistTracked()
-    val codebook = trainPqCodebook(c, csub, ksub, pqIters)
+    // codebook seeds draw from the SAMPLED ids so every seed row exists in
+    // the sampled per-subspace stream (a seed outside the sample would
+    // silently drop a codebook entry)
+    val codebook = trainPqCodebook(cTrain,
+      trainSample.map(csub.filter).getOrElse(csub), ksub, pqIters)
     val codes = graft.GraftCaches.persistedArtifact(
       assignNearestSub(csub, codebook)
         .select(col("c_id"), col("sub"), col("code")))
@@ -732,6 +756,16 @@ object Similarity {
       // sum both copies' ADC terms — a silently corrupted cosine. Fail
       // fast instead (one cheap join of the small batch against the
       // cached id column; an update is delete+rebuild or a new id).
+      // The same hazard exists WITHIN the batch: two batch rows sharing a
+      // vec_id pass the corpus join yet union in twice, doubling ADC sums
+      // identically — so intra-batch uniqueness is checked first (a
+      // groupBy on the small batch only, never a corpus scan).
+      val batchDups = nc.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      require(batchDups == 0L,
+        s"ivfPqIndexAppend: $batchDups vec_id(s) appear more than once in " +
+          "the append batch — duplicate ids would sum both copies' ADC " +
+          "terms into one corrupted cosine; dedup the batch first")
       val clashes = nc.select(col("c_id"))
         .join(index.corpus.select(col("c_id")), Seq("c_id")).count()
       require(clashes == 0L,
@@ -812,8 +846,15 @@ object Similarity {
   def ivfPqIndexHealth(index: IvfPqIndex, sampleQueries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
     def idiv(a: Column, b: Column): Column = Exact.idiv(a, b)
-    val lists = index.assigned.groupBy(col("cent_id"))
-      .agg(count(lit(1)).as("n"))
+    // LEFT-join the centroid ids so centroids with ZERO members still emit
+    // list_size=0 and enter the imbalance max/mean: deriving lists from
+    // assigned.groupBy alone would drop empty lists and average over the
+    // non-empty ones only — understating skew precisely when training
+    // degenerated (the case the report exists to catch)
+    val lists = index.centroids.select(col("cent_id"))
+      .join(index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n0")),
+        Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("n0"), lit(0L)).as("n"))
     val listRows = lists.select(lit("list_size").as("metric"),
       col("cent_id").cast("long").as("key"), col("n").as("value"))
     // coalesce guards the integer-only contract on degenerate inputs
@@ -884,6 +925,79 @@ object Similarity {
       nCentroids, coarseIters, m, ksub, pqIters)
     indexMemo.getOrElseUpdate(key,
       buildIvfPqIndex(corpus, nCentroids, coarseIters, m, ksub, pqIters))
+  }
+
+  // ------------------------------------------------- Scale-adaptive geometry
+  /** SCALE-ADAPTIVE IVF GEOMETRY — the production sizing rule. A FIXED
+    * nCentroids is the one way an IVF index silently stops scaling: each
+    * probed inverted list holds |corpus|/nCentroids vectors, so per-query
+    * serving cost grows LINEARLY with the corpus however good the rest of
+    * the plan is. The standard rule (FAISS guidelines; Jégou et al. size
+    * nlist to √N-order) keeps lists near √N:
+    *
+    *   nCentroids = clamp(round(√N), 16, 65536)
+    *   nProbe     = max(4, round(√nCentroids))
+    *
+    * nProbe grows with √nCentroids because finer lists individually carry
+    * less of a query's true neighborhood — probing a √-growing number of
+    * them holds recall near a constant operating point (measured, not
+    * asserted: `ann_auto_geometry` joins `ann_recall_report`'s family).
+    * Probed rows per query are then nProbe·N/nCentroids ≈ N^¾ instead of
+    * the fixed-geometry N — at ×100 corpus the per-query scan shrinks
+    * ~31× vs fixed lists, and at ×10 the measured fixed-|Q| ratio drops
+    * from ~1.7× toward ~1.2× (`BENCH_sf1.json` auto_geometry_probe).
+    * The 65536 cap bounds the broadcast quantizer (64k × d doubles ≈
+    * 32 MB at d=64) — past that, production shards the coarse quantizer
+    * (IMI / HNSW-coarse), outside this engine's scope. */
+  def autoGeometry(corpusCount: Long): (Int, Int) = {
+    val nc = math.max(16L, math.min(65536L,
+      math.round(math.sqrt(corpusCount.toDouble)))).toInt
+    val np = math.max(4, math.round(math.sqrt(nc.toDouble)).toInt)
+    (nc, np)
+  }
+
+  /** Training vectors per centroid for auto-geometry builds: k-means
+    * converges with O(10²) samples per cell (FAISS warns below ~39 and
+    * caps at 256 by default); 128 keeps the Lloyd cost O(nCentroids²·128)
+    * — INDEPENDENT of corpus size — while assignment/coding still scan
+    * every vector once. */
+  val AutoTrainPerCentroid = 128
+
+  private val autoMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int, Int, Int), (IvfPqIndex, Int)]
+  graft.GraftCaches.onArtifactRelease(() => autoMemo.clear())
+
+  /** Build-once memo of the AUTO-GEOMETRY IVF-PQ index: counts the corpus
+    * (one metadata-only parquet job), derives `(nCentroids, nProbe)` from
+    * [[autoGeometry]], trains the quantizers on a deterministic
+    * hash-sample of [[AutoTrainPerCentroid]]·nCentroids vectors, and
+    * returns the built index with its recommended nProbe. Same artifact
+    * lifecycle as [[ivfPqIndexFor]]. */
+  def ivfPqAutoIndexFor(corpus: DataFrame, m: Int = 16, ksub: Int = 32,
+      coarseIters: Int = 1, pqIters: Int = 1): (IvfPqIndex, Int) = {
+    val key = (System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.semanticHash(), m, ksub, coarseIters, pqIters)
+    autoMemo.getOrElseUpdate(key, {
+      val n = corpus.count()
+      val (nc, np) = autoGeometry(n)
+      val cap = AutoTrainPerCentroid.toLong * nc
+      // deterministic hash-thresholded sample of ~cap training vectors;
+      // cap ≥ N → no predicate, training sees the full corpus
+      val trainSample =
+        if (cap >= n) None
+        else Some(pmod(hash(col("c_id")), lit(1000000)) <
+          lit(math.min(1000000L, 1000000L * cap / n + 1).toInt))
+      (buildIvfPqIndex(corpus, nc, coarseIters, m, ksub, pqIters, trainSample), np)
+    })
+  }
+
+  /** One-call auto-geometry serving: ANN top-k where the index geometry is
+    * DERIVED FROM THE CORPUS SIZE instead of pinned by the caller — the
+    * entry point that stays the right plan from 10⁴ to 10¹⁰ vectors. */
+  def ivfPqTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 16, ksub: Int = 32): DataFrame = {
+    val (index, nProbe) = ivfPqAutoIndexFor(corpus, m, ksub)
+    ivfPqTopKIndexed(queries, index, k, nProbe)
   }
 
   /** IVFADC serving path over a BUILT index (see [[ivfPqTopK]]'s scaladoc

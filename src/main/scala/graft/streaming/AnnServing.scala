@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicReference
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -25,24 +27,51 @@ import graft.functions.Similarity
   */
 object AnnServing {
 
-  private val querySchema = StructType(Seq(
+  /** Default layout of the staged query files (the float layout the
+    * fixtures use; every serving path casts to double internally). */
+  val defaultQuerySchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
   /** Serve a file-source stream of query vectors under `queryDir` against
     * `index`, appending `(q_id, rank, c_id, cos)` parquet to `outDir`.
     * `maxFilesPerTrigger = 1` makes each staged file its own micro-batch
-    * (the spec uses this to prove multi-batch composition). */
+    * (the spec uses this to prove multi-batch composition). Pass
+    * `querySchema` when the staged files use a different embedding layout
+    * (e.g. `array<double>`) — a schema mismatch on a file source reads
+    * nulls, not an error. */
   def startServingStream(spark: SparkSession, queryDir: String,
       index: Similarity.IvfPqIndex, k: Int, nProbe: Int, outDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery =
+      maxFilesPerTrigger: Int = 1,
+      querySchema: StructType = defaultQuerySchema): StreamingQuery = {
+    val ref = new AtomicReference(index)
+    startServingStreamRef(spark, queryDir, ref, k, nProbe, outDir,
+      maxFilesPerTrigger, querySchema)
+  }
+
+  /** GENERATION-ROLLOVER form: the served index is read from `indexRef`
+    * at the START of each micro-batch, so an operator thread can
+    * [[Similarity.ivfPqIndexAppend]] a new generation, `indexRef.set(g2)`,
+    * and [[Similarity.releaseIndexData]] the superseded one WITHOUT
+    * stopping the stream — the daily-append serving pattern. The swap is
+    * safe mid-stream because generations share their quantizer frames
+    * (append never retrains) and `releaseIndexData` drops only the old
+    * generation's data-tier caches; a batch already executing against g1
+    * still computes correctly (unpersist does not invalidate the plan,
+    * it only drops cached blocks). StreamingSpec pins post-roll batches
+    * ≡ batch serving on the grown index, with storage back at baseline.
+    */
+  def startServingStreamRef(spark: SparkSession, queryDir: String,
+      indexRef: AtomicReference[Similarity.IvfPqIndex], k: Int, nProbe: Int,
+      outDir: String, maxFilesPerTrigger: Int = 1,
+      querySchema: StructType = defaultQuerySchema): StreamingQuery =
     spark.readStream
       .schema(querySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(queryDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.ivfPqTopKIndexed(batch, index, k, nProbe)
+        Similarity.ivfPqTopKIndexed(batch, indexRef.get(), k, nProbe)
           .write.mode("append").parquet(outDir)
         ()
       }

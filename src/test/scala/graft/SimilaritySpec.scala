@@ -301,6 +301,69 @@ class SimilaritySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Similarity.ivfPqIndexAppend(grown, clash)
     }
+    // a vec_id repeated WITHIN the batch must fail the same way — it
+    // passes the corpus-clash join yet would union two code sets under
+    // one key, the identical doubled-ADC corruption
+    val intra = Seq((300L, base(0)._2), (300L, base(1)._2))
+      .toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(grown, intra)
+    }
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
+  test("autoGeometry: √N centroids clamped to [16, 65536], √nc probes") {
+    assert(Similarity.autoGeometry(100L) == ((16, 4)))          // floor clamp
+    assert(Similarity.autoGeometry(10000L) == ((100, 10)))
+    assert(Similarity.autoGeometry(1000000L) == ((1000, 32)))
+    assert(Similarity.autoGeometry(10000000000L) == ((65536, 256))) // cap
+  }
+
+  test("ivfPqTopKAuto ≡ explicit build at the derived geometry (full training under the sample cap)") {
+    val vecs = (0L until 400L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 13 + d * 7) % 19).toFloat - 9.0f) / 9.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val auto = Similarity.ivfPqTopKAuto(queries, emb, 3, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val (nc, np) = Similarity.autoGeometry(400L) // (20, 4); 128·20 ≥ 400 → full training
+    val ix = Similarity.buildIvfPqIndex(emb, nc, coarseIters = 1, m = 4,
+      ksub = 8, pqIters = 1)
+    val explicit = Similarity.ivfPqTopKIndexed(queries, ix, 3, np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(auto == explicit,
+      "auto-geometry serving must equal the explicit build at (√N, √nc)")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
+  test("sampled-training build: quantizers train on the hash sample, every vector still assigned and coded, deterministic") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 11 + d * 5) % 17).toFloat - 8.0f) / 8.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+    val sample = Some(pmod(hash(col("c_id")), lit(1000000)) < lit(500000)) // ~half
+    def build() = Similarity.buildIvfPqIndex(emb, 4, 1, 4, 4, 1, sample)
+    val a = build()
+    // the SAMPLE bounds training cost; assignment/coding must still cover
+    // every vector exactly once
+    assert(a.corpus.count() == 60 && a.assigned.count() == 60,
+      "full corpus must be assigned regardless of the training sample")
+    assert(a.codes.count() == 60 * 4, "every vector coded in all m subspaces")
+    val servedA = Similarity.ivfPqTopKIndexed(queries, a, 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+    val servedB = Similarity.ivfPqTopKIndexed(queries, build(), 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(servedA == servedB, "hash-sampled training must be deterministic")
     graft.GraftCaches.unpersistAll()
     graft.GraftCaches.releaseArtifacts()
   }

@@ -213,4 +213,67 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("append-while-serving: generation rollover under a live stream, superseded generation released") {
+    import java.nio.file.Files
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val qA = emb.filter(col("vec_id") % 20 === 0).select(col("vec_id"), col("embedding"))
+    val qB = emb.filter(col("vec_id") % 20 === 10).select(col("vec_id"), col("embedding"))
+    // generation 1 trains on the 80% split; the other 20% appends mid-stream
+    val g1 = Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val truthA = Similarity.ivfPqTopKIndexed(qA, g1, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val qDir = Files.createTempDirectory("ann_roll_q").toString
+    val outDir = Files.createTempDirectory("ann_roll_out").toString + "/res"
+    qA.coalesce(1).write.mode("append").parquet(qDir)
+    val ref = new java.util.concurrent.atomic.AtomicReference(g1)
+    val q = graft.streaming.AnnServing.startServingStreamRef(
+      spark, qDir, ref, k = 3, nProbe = 2, outDir)
+    try {
+      q.processAllAvailable() // batch 1 serves generation 1
+      // ROLLOVER while the stream is live: append generation 2 through the
+      // frozen quantizers, swap the served reference, release g1's
+      // data-tier caches (quantizers are shared with g2 and stay)
+      val g2 = Similarity.ivfPqIndexAppend(g1, emb.filter(col("vec_id") % 5 === 0))
+      val truthB = Similarity.ivfPqTopKIndexed(qB, g2, k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      ref.set(g2)
+      Similarity.releaseIndexData(g1, blocking = true)
+      // storage back at baseline for the superseded generation...
+      assert(g1.corpus.storageLevel == StorageLevel.NONE
+        && g1.assigned.storageLevel == StorageLevel.NONE
+        && g1.codes.storageLevel == StorageLevel.NONE,
+        "released generation must hold no data-tier cache")
+      // ...while the live generation (and the shared quantizers) stay resident
+      assert(g2.corpus.storageLevel != StorageLevel.NONE
+        && g2.codes.storageLevel != StorageLevel.NONE,
+        "live generation must stay resident across the roll")
+      assert(g2.centroids eq g1.centroids,
+        "generations share the frozen coarse quantizer frame")
+      qB.coalesce(1).write.mode("append").parquet(qDir)
+      q.processAllAvailable() // batch 2 serves generation 2
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // pre-roll rows ≡ batch serving on g1, post-roll rows ≡ batch
+      // serving on the GROWN index — the full output is their union
+      assert(streamed == truthA ++ truthB,
+        s"rollover stream != per-generation batch truth: " +
+          s"${streamed.diff(truthA ++ truthB)} vs ${(truthA ++ truthB).diff(streamed)}")
+      // the appended 20% really is servable post-roll: across 25 queries ×
+      // top-3, at least one result comes from appended ids (vec_id%5==0)
+      assert(truthB.exists(_._3 % 5 == 0),
+        "no appended vector reached any post-roll top-k — append not served")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }
