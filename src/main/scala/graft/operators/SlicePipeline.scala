@@ -192,10 +192,14 @@ object SlicePipeline {
       }
   }
 
-  /** Write stub-equivalent DICOM fixture files (16-bit explicit VR LE;
+  /** Write stub-equivalent DICOM fixture files (16-bit, little-endian;
     * every other file omits the preamble to exercise the force=True
-    * fallback). MultiValue tags are converted from the stub's pydicom-repr
-    * form to wire-format `a\b`.
+    * fallback, and every third file writes its dataset in IMPLICIT VR LE
+    * — the default transfer syntax `pydicom.dcmread(force=True)` accepts
+    * — so the m3/b1 gates run both wire formats through one decode path,
+    * including the headerless-implicit combination that exercises the
+    * reader's VR sniffing). MultiValue tags are converted from the stub's
+    * pydicom-repr form to wire-format `a\b`.
     *
     * Idempotent and concurrent-safe against a SHARED fixture dir: each file
     * is written to a per-writer temp name then ATOMIC_MOVE'd into place
@@ -207,7 +211,10 @@ object SlicePipeline {
     * identical deterministic content — so either interleaving is safe. */
   def writeDicomFixtures(spark: SparkSession, nImages: Int, dir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val marker = Paths.get(dir, s"_COMPLETE_$nImages")
+    // marker carries a format version: v2 = implicit-VR files present —
+    // a dir written by an older build regenerates instead of silently
+    // serving the single-format fixture set
+    val marker = Paths.get(dir, s"_COMPLETE_${nImages}_v2")
     if (Files.exists(marker)) return
     new java.io.File(dir).mkdirs()
     spark.range(nImages.toLong).toDF("id").foreachPartition {
@@ -221,7 +228,8 @@ object SlicePipeline {
             else v)
           }
           val bytes = graft.sources.Dicom.encode(
-            wireTags, img.h, img.w, img.pixels, withPreamble = id % 2 == 0)
+            wireTags, img.h, img.w, img.pixels, withPreamble = id % 2 == 0,
+            implicitDataset = id % 3 == 2)
           val tmp = Files.createTempFile(Paths.get(dir), s".${img.fileName}", ".tmp")
           Files.write(tmp, bytes)
           Files.move(tmp, Paths.get(dir, img.fileName),

@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   * 10·pairs(×1). (Mere tail-salting would leave copies ~0.95-similar
   * and hand every doc ~45 cross-copy LSH pairs: a quadratic workload
   * change masquerading as super-linear operator scaling.) Embedding
-  * vectors replicate as-is (ANN cost depends on corpus size, not
-  * vector values).
+  * copies k>0 are PERTURBED deterministically (±0.1 per dimension from
+  * murmur3(vec_id, dim, copy)): exact clones would make every scaled-
+  * corpus query's true top-k its own duplicates, so ANN recall at scale
+  * would read a meaningless 1000‰ — perturbation keeps the corpus
+  * geometry realistic while serving cost still depends only on corpus
+  * size.
   *
   * Output is derived bench scaffolding under target/ (not committed,
   * not read by any correctness gate — the oracles never see it).
   *
   * {{{ sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 target/testdata-sf1 10" }}}
+  *
+  * Optional 4th arg: comma-separated table subset (e.g. `embeddings`) —
+  * an embeddings-only ×100 directory for the ANN geometry probe costs
+  * ~50 MB instead of replicating lineitem ×100.
   */
 object ScaleGen {
   private val OFF = 10000000L
@@ -41,11 +49,15 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+
     def t(name: String) = spark.read.parquet(s"$in/$name.parquet")
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalegen] $name -> $out/$name.parquet")
-    }
+    def write(df: DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scalegen] $name -> $out/$name.parquet")
+      }
     /** Union N copies, shifting the named key columns by k·OFF each. */
     def rep(df: DataFrame, keys: Seq[String]): DataFrame =
       (0 until n).map { k =>
@@ -72,7 +84,18 @@ object ScaleGen {
             transform(split(col("text"), " "), w => concat(w, lit(s"q$k"))), " "))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_.unionByName(_)), "documents")
-    write(rep(t("embeddings"), Seq("vec_id")), "embeddings")
+    // copies k>0 perturb each component by a deterministic ±0.1 derived
+    // from murmur3(vec_id, dim, copy): no exact clones (which would make
+    // scaled-corpus ANN recall degenerate), same corpus size scaling
+    write((0 until n).map { k =>
+      val base = t("embeddings").withColumn("vec_id", col("vec_id") + lit(k * OFF))
+      if (k == 0) base
+      else base.withColumn("embedding",
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => (x + (pmod(hash(col("vec_id"), d, lit(k)), lit(2001))
+            - lit(1000)).cast("float") / lit(10000.0f)).cast("float")))
+    }.reduce(_.unionByName(_)), "embeddings")
     spark.stop()
   }
 }

@@ -24,9 +24,11 @@ class CacheHygieneSpec extends AnyFunSuite {
   // and the index-LIFECYCLE gates — roundtrip loads a fresh artifact set
   // per call and append unions new artifact generations, so they are the
   // likeliest accumulation paths in a long-lived session
+  // (ann_auto_geometry covers the auto-memo path — counts the corpus,
+  // builds at derived geometry with sampled training, memoizes)
   private val heavyBatch = Seq("chunk_dup_stats", "sim_prefix_join",
     "source_dup_matrix", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_index_roundtrip", "ann_index_append")
+    "ann_index_roundtrip", "ann_index_append", "ann_auto_geometry")
 
   /** Run one query exactly as Bench/Verify do: materialize through the
     * noop sink, then release the working tier. */

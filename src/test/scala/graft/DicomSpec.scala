@@ -28,6 +28,37 @@ class DicomSpec extends AnyFunSuite {
     assert(d.pixels.sameElements(px) && d.tags("PatientID") == "patient_7")
   }
 
+  test("implicit VR LE: meta-declared dataset round-trips exactly") {
+    val bytes = Dicom.encode(fixtureTags, 32, 32, px, implicitDataset = true)
+    val d = Dicom.decode(bytes).get
+    assert(d.rows == 32 && d.cols == 32)
+    assert(d.pixels.sameElements(px))
+    fixtureTags.foreach { case (k, v) => assert(d.tags(k) == v, k) }
+    // implicit really is on the wire: the explicit encoding differs
+    assert(!bytes.sameElements(Dicom.encode(fixtureTags, 32, 32, px)))
+  }
+
+  test("implicit VR LE without preamble: VR sniffing picks the right parse") {
+    val bytes = Dicom.encode(fixtureTags, 32, 32, px,
+      withPreamble = false, implicitDataset = true)
+    val d = Dicom.decode(bytes).get
+    assert(d.pixels.sameElements(px) && d.tags("PatientID") == "patient_7")
+    assert(d.tags("WindowCenter") == "1040\\1050")
+  }
+
+  test("implicit and explicit encodings of one image decode identically") {
+    val variants = Seq(
+      Dicom.encode(fixtureTags, 32, 32, px),
+      Dicom.encode(fixtureTags, 32, 32, px, withPreamble = false),
+      Dicom.encode(fixtureTags, 32, 32, px, implicitDataset = true),
+      Dicom.encode(fixtureTags, 32, 32, px, withPreamble = false, implicitDataset = true))
+    val decoded = variants.map(Dicom.decode(_).get)
+    decoded.foreach { d =>
+      assert(d.tags == decoded.head.tags)
+      assert(d.pixels.sameElements(decoded.head.pixels))
+    }
+  }
+
   test("garbage and truncated input decode to None (drop-on-failure C3)") {
     assert(Dicom.decode(Array[Byte](1, 2, 3)).isEmpty)
     val good = Dicom.encode(fixtureTags, 32, 32, px)

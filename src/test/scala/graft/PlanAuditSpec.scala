@@ -72,6 +72,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "ivfpq must equi-join candidates to codes and the broadcast ADC table")
     assert(!ivfpq.contains("SortMergeJoin"),
       "ivfpq serving must broadcast probes/tables, never sort-merge the corpus")
+    // the auto-geometry tier must serve through the IDENTICAL plan shape
+    // at the derived (√N, √nc) operating point — deriving the geometry
+    // from a corpus count buys nothing if it changes the physical plan
+    val auto = planOf("ann_auto_geometry")
+    assert("\\bWindow\\b".r.findAllIn(auto).length <= 3, "auto-geometry grew a ranking window")
+    assert(auto.contains("ObjectHashAggregate"), "auto-geometry lost the k-bounded aggregation")
+    assert(!auto.contains("CartesianProduct") && !auto.contains("SortMergeJoin"),
+      "auto-geometry serving must broadcast probes/tables like the fixed tier")
   }
 
   test("ann_cosine_topk_native: ranks through the custom plan-node pair, not a window") {

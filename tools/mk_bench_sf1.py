@@ -1,0 +1,100 @@
+import json, math, re
+
+def load(tag):
+    raw = open(f'/tmp/bench_{tag}.json').read()
+    return json.loads(raw.split('[info] ', 1)[1] if '[info]' in raw else raw)
+
+b01, b1, b3 = load('sf0.1'), load('testdata-sf1'), load('testdata-sf3')
+
+causes = {
+    "ann_auto_geometry": "gate query set grows with the corpus; geometry derives from N (nc=45/141/245, np=7/12/16) so probed rows per query stay ~N^0.75 — compare ann_ivfpq_topk's fixed geometry",
+    "ann_cosine_topk": "brute tier is O(|Q|*|C|) by definition (gate-only baseline); fixed job overhead dominates at these corpus sizes",
+    "ann_filtered_search": "filtered candidates scale with corpus x query growth like the unfiltered gate, minus the filter's selectivity",
+    "ann_index_append": "append batch is 20% of the corpus, so Nx corpus = Nx batch: assignment+coding are linear in the batch",
+    "ann_index_health": "sample query set grows with the corpus like the serving gates; list-size rollup is linear",
+    "ann_index_roundtrip": "load+serve of all six member frames (save moved to the ann_index_save setup line in r8) - IO linear in index size by design",
+    "ann_ivfpq_rerank": "|Q| grows with the corpus and the rerank stage is |Q|*rerank exact pairs -> linear",
+    "ann_ivfpq_topk": "gate's query set scales WITH the corpus (vec_id%50): Nx queries x Nx probed candidates at fixed nc=16. Fixed-|Q| production probe: see auto_geometry_probe - auto geometry serves 1.9x faster at x100 with parity recall",
+}
+
+queries = {}
+for q in sorted(b01['queries']):
+    if q not in b1['queries'] or q not in b3['queries']:
+        continue
+    t0, t1, t3 = b01['queries'][q], b1['queries'][q], b3['queries'][q]
+    row = {
+        'sf0.1_sec': round(t0, 3), 'sf1_sec': round(t1, 3), 'sf3_sec': round(t3, 3),
+        'ratio_x10': round(t1 / t0, 2), 'ratio_x30': round(t3 / t0, 2),
+        'exponent_x10': round(math.log10(t1 / t0), 2),
+        'exponent_x30': round(math.log(t3 / t0) / math.log(30), 2),
+    }
+    if q in causes:
+        row['cause'] = causes[q]
+    queries[q] = row
+
+builds = {}
+for s in b01['setup']:
+    if s == 'vector_path_warmup':
+        continue
+    builds[s] = {'sf0.1': round(b01['setup'][s], 2),
+                 'sf1': round(b1['setup'][s], 2),
+                 'sf3': round(b3['setup'][s], 2)}
+
+# geometry probe rows from /tmp/scaleprobe2.log
+probe = {}
+pat = re.compile(r'PROBE (\S+) N=(\d+) \|Q\|=(\d+) (fixed|auto) nc=(\d+) np=(\d+) build=([\d.]+)s serve=([\d.]+)s recall_permille=(\d+)')
+for line in open('/tmp/scaleprobe2.log'):
+    m = pat.search(line)
+    if not m:
+        continue
+    d, n, nq, geom, nc, np_, bld, srv, rec = m.groups()
+    scale = {'2000': 'x1', '20000': 'x10', '60000': 'x30', '200000': 'x100'}[n]
+    probe.setdefault(scale, {'corpus': int(n)})[geom] = {
+        'nCentroids': int(nc), 'nProbe': int(np_),
+        'build_sec': float(bld), 'serve_sec': float(srv),
+        'recall_permille': int(rec),
+        'probed_rows_per_query': int(np_) * (int(n) // int(nc)),
+    }
+
+out = {
+    'dataset': {
+        'base': '/root/testdata/sf0.1',
+        'derived': 'target/testdata-sf1 (x10), target/testdata-sf3 (x30), target/testdata-sf100 (x100, embeddings only) - regenerated r8 with PERTURBED embedding copies (deterministic +-0.1/dim from murmur3(vec_id,dim,copy)): exact clones made scaled-corpus ANN recall a meaningless 1000 permille',
+        'rows': {'documents_x10': 50000, 'embeddings_x10': 20000, 'lineitem_x10': 6000000,
+                 'embeddings_x30': 60000, 'embeddings_x100': 200000},
+    },
+    'note': ('Scale validation on derived x10/x30 datasets (graft.tools.ScaleGen over the driver sf0.1 tables: '
+             'region/nation constant per the TPC-H model, other tables replicated with deterministic key offsets; '
+             'document text lexically disjoint per copy so dup/similarity pair structure scales exactly linearly; '
+             'embedding copies perturbed so ANN recall at scale is meaningful). Bench protocol identical to BENCH '
+             '(min-of-2, noop sink, blocking cache release). exponent_x10 = log10(t_x10/t_x1); '
+             'exponent_x30 = log30(t_x30/t_x1); 1.0 = linear. Fixed per-job overhead dominates many queries at '
+             'these sizes, hence sub-linear exponents. Refreshed for round 8: scale-adaptive geometry '
+             '(auto_geometry_probe), the x30 third column the r7 verdict asked for, and the x100 embeddings-only '
+             'ANN point.'),
+    'auto_geometry_probe': {
+        'what': ('graft.tools.ScaleProbe - IVF-PQ serving with a FIXED 40-query set (the production shape: |Q| does '
+                 'not grow with the corpus) under the committed fixed geometry (nc=16, np=4: probed rows = N/4, '
+                 'LINEAR in corpus) vs Similarity.autoGeometry (nc~sqrt(N) clamped [16,65536], np~sqrt(nc): probed '
+                 'rows ~ N^0.75), with recall@5 vs the exact ranking measured at every scale. Auto builds train '
+                 'quantizers on a 128-per-centroid hash sample. At these corpus sizes (<=200k x 64d) per-job '
+                 'overhead floors the wall-clock, so serve_sec understates the probed-row gap '
+                 '(50000 vs 9387 rows/query at x100, 5.3x) that dominates at 100 TB.'),
+        'scales': probe,
+        'headline': ('x100 corpus, same 40 queries: fixed geometry serves in 5.03s at recall 160 permille; auto '
+                     'geometry serves in 2.63s at recall 150 permille - 1.9x faster at parity recall, scoring '
+                     '5.3x fewer candidates (9387 vs 50000 probed rows per query). Probed-row growth x1->x100: '
+                     'fixed 100x (500 -> 50000, linear), auto 30x (308 -> 9387, ~N^0.75). The gate-shaped '
+                     'comparison (corpus-growing |Q|, x30 table above): ann_auto_geometry 14.9s vs '
+                     'ann_ivfpq_topk 42.2s, exponents 0.73 vs 1.20.'),
+    },
+    'index_builds_sec': builds,
+    'index_builds_note': ('builds sublinear for x10/x30 corpus: training rounds are fixed-count jobs; '
+                          'assignment/coding scans scale linearly but are a small share at this size. The auto '
+                          'build additionally bounds Lloyd cost via the 128-per-centroid training sample '
+                          '(ScaleProbe x30: full-corpus-trained fixed build 17.7s vs sampled auto build at '
+                          '15x the centroid count 20.7s).'),
+    'queries': queries,
+}
+json.dump(out, open('/root/repo/BENCH_sf1.json', 'w'), indent=1, sort_keys=True)
+print('written', len(queries), 'query rows,', len(probe), 'probe scales')
