@@ -218,6 +218,165 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------- incremental dedup index
+  /** STANDING DEDUP INDEX — the near-dup counterpart of the ANN index
+    * lifecycle ([[Similarity.IvfPqIndex]]): the corpus's per-doc shingle
+    * arrays (`staged`: doc_id, __sh) and LSH band buckets (`bands`:
+    * doc_id, band_idx, band_hash) built ONCE as artifact-tier frames. A
+    * daily ingest then pays only its OWN shingling + signatures plus
+    * bucket equi-joins against the standing buckets — never a recompute
+    * over the corpus. At 100 TB `bands` is the persisted "dedup catalog"
+    * (4 ints per (doc, band)); `staged` backs the exact-Jaccard
+    * verification of candidate pairs and is touched only keyed by
+    * candidate ids. */
+  final case class DedupIndex(staged: DataFrame, bands: DataFrame,
+      numHashes: Int, nBands: Int, shingleK: Int)
+
+  /** One tokenize+shingle pass (the staging projection of
+    * [[minHashDedupPairs]], factored so build/append/batch share it
+    * bit-for-bit — incremental results must equal the full run exactly). */
+  private def stageDocs(docs: DataFrame, id: Column, text: Column,
+      shingleK: Int): DataFrame =
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), split(TextAnalysis.normalizeText(text), " ").as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleK).as("__sh"))
+
+  /** Band buckets of a staged frame. `sigSource` must be a MATERIALIZATION
+    * BOUNDARY (persisted) — the banding projection references the
+    * signature array numHashes times and the optimizer would otherwise
+    * inline the minhash expression into every reference. */
+  private def bandsOfStaged(sigArr: DataFrame, numHashes: Int,
+      nBands: Int): DataFrame = {
+    val sig = sigArr.select(col("doc_id") +:
+      (0 until numHashes).map(i => col("__sig")(i).as(s"h$i")): _*)
+    lshBands(sig, nBands, numHashes / nBands)
+  }
+
+  private def minhashSigArr(staged: DataFrame, numHashes: Int): DataFrame =
+    staged.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("__sh"), lit(numHashes)).as("__sig"))
+
+  /** Build the standing index over `docs` (the offline job). Identical
+    * staging/signature math to [[minHashDedupPairs]], so incremental
+    * pair sets are exactly the full run's pairs restricted to the batch
+    * (the gate's closed-form oracle). */
+  def buildDedupIndex(docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 32, nBands: Int = 16, shingleK: Int = 3): DedupIndex =
+    graft.GraftCaches.inArtifactScope {
+      require(numHashes % nBands == 0, "bands must divide numHashes")
+      graft.plans.GraftFunctions.register(docs.sparkSession)
+      val staged = graft.GraftCaches.persistedArtifact(
+        stageDocs(docs, id, text, shingleK))
+      val sigArr = minhashSigArr(staged, numHashes).persistTracked()
+      val bands = graft.GraftCaches.persistedArtifact(
+        bandsOfStaged(sigArr, numHashes, nBands))
+      bands.count(); staged.count() // materialize inside the build
+      DedupIndex(staged, bands, numHashes, nBands, shingleK)
+    }
+
+  /** Build-once memo (contract of [[Similarity.ivfPqIndexFor]]): keyed by
+    * the analyzed (id, text) projection's semantic hash + parameters;
+    * entries drop with `GraftCaches.releaseArtifacts()`. */
+  private val dedupIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int, Int), DedupIndex]
+  graft.GraftCaches.onArtifactRelease(() => dedupIndexMemo.clear())
+
+  def dedupIndexFor(docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 32, nBands: Int = 16, shingleK: Int = 3): DedupIndex = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.select(id.as("doc_id"), text.as("__txt"))
+        .queryExecution.analyzed.semanticHash(),
+      numHashes, nBands, shingleK)
+    dedupIndexMemo.getOrElseUpdate(key,
+      buildDedupIndex(docs, id, text, numHashes, nBands, shingleK))
+  }
+
+  /** Stage a batch against an index: shingles + signatures + band buckets
+    * for the BATCH ONLY, with the id-hygiene guards of the append path
+    * (a doc_id duplicated within the batch, or already indexed, would
+    * double its shingle rows in every verification join — silently
+    * inflated intersection counts, the dedup analogue of the ANN
+    * doubled-ADC corruption). */
+  private def stageBatch(index: DedupIndex, batch: DataFrame, id: Column,
+      text: Column): (DataFrame, DataFrame) = {
+    graft.plans.GraftFunctions.register(batch.sparkSession)
+    val bStaged = stageDocs(batch, id, text, index.shingleK).persistTracked()
+    val dups = bStaged.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    require(dups == 0L,
+      s"dedup batch: $dups doc_id(s) appear more than once in the batch")
+    val clash = bStaged.select(col("doc_id"))
+      .join(index.staged.select(col("doc_id")), Seq("doc_id")).count()
+    require(clash == 0L,
+      s"dedup batch: $clash doc_id(s) already exist in the index — " +
+        "re-ingesting an id would double its shingle rows in verification")
+    val sigArr = minhashSigArr(bStaged, index.numHashes).persistTracked()
+    val bBands = bandsOfStaged(sigArr, index.numHashes, index.nBands)
+      .persistTracked()
+    (bStaged, bBands)
+  }
+
+  /** INCREMENTAL NEAR-DUP PAIRS: all pairs at `threshold` involving AT
+    * LEAST ONE batch doc — new-vs-corpus and new-vs-new — without
+    * touching the standing corpus beyond two bucket equi-joins and the
+    * candidate-keyed verification. Result ≡ the full-corpus
+    * [[minHashDedupPairs]] restricted to batch-touching pairs (same
+    * staging, signatures, banding, and verification math — the
+    * `minhash_incremental` gate pins this against the committed full-run
+    * fixture). Shape at scale: batch bands join the standing bucket
+    * table keyed on (band_idx, band_hash) — AQE sizes the strategy (a
+    * small daily batch broadcasts; a huge backfill sort-merges); pairs
+    * exist only inside shared buckets; verification explodes shingles
+    * for candidate ids only, with the size-ratio prefilter dropping
+    * most false candidates at size-lookup cost. */
+  def incrementalMinHashPairs(index: DedupIndex, batch: DataFrame,
+      id: Column, text: Column, threshold: Double = 0.5): DataFrame = {
+    val (bStaged, bBands) = stageBatch(index, batch, id, text)
+    val allBands = index.bands.unionByName(bBands)
+    val bId2 = bBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id2"))
+    val bId1 = bBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id1"))
+    val aId1 = allBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id1"))
+    val aId2 = allBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id2"))
+    // batch doc as the larger id ∪ batch doc as the smaller id — batch-
+    // batch pairs land in both and the distinct collapses them, exactly
+    // lshCandidates' (id1 < id2, distinct) contract restricted to the batch
+    val cand = aId1.join(bId2, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .unionByName(bId1.join(aId2, Seq("band_idx", "band_hash"))
+        .filter(col("id1") < col("id2")))
+      .select(col("id1"), col("id2")).distinct()
+    val allShingles = index.staged.unionByName(bStaged)
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
+    verifyJaccard(cand, allShingles, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Grow the standing index by a batch (the freshness path, FAISS-`add`-
+    * shaped like [[Similarity.ivfPqIndexAppend]]): batch staging/buckets
+    * union into new artifact frames; the superseded generation's frames
+    * stay valid (shared lineage) and can be released by the caller once
+    * the grown index serves. */
+  def dedupIndexAppend(index: DedupIndex, batch: DataFrame, id: Column,
+      text: Column): DedupIndex = graft.GraftCaches.inArtifactScope {
+    val (bStaged, bBands) = stageBatch(index, batch, id, text)
+    val staged = graft.GraftCaches.persistedArtifact(
+      index.staged.unionByName(bStaged))
+    val bands = graft.GraftCaches.persistedArtifact(
+      index.bands.unionByName(bBands))
+    bands.count(); staged.count()
+    DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+  }
+
+  /** Release one dedup-index generation's caches (idempotent; the
+    * analogue of [[Similarity.releaseIndexData]] — after an append, drop
+    * the superseded generation so long-lived sessions don't pin one
+    * corpus copy per generation). */
+  def releaseDedupIndex(index: DedupIndex, blocking: Boolean = false): Unit = {
+    index.staged.unpersist(blocking)
+    index.bands.unpersist(blocking)
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
     * xxhash64 values; bit b of the result = (sum > 0).

@@ -62,6 +62,60 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 13.0 / 23.0) < 1e-6)
   }
 
+  test("incremental dedup ≡ full-run pairs restricted to the batch; append + release lifecycle") {
+    // docs 0..19: pairs of near-dups (2k, 2k+1 share most text), split
+    // 80/20 like the gate (id % 5 == 0 is the batch)
+    val docs = (0L until 20L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo${i / 2}"
+      (i, if (i % 2 == 0) base else base + " lima")
+    }.toDF("doc_id", "text")
+    val full = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "fixture construction must yield near-dup pairs")
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(expected.nonEmpty && expected != full,
+      "batch restriction must be a strict non-empty subset")
+    graft.GraftCaches.unpersistAll()
+    val index = Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val incremental = Dedup.incrementalMinHashPairs(index,
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == expected,
+      s"incremental != restricted full run: ${incremental.diff(expected)} vs ${expected.diff(incremental)}")
+    // append the batch: the grown index now answers a SECOND batch's
+    // incremental query with the first batch as part of the corpus
+    val grown = Dedup.dedupIndexAppend(index,
+      docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"))
+    assert(grown.staged.count() == 20 && grown.bands.count() == 20 * 16)
+    Dedup.releaseDedupIndex(index, blocking = true)
+    assert(index.staged.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "released generation must drop its caches")
+    val batch2 = Seq((100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo0"))
+      .toDF("doc_id", "text")
+    val inc2 = Dedup.incrementalMinHashPairs(grown, batch2,
+        col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2.contains((0L, 100L)) && inc2.contains((1L, 100L)),
+      "post-append incremental must match against BOTH original corpus and first batch")
+    // id hygiene: re-ingesting an indexed id, or a batch-internal dup, fails fast
+    assertThrows[IllegalArgumentException] {
+      Dedup.incrementalMinHashPairs(grown,
+        Seq((0L, "whatever text here")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.incrementalMinHashPairs(grown,
+        Seq((200L, "text one two three"), (200L, "text four five six"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("connectedComponents: min-label clusters over a chain and an isolated pair") {
     // chain 3-7-9 (one component, min 3) + isolated pair 10-12 (min 10)
     val edges = Seq((3L, 7L), (7L, 9L), (10L, 12L)).toDF("id1", "id2")
