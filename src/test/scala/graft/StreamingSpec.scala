@@ -276,4 +276,55 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("streaming ingest dedup: per-batch pairs union to the full run restricted to streamed docs") {
+    import java.nio.file.Files
+    import graft.functions.Dedup
+    import spark.implicits._
+    // 20 docs in near-dup pairs (2k, 2k+1); corpus = 80% (id%5!=0),
+    // stream = the other 20% in TWO batches (id%10==0, then id%10==5)
+    val docs = (0L until 20L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo${i / 2}"
+      (i, if (i % 2 == 0) base else base + " lima")
+    }.toDF("doc_id", "text")
+    val full = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+        numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(expected.nonEmpty, "fixture must yield streamed-doc pairs")
+    GraftCaches.unpersistAll()
+    val index0 = Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val docDir = Files.createTempDirectory("dedup_stream_in").toString
+    val outDir = Files.createTempDirectory("dedup_stream_out").toString + "/pairs"
+    val ref = new java.util.concurrent.atomic.AtomicReference(index0)
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.mode("append").parquet(docDir)
+    val q = graft.streaming.DedupServing.startDedupStream(
+      spark, docDir, ref, threshold = 0.5, outDir)
+    try {
+      q.processAllAvailable() // batch 1: vs corpus + within itself
+      docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(docDir)
+      q.processAllAvailable() // batch 2: vs corpus AND batch 1
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == expected,
+        s"stream-deduped != restricted full run: " +
+          s"${streamed.diff(expected)} vs ${expected.diff(streamed)}")
+      // the rolled index now contains every doc: one more incremental call
+      // matches against corpus AND both streamed batches
+      val probe = Seq((100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo0"))
+        .toDF("doc_id", "text")
+      val inc = Dedup.incrementalMinHashPairs(ref.get(), probe,
+          col("doc_id"), col("text"), threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc.contains((0L, 100L)) && inc.contains((1L, 100L)),
+        "post-stream index must hold the streamed docs")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }
