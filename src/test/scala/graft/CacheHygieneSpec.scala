@@ -25,10 +25,12 @@ class CacheHygieneSpec extends AnyFunSuite {
   // per call and append unions new artifact generations, so they are the
   // likeliest accumulation paths in a long-lived session
   // (ann_auto_geometry covers the auto-memo path — counts the corpus,
-  // builds at derived geometry with sampled training, memoizes)
+  // builds at derived geometry with sampled training, memoizes;
+  // minhash_incremental covers the standing dedup catalog + batch staging)
   private val heavyBatch = Seq("chunk_dup_stats", "sim_prefix_join",
     "source_dup_matrix", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_index_roundtrip", "ann_index_append", "ann_auto_geometry")
+    "ann_index_roundtrip", "ann_index_append", "ann_auto_geometry",
+    "minhash_incremental")
 
   /** Run one query exactly as Bench/Verify do: materialize through the
     * noop sink, then release the working tier. */
