@@ -811,6 +811,22 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // DEDUP CATALOG HEALTH — LSH bucket-size statistics + the implied
+    // candidate-join cost of the standing index (hot buckets are THE
+    // LSH failure mode at scale: a bucket of n docs costs n·(n−1)/2
+    // candidate pairs per touching batch — this report drives re-banding
+    // / quarantine BEFORE the join blows up). Integer-only long format;
+    // fixture-gated (band hashes are engine-specific murmur3,
+    // bit-stable). Same 80% corpus as the incremental gate → shares the
+    // built catalog through the memo.
+    "dedup_index_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      Dedup.dedupIndexHealth(index)
+        .orderBy(col("metric"), col("key"))
+    }),
+
     // ---------------------------------------------------------------
     // North-star: N-GRAM JACCARD, standalone gate — exact 3-shingle
     // Jaccard for every pair of a deterministic 10% doc sample (1225
@@ -3964,6 +3980,7 @@ object SparkEntry {
     fixture("ann_index_health", "metric, key"),
     fixture("ann_filtered_search", "q_id, rank"),
     fixture("ann_auto_geometry", "q_id, rank"),
+    fixture("dedup_index_health", "metric, key"),
 
     "ann_filtered_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),

@@ -377,6 +377,58 @@ object Dedup {
     index.bands.unpersist(blocking)
   }
 
+  /** DEDUP CATALOG HEALTH — the ops read on a standing index
+    * ([[Similarity.ivfPqIndexHealth]]'s analogue): LSH bucket-size
+    * statistics per band plus the implied CANDIDATE-JOIN COST. A hot
+    * bucket is THE failure mode of LSH at scale — a bucket of n docs
+    * contributes n·(n−1)/2 candidate pairs to every incremental batch
+    * that touches it (boilerplate-heavy web corpora routinely produce
+    * million-doc buckets ⇒ 10¹¹-pair joins), so the decision this report
+    * drives is re-banding (more rows per band) or hot-bucket quarantine
+    * BEFORE the join blows up, not after. Long-format
+    * `(metric, key, value)`, integers only (bit-stable on any
+    * partitioning):
+    *
+    *  - `docs` (key −1): indexed doc count
+    *  - `buckets` / `max_bucket` / `candidate_pairs` per band (key =
+    *    band_idx): occupied buckets, largest bucket, Σ n·(n−1)/2
+    *  - `total_candidate_pairs` (key −1): the full candidate-join size —
+    *    the number the incremental batch join is bounded by
+    *  - `hottest_bucket` (key −1): global max bucket size
+    *
+    * One pass over the (4-int-per-row) bucket table; the per-bucket
+    * aggregation partial-combines map-side, and the per-band rollup is
+    * nBands-bounded. The corpus (staged text) is never touched. */
+  def dedupIndexHealth(index: DedupIndex): DataFrame = {
+    val buckets = index.bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+    val perBand = buckets.groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("buckets"),
+        max(col("n")).as("max_bucket"),
+        // integer division: n·(n−1) is even, and 64-bit exact up to 10⁹-doc
+        // buckets — no float sum enters the report
+        sum(expr("n * (n - 1) div 2")).as("candidate_pairs"))
+    val bandRows = perBand.select(explode(array(
+        struct(lit("buckets").as("metric"), col("band_idx").cast("long").as("key"),
+          col("buckets").as("value")),
+        struct(lit("max_bucket").as("metric"), col("band_idx").cast("long").as("key"),
+          col("max_bucket").as("value")),
+        struct(lit("candidate_pairs").as("metric"), col("band_idx").cast("long").as("key"),
+          col("candidate_pairs").as("value")))).as("r"))
+      .select(col("r.metric"), col("r.key"), col("r.value"))
+    // coalesce guards the integer-only contract on an empty index
+    val globals = perBand.agg(
+        coalesce(sum(col("candidate_pairs")), lit(0L)).as("tot"),
+        coalesce(max(col("max_bucket")), lit(0L)).as("hot"))
+      .crossJoin(index.staged.agg(count(lit(1)).as("docs")))
+      .select(explode(array(
+        struct(lit("docs").as("metric"), lit(-1L).as("key"), col("docs").as("value")),
+        struct(lit("total_candidate_pairs").as("metric"), lit(-1L).as("key"), col("tot").as("value")),
+        struct(lit("hottest_bucket").as("metric"), lit(-1L).as("key"), col("hot").as("value")))).as("r"))
+      .select(col("r.metric"), col("r.key"), col("r.value"))
+    bandRows.unionByName(globals)
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
     * xxhash64 values; bit b of the result = (sum > 0).

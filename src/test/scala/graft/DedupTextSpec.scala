@@ -116,6 +116,30 @@ class DedupTextSpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("dedupIndexHealth: closed-form bucket stats on a known degenerate corpus") {
+    // 3 identical docs + 1 unrelated: every band has one 3-doc bucket
+    // (identical signatures) and one singleton → per band: buckets=2,
+    // max_bucket=3, candidate_pairs=3·2/2=3; totals 16·3=48, hottest 3
+    val docs = Seq(
+      (1L, "same text for every clone here"), (2L, "same text for every clone here"),
+      (3L, "same text for every clone here"), (4L, "completely different words entirely now"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(docs, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val h = Dedup.dedupIndexHealth(index)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(h(("docs", -1L)) == 4L)
+    assert(h(("hottest_bucket", -1L)) == 3L)
+    assert(h(("total_candidate_pairs", -1L)) == 48L)
+    for (b <- 0L until 16L) {
+      assert(h(("buckets", b)) == 2L, s"band $b buckets")
+      assert(h(("max_bucket", b)) == 3L, s"band $b max")
+      assert(h(("candidate_pairs", b)) == 3L, s"band $b pairs")
+    }
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("connectedComponents: min-label clusters over a chain and an isolated pair") {
     // chain 3-7-9 (one component, min 3) + isolated pair 10-12 (min 10)
     val edges = Seq((3L, 7L), (7L, 9L), (10L, 12L)).toDF("id1", "id2")

@@ -103,6 +103,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "label predicate must ride in the join condition")
   }
 
+  test("minhash_incremental: serves from the cached standing catalog, never re-derives it") {
+    // the whole point of the standing dedup index: the incremental plan
+    // must READ the artifact-cached bucket/shingle frames (InMemory scan),
+    // not re-run the corpus staging/signature pipeline per batch
+    val plan = planOf("minhash_incremental")
+    assert(plan.contains("InMemoryTableScan"),
+      "incremental dedup must scan the cached catalog, not recompute it")
+    assert(!plan.contains("CartesianProduct"),
+      "candidates must come from bucket equi-joins")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("leakage_safe_split: leak count broadcasts; no sort-merge on the doc join") {
     val plan = planOf("leakage_safe_split")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
