@@ -332,19 +332,20 @@ object Dedup {
   def incrementalMinHashPairs(index: DedupIndex, batch: DataFrame,
       id: Column, text: Column, threshold: Double = 0.5): DataFrame = {
     val (bStaged, bBands) = stageBatch(index, batch, id, text)
+    // ONE bucket join of (corpus ∪ batch) against the batch side covers
+    // every pair with ≥1 batch member: an old-new pair surfaces once, a
+    // new-new pair twice (collapsed by distinct) — least/greatest restores
+    // lshCandidates' (id1 < id2, distinct) contract exactly. One pass over
+    // the cached catalog instead of the two a per-orientation union costs.
     val allBands = index.bands.unionByName(bBands)
-    val bId2 = bBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id2"))
-    val bId1 = bBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id1"))
-    val aId1 = allBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id1"))
-    val aId2 = allBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id2"))
-    // batch doc as the larger id ∪ batch doc as the smaller id — batch-
-    // batch pairs land in both and the distinct collapses them, exactly
-    // lshCandidates' (id1 < id2, distinct) contract restricted to the batch
-    val cand = aId1.join(bId2, Seq("band_idx", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .unionByName(bId1.join(aId2, Seq("band_idx", "band_hash"))
-        .filter(col("id1") < col("id2")))
-      .select(col("id1"), col("id2")).distinct()
+    val cand = allBands
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("__a"))
+      .join(bBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("__b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
+      .distinct()
     val allShingles = index.staged.unionByName(bStaged)
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))
     verifyJaccard(cand, allShingles, minJaccard = threshold)
