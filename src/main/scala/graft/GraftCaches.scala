@@ -128,8 +128,21 @@ object GraftCaches {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
     artifacts.add(df)
+    artifactEvents.incrementAndGet()
     df
   }
+
+  private val artifactEvents = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** MONOTONE count of artifact-tier persists since JVM start — the
+    * observable that keeps the bench's setup/query boundary honest: after
+    * the setup phase builds every standing structure, a SERVING query must
+    * leave this counter unchanged (any increment means the query line is
+    * silently absorbing a build the setup phase claims). SetupBoundarySpec
+    * asserts it per serving query; unlike [[artifactCount]] it never
+    * decreases on release, so a build-then-release inside a query cannot
+    * hide. */
+  def artifactBuildEvents(): Long = artifactEvents.get()
 
   /** Register a hook run by [[releaseArtifacts]] BEFORE frames unpersist —
     * builders use it to drop memo tables so no stale handle can serve a

@@ -430,6 +430,138 @@ object Dedup {
     bandRows.unionByName(globals)
   }
 
+  // ---------------------------------------------- hot-bucket quarantine
+  /** Split a standing index's LSH catalog at a bucket-size bound — the
+    * ACTUATOR for [[dedupIndexHealth]]'s hot-bucket detector. Returns
+    * `(coldBands, hotDocs)`:
+    *
+    *  - `coldBands`: the band rows whose bucket holds ≤ `maxBucket` docs —
+    *    safe for the candidate self-join (per-bucket pair cost bounded by
+    *    maxBucket²/2);
+    *  - `hotDocs`: the distinct doc_ids holding membership in at least one
+    *    OVER-bound bucket. Any pair the quarantine removes from the
+    *    self-join has BOTH endpoints here (a shared bucket contains both),
+    *    so a lossless fallback restricted to `hotDocs` bounds the recall
+    *    loss at exactly zero.
+    *
+    * Shape at scale: bucket sizes are one partial-aggregated count over
+    * the 4-int band table; the cold/hot split is an anti-join / semi-join
+    * against the (tiny — only over-bound) hot-bucket list, which AQE
+    * broadcasts. The corpus text is never touched. */
+  def quarantineBuckets(index: DedupIndex, maxBucket: Long): (DataFrame, DataFrame) = {
+    require(maxBucket >= 1, "a bucket bound below 1 quarantines everything")
+    val hotBuckets = index.bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+      .persistTracked() // feeds both the anti-join and the member semi-join
+    val coldBands = index.bands
+      .join(hotBuckets, Seq("band_idx", "band_hash"), "left_anti")
+    val hotDocs = index.bands
+      .join(hotBuckets, Seq("band_idx", "band_hash"))
+      .select(col("doc_id")).distinct()
+    (coldBands, hotDocs)
+  }
+
+  /** NEAR-DUP PAIRS WITH HOT-BUCKET QUARANTINE — the mitigation for THE
+    * LSH failure mode at web scale: a boilerplate bucket of n docs costs
+    * n·(n−1)/2 candidate pairs in the self-join (a million-doc bucket is
+    * a 10¹¹-pair exchange), and [[dedupIndexHealth]] can only report it.
+    * This operator caps the damage: buckets over `maxBucket` are removed
+    * from the candidate self-join, and their member docs re-route through
+    * the EXACT prefix-filter join ([[prefixFilterJoinOnShingles]] —
+    * lossless at the threshold, and structurally immune to boilerplate:
+    * high-document-frequency shingles sort to the END of the prefix order
+    * and never generate candidates).
+    *
+    * Output contract: every pair with exact shingle-Jaccard ≥ `threshold`
+    * that either (a) shares a ≤-bound LSH bucket, or (b) has both
+    * endpoints quarantined. Since any pair LOST with a hot bucket has
+    * both endpoints in `hotDocs` and the fallback is lossless there,
+    * recall can only be ≥ the unquarantined run's — on a corpus whose
+    * buckets all sit within the bound the result is EXACTLY
+    * [[minHashDedupPairs]] restricted to the index's banding (the
+    * `dedup_quarantine` gate's closed-form oracle), and DedupTextSpec
+    * pins the no-op equivalence plus the planted-hot-bucket properties
+    * (candidate cost drops; pair recall preserved).
+    *
+    * Cost shape: the cold self-join is bounded per bucket by maxBucket;
+    * the fallback pays prefix-join cost over |hotDocs| only — on a
+    * degenerate clone corpus the n²-candidate bucket explosion becomes
+    * one df-ordered prefix join whose candidate fan-out is bounded by
+    * the RAREST-shingle principle, not the bucket size. */
+  def quarantinedPairs(index: DedupIndex, threshold: Double,
+      maxBucket: Long): DataFrame = {
+    val (coldBands, hotDocs) = quarantineBuckets(index, maxBucket)
+    // one exploded shingle frame feeds the cold verification AND the hot
+    // fallback (filtered to quarantined ids)
+    val allSh = index.staged
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      .persistTracked()
+    val coldPairs = verifyJaccard(lshCandidates(coldBands), allSh,
+        minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    val hotSh = allSh.join(hotDocs, Seq("doc_id")).persistTracked()
+    // identical jaccard arithmetic to verifyJaccard (inter/(sz1+sz2−inter)
+    // in doubles, 6-dp rounding), so a pair surfacing on both paths
+    // carries ONE value and the distinct collapses it
+    val hotPairs = prefixFilterJoinOnShingles(hotSh, threshold)
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter"))
+          .cast("double"), 6).as("jaccard"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
+  // ---------------------------------------------- scale-adaptive banding
+  /** SCALE-ADAPTIVE LSH BANDING — the dedup analogue of
+    * [[Similarity.autoGeometry]]: derive `(numHashes, bands)` from corpus
+    * size and threshold instead of pinning 16×2 forever. Two failure
+    * modes bound the derivation:
+    *
+    *  - FALSE-CANDIDATE MASS: a pair of background similarity s becomes a
+    *    candidate with probability ≈ bands·s^r (r = rows per band). The
+    *    pair population grows as n², so r must RISE with the corpus to
+    *    keep candidate work sub-quadratic — each extra row divides the
+    *    background mass by another factor of s. Rule: one extra row per
+    *    corpus decade past 10⁵ (r = 2 at ≤10⁵ docs, 3 at 10⁶, 4 at 10⁷…).
+    *  - THRESHOLD RECALL: sharpening the S-curve (bigger r) pushes its
+    *    midpoint (1/b)^(1/r) toward 1, so bands must grow to hold recall
+    *    AT the threshold: P(candidate | J = t) = 1−(1−t^r)^b ≥ 95% ⇔
+    *    b ≥ ln(20)/t^r ≈ 3/t^r. The 16-band floor keeps small corpora on
+    *    the committed recall-generous banding.
+    *
+    * A 512-hash budget caps the signature (low thresholds need
+    * exponentially many bands per extra row: t=0.5 at r=6 already wants
+    * 192 bands → 1152 hashes); when the budget binds, r falls back to the
+    * largest affordable value — candidate mass degrades gracefully toward
+    * the fixed banding instead of the signature stage exploding. Returns
+    * `(numHashes, bands)` with numHashes = bands·r exactly. */
+  def autoBanding(corpusCount: Long, threshold: Double): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, "need 0 < threshold < 1")
+    val decades = math.ceil(math.log10(math.max(corpusCount, 1L).toDouble)).toInt
+    val rWanted = math.max(2, decades - 3)
+    def bandsFor(r: Int): Int =
+      math.max(16, math.ceil(3.0 / math.pow(threshold, r)).toInt)
+    val r = (rWanted to 2 by -1).find(rr => bandsFor(rr) * rr <= 512).getOrElse(2)
+    (bandsFor(r) * r, bandsFor(r))
+  }
+
+  /** [[minHashDedupPairs]] with the banding DERIVED from the corpus
+    * (one metadata-cheap count, then the standard pipeline at
+    * [[autoBanding]]'s geometry). At gate scale (≤10⁵ docs, t=0.5) the
+    * derivation resolves to exactly the committed 16×2 banding, so the
+    * `dedup_auto_banding` gate's oracle is the committed full-run
+    * fixture itself — the equivalence IS the gate; the banding probe
+    * measures the candidate-count curve where the geometries diverge
+    * (×10/×30 scaled corpora). */
+  def minHashDedupPairsAuto(docs: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val n = docs.filter(text.isNotNull).count()
+    val (numHashes, bands) = autoBanding(n, threshold)
+    minHashDedupPairs(docs, id, text, numHashes, bands, threshold, shingleK)
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
     * xxhash64 values; bit b of the result = (sum > 0).
@@ -880,7 +1012,17 @@ object Dedup {
     * crosses the gate.
     */
   def prefixFilterJoin(docs: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleK: Int = 3): DataFrame = {
+      threshold: Double, shingleK: Int = 3): DataFrame =
+    prefixFilterJoinOnShingles(
+      docShingles(docs, id, text, shingleK).persistTracked(), threshold)
+
+  /** [[prefixFilterJoin]] over PRE-STAGED `(doc_id, shingle)` rows — the
+    * form the quarantine fallback uses (its shingles come from the
+    * standing index's staged arrays, not a fresh tokenize pass). The
+    * caller persists `sh`: it feeds the document-frequency count, the
+    * prefix build, and the verification set-arrays, and an unpersisted
+    * frame would re-derive its upstream three times. */
+  def prefixFilterJoinOnShingles(sh: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs 0 < t <= 1: its prefix length grows 1/t")
     import org.apache.spark.sql.expressions.Window
@@ -896,8 +1038,6 @@ object Dedup {
     // predicate.
     val tMicro = math.round(threshold * 1e6)
     def idiv(a: Column, b: Column): Column = Exact.idiv(a, b)
-    val sh = docShingles(docs, id, text, shingleK)
-      .persistTracked()
     // Document frequency stays a partial-aggregated count (a window over
     // `shingle` would put every holder of a boilerplate shingle in ONE
     // window partition — the exact skew this operator is built to dodge).

@@ -980,15 +980,114 @@ object Similarity {
     autoMemo.getOrElseUpdate(key, {
       val n = corpus.count()
       val (nc, np) = autoGeometry(n)
-      val cap = AutoTrainPerCentroid.toLong * nc
-      // deterministic hash-thresholded sample of ~cap training vectors;
-      // cap ≥ N → no predicate, training sees the full corpus
-      val trainSample =
-        if (cap >= n) None
-        else Some(pmod(hash(col("c_id")), lit(1000000)) <
-          lit(math.min(1000000L, 1000000L * cap / n + 1).toInt))
-      (buildIvfPqIndex(corpus, nc, coarseIters, m, ksub, pqIters, trainSample), np)
+      (buildIvfPqIndex(corpus, nc, coarseIters, m, ksub, pqIters,
+        autoTrainSample(n, nc)), np)
     })
+  }
+
+  /** Deterministic hash-thresholded sample of ~[[AutoTrainPerCentroid]]·nc
+    * training vectors (cap ≥ N → no predicate, training sees the full
+    * corpus). FACTORED so the auto build and the rebuild policy train
+    * through the bit-identical predicate — the `ann_rebuild_policy` gate's
+    * oracle (rebuilt-serving ≡ fresh-auto-built serving) depends on it. */
+  private def autoTrainSample(n: Long, nc: Int): Option[Column] = {
+    val cap = AutoTrainPerCentroid.toLong * nc
+    if (cap >= n) None
+    else Some(pmod(hash(col("c_id")), lit(1000000)) <
+      lit(math.min(1000000L, 1000000L * cap / n + 1).toInt))
+  }
+
+  // ------------------------------------------------------ rebuild policy
+  /** REBUILD POLICY — closes the loop the health report and append leave
+    * open: appends grow a corpus under FROZEN quantizers, and nothing
+    * decided when the index had drifted far enough that serving geometry
+    * is wrong. Two triggers, both cheap reads of the (vector-free,
+    * artifact-cached) index frames:
+    *
+    *  - GEOMETRY DRIFT: [[autoGeometry]] of the CURRENT corpus count wants
+    *    ≥ `geometryFactor`× more (or fewer) centroids than the index has —
+    *    the corpus outgrew its inverted-list geometry, so per-query probed
+    *    rows are drifting off the N^¾ operating line;
+    *  - LIST IMBALANCE: max/mean inverted-list size (permille, the
+    *    [[ivfPqIndexHealth]] metric) exceeds `imbalanceMaxPermille` —
+    *    training has degenerated relative to the data (hot lists turn
+    *    nProbe into a near-corpus scan for the queries probing them).
+    *
+    * When neither fires, the index passes through unchanged with its
+    * current geometry's auto nProbe. When either fires, the full corpus
+    * (base + every appended generation — read from the index's own cached
+    * frames, no external re-scan) REBUILDS at [[autoGeometry]] of its
+    * count with sampled training — the bit-identical build path to
+    * [[ivfPqAutoIndexFor]], so rebuilt-serving equals fresh-auto-built
+    * serving exactly (the `ann_rebuild_policy` gate's closed-form oracle).
+    * Returns `(index, nProbe, rebuilt)`; on `rebuilt = true` the caller
+    * rolls generations ([[releaseIndexData]] on the superseded one once
+    * the new index serves — the AnnServing rollover pattern, pinned with
+    * a regeometry case in StreamingSpec). */
+  def ivfPqRebuildIfStale(index: IvfPqIndex, m: Int = 16, ksub: Int = 32,
+      coarseIters: Int = 1, pqIters: Int = 1, geometryFactor: Double = 1.3,
+      imbalanceMaxPermille: Long = 4000L): (IvfPqIndex, Int, Boolean) = {
+    require(geometryFactor > 1.0, "a factor ≤ 1 rebuilds on every call")
+    val n = index.corpus.count()
+    val ncHave = index.centroids.count().toInt
+    val (ncWant, npWant) = autoGeometry(n)
+    val geomStale = ncWant >= geometryFactor * ncHave ||
+      ncHave >= geometryFactor * ncWant
+    // imbalance over the vector-free lists, empty lists included (the
+    // left join mirrors ivfPqIndexHealth — dropping empty lists would
+    // understate skew exactly when training degenerated)
+    lazy val imbalance = {
+      val lists = index.centroids.select(col("cent_id"))
+        .join(index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n0")),
+          Seq("cent_id"), "left")
+        .select(coalesce(col("n0"), lit(0L)).as("n"))
+      lists.agg(coalesce(
+          Exact.idiv(max(col("n")) * lit(1000L) * count(lit(1)), sum(col("n"))),
+          lit(0L)).as("v"))
+        .head().getLong(0)
+    }
+    if (!geomStale && imbalance <= imbalanceMaxPermille)
+      (index, math.max(4, math.round(math.sqrt(ncHave.toDouble)).toInt), false)
+    else {
+      val corpusV = index.corpus
+        .select(col("c_id").as("vec_id"), col("cv").as("embedding"))
+      (buildIvfPqIndex(corpusV, ncWant, coarseIters, m, ksub, pqIters,
+        autoTrainSample(n, ncWant)), npWant, true)
+    }
+  }
+
+  // ------------------------------------------------- recall-floor serving
+  /** RECALL-FLOOR OPERATING POINT over an auto-geometry index — the
+    * quality curve's counterpart to [[autoGeometry]]'s cost curve. With
+    * nc = √N cells and nProbe = √nc, the PROBED FRACTION of cells is
+    * nc^(−½) = N^(−¼): it shrinks as the corpus grows, which is exactly
+    * the measured recall decay of the committed auto point (150‰ @5 at
+    * ×100 — BENCH_sf1.json). Holding a recall floor needs the probe
+    * count to shrink-as-a-fraction more slowly:
+    *
+    *   nProbe = nc^¾  (probed cell fraction N^(−⅛), probed rows N^(7/8))
+    *
+    * plus a constant-depth EXACT re-rank (64-deep shortlist → true-cosine
+    * top-k, |Q|·64 exact dots per query set — corpus-size-independent),
+    * which removes ADC quantization from the final ordering so the
+    * operating point is limited by list coverage alone. Serving cost
+    * rises from N^¾ to N^(7/8) — still sub-linear, and the ×30 probe
+    * (`tools/RecallProbe`, BENCH_RECALL_x30.json) measures the
+    * recall-vs-cost pair rather than asserting it. */
+  def autoRecallOperatingPoint(nCentroids: Int, k: Int): (Int, Int) = {
+    val np = math.max(4, math.round(math.pow(nCentroids.toDouble, 0.75)).toInt)
+    (np, math.max(64, k))
+  }
+
+  /** One-call recall-floor serving: the SAME memoized auto-geometry index
+    * as [[ivfPqTopKAuto]] (no second build), probed at [[autoRecallOperatingPoint]]'s
+    * deeper nProbe with exact re-ranking. */
+  def ivfPqTopKAutoRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 16, ksub: Int = 32): DataFrame = {
+    val (index, _) = ivfPqAutoIndexFor(corpus, m, ksub)
+    val nc = index.centroids.count().toInt
+    val (np, depth) = autoRecallOperatingPoint(nc, k)
+    ivfPqRerankTopKIndexed(queries, index, k, rerank = depth, nProbe = np)
   }
 
   /** One-call auto-geometry serving: ANN top-k where the index geometry is

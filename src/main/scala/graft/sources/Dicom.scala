@@ -64,13 +64,29 @@ object Dicom {
   private val ImplicitTsUid = "1.2.840.10008.1.2"
 
   /** Peek (no consume): do bytes 4-5 of the element at the buffer's
-    * position spell a registered VR? */
+    * position spell a registered VR — mirroring pydicom's guess, PLUS a
+    * length sanity check: an implicit-VR file whose first element's
+    * 32-bit length happens to contain two VR ASCII bytes would otherwise
+    * be misparsed as explicit and silently dropped via the C3
+    * drop-on-failure path. When the explicit reading's implied length
+    * does not fit the remaining bytes but the implicit reading's does,
+    * the VR match was a coincidence — classify implicit. */
   private def sniffExplicit(buf: ByteBuffer): Boolean = {
-    if (buf.remaining() < 6) return true
+    if (buf.remaining() < 8) return true
     val p = buf.position()
     val c1 = (buf.get(p + 4) & 0xff).toChar
     val c2 = (buf.get(p + 5) & 0xff).toChar
-    KnownVRs.contains(new String(Array(c1, c2)))
+    val vr = new String(Array(c1, c2))
+    if (!KnownVRs.contains(vr)) return false
+    val longForm = LongLengthVRs.contains(vr)
+    if (longForm && buf.remaining() < 12) return true
+    val explicitLen =
+      if (longForm) buf.getInt(p + 8) & 0xffffffffL
+      else buf.getShort(p + 6) & 0xffffL
+    val explicitFits = explicitLen <= buf.remaining() - (if (longForm) 12 else 8)
+    val implicitFits = (buf.getInt(p + 4) & 0xffffffffL) <= buf.remaining() - 8
+    // neither fits → keep the VR guess; the parse fails cleanly either way
+    explicitFits || !implicitFits
   }
 
   /** Decode bytes → image; None if unparseable (drop-on-failure C3). */

@@ -76,4 +76,33 @@ object AnnServing {
         ()
       }
       .start()
+
+  /** REGEOMETRY-ROLLOVER form: the served index AND its operating point
+    * (nProbe) swap together, read atomically at the start of each
+    * micro-batch. This is the serving side of the REBUILD POLICY
+    * ([[Similarity.ivfPqRebuildIfStale]]): unlike an append roll — where
+    * quantizers are frozen and the old nProbe stays right — a rebuild
+    * changes the inverted-list GEOMETRY, so the probe depth must roll
+    * with the index (serving a 16×-finer index at the old nProbe would
+    * silently probe 16× less of the corpus). An operator thread runs the
+    * policy, sets `(rebuiltIndex, newNProbe)`, and releases the
+    * superseded generation's data tier; StreamingSpec pins post-roll
+    * batches ≡ batch serving on the rebuilt index at its derived
+    * operating point. */
+  def startServingStreamOp(spark: SparkSession, queryDir: String,
+      opRef: AtomicReference[(Similarity.IvfPqIndex, Int)], k: Int,
+      outDir: String, maxFilesPerTrigger: Int = 1,
+      querySchema: StructType = defaultQuerySchema): StreamingQuery =
+    spark.readStream
+      .schema(querySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(queryDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (index, nProbe) = opRef.get()
+        Similarity.ivfPqTopKIndexed(batch, index, k, nProbe)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
 }

@@ -42,25 +42,47 @@ object DedupServing {
   /** Start the ingest-dedup stream over parquet batches under `docDir`:
     * appends `(id1, id2, jaccard)` pairs to `outDir` per micro-batch and
     * grows the index in `indexRef`. `maxFilesPerTrigger = 1` makes each
-    * staged file its own micro-batch. */
+    * staged file its own micro-batch.
+    *
+    * RESTART / REPLAY: pass `checkpointLocation` so a restarted stream
+    * resumes from committed offsets instead of replaying every file in
+    * `docDir` (the index roll is driver-side state, so ALSO rebuild
+    * `indexRef` from the last accepted corpus snapshot before
+    * restarting). `tolerateReplays = true` additionally drops batch rows
+    * whose `doc_id` is already indexed (and intra-batch id duplicates)
+    * BEFORE staging, so a replayed or overlapping file cannot crash-loop
+    * the stream on the id-hygiene guard — the replayed docs' pairs were
+    * already emitted in their original batch, and the index stays
+    * single-copy. Default remains strict: with exactly-once file
+    * delivery, a clashing id is data corruption and should fail loudly
+    * rather than be silently skipped. */
   def startDedupStream(spark: SparkSession, docDir: String,
       indexRef: AtomicReference[Dedup.DedupIndex], threshold: Double,
       outDir: String, maxFilesPerTrigger: Int = 1,
-      docSchema: StructType = defaultDocSchema): StreamingQuery =
-    spark.readStream
+      docSchema: StructType = defaultDocSchema,
+      checkpointLocation: Option[String] = None,
+      tolerateReplays: Boolean = false): StreamingQuery = {
+    val writer = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docDir)
       .writeStream
+    checkpointLocation.fold(writer)(p => writer.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val index = indexRef.get()
-        Dedup.incrementalMinHashPairs(index, batch,
+        val fresh =
+          if (!tolerateReplays) batch
+          // one dropDuplicates over the SMALL batch + an anti-join keyed
+          // by doc_id against the cached catalog ids — never a corpus scan
+          else batch.dropDuplicates("doc_id")
+            .join(index.staged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        Dedup.incrementalMinHashPairs(index, fresh,
             col("doc_id"), col("text"), threshold)
           .write.mode("append").parquet(outDir)
         // roll the generation: later batches must dedup against this one.
         // (The append re-stages the batch — one extra pass over the SMALL
         // batch buys reusing the exactness-audited entry points as-is.)
-        val grown = Dedup.dedupIndexAppend(index, batch, col("doc_id"), col("text"))
+        val grown = Dedup.dedupIndexAppend(index, fresh, col("doc_id"), col("text"))
         indexRef.set(grown)
         // superseded generation's caches drop (grown is materialized, so
         // shared-lineage parents are safe to unpin); batch staging was
@@ -70,4 +92,5 @@ object DedupServing {
         ()
       }
       .start()
+  }
 }

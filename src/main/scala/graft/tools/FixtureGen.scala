@@ -34,7 +34,8 @@ object FixtureGen {
     "i1_distinct_counts", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_topk_p8",
     "ann_ivfpq_rerank_p8", "ann_index_append", "ann_index_health",
-    "ann_filtered_search", "ann_auto_geometry", "dedup_index_health")
+    "ann_filtered_search", "ann_auto_geometry", "dedup_index_health",
+    "ann_auto_rerank", "ingest_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

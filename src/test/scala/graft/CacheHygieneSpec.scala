@@ -30,7 +30,11 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val heavyBatch = Seq("chunk_dup_stats", "sim_prefix_join",
     "source_dup_matrix", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_index_roundtrip", "ann_index_append", "ann_auto_geometry",
-    "minhash_incremental")
+    "minhash_incremental",
+    // r9 lifecycle paths: quarantine (prefix-fallback persists), rebuild
+    // policy (fresh artifact generation per call), composed ingest
+    // (dedup catalog + append generation in one query)
+    "dedup_quarantine", "ann_rebuild_policy", "ingest_pipeline")
 
   /** Run one query exactly as Bench/Verify do: materialize through the
     * noop sink, then release the working tier. */

@@ -473,4 +473,80 @@ class DedupTextSpec extends AnyFunSuite {
       .select(TextAnalysis.splitAssign(col("doc_id"))).as[String].head()
     assert(bySplit(20L) == solo)
   }
+
+  // ------------------------------------------------ hot-bucket quarantine
+  /** A corpus with a PLANTED HOT BUCKET: 8 docs sharing heavy boilerplate
+    * (J ≈ 1 pairwise — every band collides, one 8-doc bucket per band)
+    * plus unrelated singletons and one clean near-dup pair. */
+  private def hotCorpus = {
+    val boiler = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    val hot = (1L to 8L).map(i => (i, s"$boiler tail$i"))
+    val clean = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"),
+      (21L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (30L, "completely unrelated content about spark catalyst rule ordering"))
+    (hot ++ clean).toDF("doc_id", "text")
+  }
+
+  test("quarantine no-op: bound above the hottest bucket reproduces the plain run exactly") {
+    val index = Dedup.buildDedupIndex(hotCorpus, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    // hottest bucket is the 8-doc boilerplate cluster
+    val plain = Dedup.minHashDedupPairs(hotCorpus, col("doc_id"), col("text"),
+      32, 16, 0.5, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quar = Dedup.quarantinedPairs(index, 0.5, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quar == plain, s"no-op quarantine diverged: $quar vs $plain")
+    Dedup.releaseDedupIndex(index)
+  }
+
+  test("quarantine on a planted hot bucket: candidate cost drops, pair recall preserved") {
+    val index = Dedup.buildDedupIndex(hotCorpus, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val (coldBands, hotDocs) = Dedup.quarantineBuckets(index, maxBucket = 4)
+    // the boilerplate cluster is sidelined; the clean docs keep their bands
+    assert(hotDocs.collect().map(_.getLong(0)).toSet == (1L to 8L).toSet)
+    // candidate-join cost: the hot bucket alone contributes 16 bands ×
+    // C(8,2)=28 pairs; after quarantine the cold self-join must carry none
+    val coldCand = Dedup.lshCandidates(coldBands).count()
+    val plainCand = Dedup.lshCandidates(index.bands).count()
+    assert(coldCand < plainCand,
+      s"quarantine did not shrink the candidate join ($coldCand vs $plainCand)")
+    // recall: the lossless fallback must recover every pair of the plain
+    // run (boilerplate pairs via the prefix join, clean pairs via cold LSH)
+    val plain = Dedup.minHashDedupPairs(hotCorpus, col("doc_id"), col("text"),
+      32, 16, 0.5, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quar = Dedup.quarantinedPairs(index, 0.5, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(quar),
+      s"quarantine lost pairs: ${plain -- quar}")
+    assert(quar.contains((20L, 21L)), "clean near-dup pair must survive on the cold path")
+    assert((1L to 8L).combinations(2).forall(p => quar.contains((p(0), p(1)))),
+      "boilerplate pairs must be recovered by the exact fallback")
+    Dedup.releaseDedupIndex(index)
+  }
+
+  test("autoBanding: committed 16×2 at gate scale; rows rise with corpus decades; recall bound holds; budget caps") {
+    // ≤ 10^5 docs resolve to the committed recall-generous banding
+    assert(Dedup.autoBanding(500L, 0.5) == ((32, 16)))
+    assert(Dedup.autoBanding(100000L, 0.5) == ((32, 16)))
+    // one extra row per decade: 10^6 → r=3, 10^7 → r=4 (bands from the
+    // ≥95%-recall-at-threshold bound b = ceil(3/t^r), floored at 16)
+    assert(Dedup.autoBanding(1000000L, 0.5) == ((72, 24)))   // 24 bands × 3
+    assert(Dedup.autoBanding(10000000L, 0.5) == ((192, 48))) // 48 bands × 4
+    // the 512-hash budget caps r for low thresholds (r=6 at t=0.5 would
+    // need 192 bands = 1152 hashes): 10^9 wants r=6, affords r=5
+    val (h9, b9) = Dedup.autoBanding(1000000000L, 0.5)
+    assert(h9 <= 512 && h9 == b9 * 5, s"budget cap violated: ($h9, $b9)")
+    // recall-at-threshold bound: every derived banding keeps
+    // 1-(1-t^r)^b ≥ 0.95
+    for (n <- Seq(500L, 1000000L, 10000000L, 1000000000L); t <- Seq(0.5, 0.8)) {
+      val (h, b) = Dedup.autoBanding(n, t)
+      val r = h / b
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      assert(recall >= 0.95, s"autoBanding($n, $t) = ($h, $b): recall $recall")
+    }
+    // higher thresholds afford sharper curves within the 16-band floor
+    assert(Dedup.autoBanding(10000000L, 0.8) == ((64, 16))) // 16 bands × 4
+  }
 }

@@ -414,4 +414,64 @@ class SimilaritySpec extends AnyFunSuite {
         x.getAs[String]("c_label")))
     assert(r.toSeq == Seq((1L, 2L, "B"), (2L, 3L, "B")), r.toSeq)
   }
+
+  // ------------------------------------------------------ rebuild policy
+  /** Deterministic synthetic corpus: ids 0..n-1, 8-dim hash-derived
+    * unit-ish vectors (same generator family as the other trained-path
+    * tests — reproducible, no RNG state). */
+  private def synthCorpus(n: Int) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => (pmod(hash(col("id"), d), lit(1000)).cast("float") / 500.0f) - 1.0f)
+        .as("embedding"))
+
+  test("rebuild policy: healthy index passes through unchanged with its own auto nProbe") {
+    val corpus = synthCorpus(300)
+    // 300 vectors: autoGeometry wants round(√300)=17 centroids; a 16-list
+    // index is within the 1.3× drift band and a hash-derived corpus keeps
+    // lists balanced → neither trigger fires
+    val index = Similarity.buildIvfPqIndex(corpus, nCentroids = 16,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val (out, np, rebuilt) = Similarity.ivfPqRebuildIfStale(index, m = 4, ksub = 8)
+    assert(!rebuilt, "policy fired on a healthy index")
+    assert(out eq index, "pass-through must return the SAME index object")
+    assert(np == 4, s"auto nProbe of a 16-list index is max(4, √16) = 4, got $np")
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
+
+  test("rebuild policy: geometry drift fires and the rebuilt index serves ≡ a fresh auto build") {
+    // base trained on 240 vectors at a DELIBERATELY tiny geometry (4
+    // lists), then 60 more append through the frozen quantizers: the 300-
+    // vector corpus wants 17 ≥ 1.3×4 centroids → the policy must rebuild
+    val corpus = synthCorpus(300)
+    val base = Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") < 240),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val grown = Similarity.ivfPqIndexAppend(base, corpus.filter(col("vec_id") >= 240))
+    val (out, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grown, m = 4, ksub = 8)
+    assert(rebuilt, "geometry drift (4 → 17 lists) must fire the policy")
+    val queries = corpus.filter(col("vec_id") % 29 === 0)
+    val served = Similarity.ivfPqTopKIndexed(queries, out, 3, np)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fresh auto build over the same 300 rows (single-plan corpus): the
+    // policy's rebuild path must reproduce it exactly — same geometry,
+    // same sampled-training predicate, same integer ADC serving
+    val (freshIx, freshNp) = Similarity.ivfPqAutoIndexFor(corpus, m = 4, ksub = 8)
+    assert(np == freshNp)
+    val fresh = Similarity.ivfPqTopKIndexed(queries, freshIx, 3, freshNp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == fresh,
+      s"rebuilt serving diverged from fresh auto build: ${served -- fresh} / ${fresh -- served}")
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
+
+  test("autoRecallOperatingPoint: nc^0.75 probes (≥4), 64-deep rerank floor") {
+    assert(Similarity.autoRecallOperatingPoint(16, 5) == ((8, 64)))
+    assert(Similarity.autoRecallOperatingPoint(1024, 5) == ((181, 64)))
+    assert(Similarity.autoRecallOperatingPoint(16, 100) == ((8, 100)))
+    // the deeper probe dominates the plain auto point at every geometry
+    for (nc <- Seq(16, 64, 256, 4096, 65536)) {
+      val plain = math.max(4, math.round(math.sqrt(nc.toDouble)).toInt)
+      assert(Similarity.autoRecallOperatingPoint(nc, 5)._1 >= plain)
+    }
+  }
 }

@@ -277,6 +277,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild-policy rollover under a live stream: geometry AND operating point roll together") {
+    import java.nio.file.Files
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val qA = emb.filter(col("vec_id") % 20 === 0).select(col("vec_id"), col("embedding"))
+    val qB = emb.filter(col("vec_id") % 20 === 10).select(col("vec_id"), col("embedding"))
+    // stale lineage: 4-list base on the 80% split, 20% appended through
+    // frozen quantizers — the 50-vector corpus wants 16 ≥ 1.3×4 lists
+    val base = Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val grown = Similarity.ivfPqIndexAppend(base, emb.filter(col("vec_id") % 5 === 0))
+    val truthA = Similarity.ivfPqTopKIndexed(qA, grown, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val qDir = Files.createTempDirectory("ann_regeo_q").toString
+    val outDir = Files.createTempDirectory("ann_regeo_out").toString + "/res"
+    qA.coalesce(1).write.mode("append").parquet(qDir)
+    val opRef = new java.util.concurrent.atomic.AtomicReference((grown, 2))
+    val q = graft.streaming.AnnServing.startServingStreamOp(
+      spark, qDir, opRef, k = 3, outDir)
+    try {
+      q.processAllAvailable() // batch 1 serves the stale generation
+      // POLICY mid-stream: drift fires, the corpus rebuilds at auto
+      // geometry, and the (index, nProbe) PAIR rolls atomically
+      val (rebuilt, np2, fired) = Similarity.ivfPqRebuildIfStale(grown, m = 4, ksub = 8)
+      assert(fired, "geometry drift (4 lists vs auto) must fire the policy")
+      val (ncWant, _) = Similarity.autoGeometry(grown.corpus.count())
+      assert(rebuilt.centroids.count() == ncWant && grown.centroids.count() == 4,
+        "rebuild must re-train the coarse quantizer at the derived geometry")
+      val truthB = Similarity.ivfPqTopKIndexed(qB, rebuilt, k = 3, nProbe = np2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      opRef.set((rebuilt, np2))
+      Similarity.releaseIndexData(grown, blocking = true)
+      assert(grown.corpus.storageLevel == StorageLevel.NONE
+        && grown.codes.storageLevel == StorageLevel.NONE,
+        "superseded generation must hold no data-tier cache")
+      assert(rebuilt.corpus.storageLevel != StorageLevel.NONE,
+        "rebuilt generation must stay resident (its frames materialized at build)")
+      qB.coalesce(1).write.mode("append").parquet(qDir)
+      q.processAllAvailable() // batch 2 serves the rebuilt geometry
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == truthA ++ truthB,
+        s"regeometry stream != per-generation batch truth: " +
+          s"${streamed.diff(truthA ++ truthB)} vs ${(truthA ++ truthB).diff(streamed)}")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
+
   test("streaming ingest dedup: per-batch pairs union to the full run restricted to streamed docs") {
     import java.nio.file.Files
     import graft.functions.Dedup
@@ -321,6 +377,50 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(inc.contains((0L, 100L)) && inc.contains((1L, 100L)),
         "post-stream index must hold the streamed docs")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
+
+  test("ingest dedup with tolerateReplays: a replayed file neither crashes the stream nor duplicates pairs") {
+    import java.nio.file.Files
+    import graft.functions.Dedup
+    import spark.implicits._
+    val docs = (0L until 10L).map { i =>
+      val base = s"november oscar papa quebec romeo sierra tango uniform victor whiskey x${i / 2}"
+      (i, if (i % 2 == 0) base else base + " yankee")
+    }.toDF("doc_id", "text")
+    val index0 = Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val docDir = Files.createTempDirectory("dedup_replay_in").toString
+    val outDir = Files.createTempDirectory("dedup_replay_out").toString + "/pairs"
+    val ref = new java.util.concurrent.atomic.AtomicReference(index0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    batch.coalesce(1).write.mode("append").parquet(docDir)
+    val q = graft.streaming.DedupServing.startDedupStream(
+      spark, docDir, ref, threshold = 0.5, outDir, tolerateReplays = true)
+    try {
+      q.processAllAvailable() // batch 1: fresh ingest
+      val first = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(first.nonEmpty, "fresh batch must emit its near-dup pairs")
+      val indexedAfterFirst = ref.get().staged.count()
+      // REPLAY: the same doc set arrives again as a new file (at-least-once
+      // delivery / an upstream writer retry). The strict path would throw
+      // on the id clash and crash-loop; the tolerant path must drop the
+      // already-indexed rows before staging.
+      batch.coalesce(1).write.mode("append").parquet(docDir)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"replayed batch killed the stream: ${q.exception}")
+      val afterReplay = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(afterReplay.toSet == first && afterReplay.size == first.size,
+        "a replayed batch must add no pair rows (its docs are already indexed)")
+      assert(ref.get().staged.count() == indexedAfterFirst,
+        "a replayed batch must not grow the index")
     } finally {
       q.stop()
       GraftCaches.unpersistAll()

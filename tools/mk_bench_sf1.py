@@ -1,10 +1,29 @@
-import json, math, re
+"""Builds BENCH_sf1.json from raw bench stdout captures + the ScaleProbe log.
 
-def load(tag):
-    raw = open(f'/tmp/bench_{tag}.json').read()
+Producing commands (defaults below point at their outputs; pass your own
+paths as CLI args to regenerate from a fresh run):
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.Bench" > /tmp/bench_<tag>.json
+      for <dir> in /root/testdata/sf0.1, target/testdata-sf1, target/testdata-sf3
+      (target dirs from: sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 target/testdata-sfN N")
+  sbt "runMain graft.tools.ScaleProbe" > /tmp/scaleprobe2.log
+  optional x100: SPARK_GRAFT_SF_DIR=target/testdata-sf100 ... > /tmp/bench_sf100.json
+
+Usage: mk_bench_sf1.py [bench_sf0.1 bench_x10 bench_x30 scaleprobe_log [bench_x100]]
+"""
+import json, math, re, sys
+
+args = sys.argv[1:]
+PATH_B01 = args[0] if len(args) > 0 else '/tmp/bench_sf0.1.json'
+PATH_B1 = args[1] if len(args) > 1 else '/tmp/bench_testdata-sf1.json'
+PATH_B3 = args[2] if len(args) > 2 else '/tmp/bench_testdata-sf3.json'
+PATH_PROBE = args[3] if len(args) > 3 else '/tmp/scaleprobe2.log'
+PATH_B100 = args[4] if len(args) > 4 else '/tmp/bench_sf100.json'
+
+def load_path(path):
+    raw = open(path).read()
     return json.loads(raw.split('[info] ', 1)[1] if '[info]' in raw else raw)
 
-b01, b1, b3 = load('sf0.1'), load('testdata-sf1'), load('testdata-sf3')
+b01, b1, b3 = load_path(PATH_B01), load_path(PATH_B1), load_path(PATH_B3)
 
 causes = {
     "ann_auto_geometry": "gate query set grows with the corpus; geometry derives from N (nc=45/141/245, np=7/12/16) so probed rows per query stay ~N^0.75 — compare ann_ivfpq_topk's fixed geometry",
@@ -40,10 +59,10 @@ for s in b01['setup']:
                  'sf1': round(b1['setup'][s], 2),
                  'sf3': round(b3['setup'][s], 2)}
 
-# geometry probe rows from /tmp/scaleprobe2.log
+# geometry probe rows from the ScaleProbe log
 probe = {}
 pat = re.compile(r'PROBE (\S+) N=(\d+) \|Q\|=(\d+) (fixed|auto) nc=(\d+) np=(\d+) build=([\d.]+)s serve=([\d.]+)s recall_permille=(\d+)')
-for line in open('/tmp/scaleprobe2.log'):
+for line in open(PATH_PROBE):
     m = pat.search(line)
     if not m:
         continue
@@ -99,10 +118,10 @@ out = {
 json.dump(out, open('/root/repo/BENCH_sf1.json', 'w'), indent=1, sort_keys=True)
 print('written', len(queries), 'query rows,', len(probe), 'probe scales')
 
-# --- x100 extension (run after /tmp/bench_sf100.json exists) ---
+# --- x100 extension (run after the x100 bench capture exists) ---
 import os
-if os.path.exists('/tmp/bench_sf100.json') and os.path.getsize('/tmp/bench_sf100.json') > 0:
-    b100 = load('sf100')
+if os.path.exists(PATH_B100) and os.path.getsize(PATH_B100) > 0:
+    b100 = load_path(PATH_B100)
     d = json.load(open('/root/repo/BENCH_sf1.json'))
     causes100 = {
         'ann_ivfpq_topk': ('FIXED geometry at the corpus-growing gate workload (4000 queries): exponent 1.46 = '
