@@ -513,6 +513,47 @@ object Dedup {
     coldPairs.unionByName(hotPairs).distinct()
   }
 
+  /** QUARANTINE POLICY — derive the bucket bound from a CANDIDATE-PAIR
+    * BUDGET instead of hand-picking it (the dedup mirror of
+    * [[Similarity.ivfPqRebuildIfStale]]'s derive-don't-pin stance, and
+    * the policy layer over [[dedupIndexHealth]]'s detector): given the
+    * largest candidate-join size the operator may plan, choose the
+    * LARGEST `maxBucket` whose within-bound buckets imply
+    * Σ n·(n−1)/2 ≤ `maxCandidatePairs`, then run [[quarantinedPairs]] at
+    * that bound. Buckets above the bound re-route through the lossless
+    * prefix fallback, so tightening the bound never loses pairs — the
+    * budget trades LSH-join work for prefix-join work, not recall.
+    *
+    * Cost of the derivation: one pass over the 4-int bucket table into a
+    * BUCKET-SIZE HISTOGRAM (distinct sizes — at most a few hundred rows
+    * on any corpus; heavily partial-aggregated), cumulative cost by
+    * ascending size on the driver over that tiny histogram. Returns the
+    * chosen bound with the pair frame so callers can log the operating
+    * point. A budget smaller than every bucket's cost quarantines
+    * everything (bound 1 — pure prefix join); an ample budget is a no-op
+    * (bound = hottest bucket). */
+  def quarantinedPairsBudget(index: DedupIndex, threshold: Double,
+      maxCandidatePairs: Long): (DataFrame, Long) = {
+    require(maxCandidatePairs >= 0L)
+    val hist = index.bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
+      .orderBy(col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the bound is a THRESHOLD (every size ≤ bound stays), so the scan is
+    // a strict cumulative prefix by ascending size — a larger size may
+    // never be admitted past an unaffordable smaller one
+    var budget = maxCandidatePairs
+    var bound = 1L
+    var fits = true
+    for ((n, buckets) <- hist if fits) {
+      val cost = buckets * (n * (n - 1) / 2)
+      if (cost <= budget) { budget -= cost; bound = n }
+      else fits = false
+    }
+    (quarantinedPairs(index, threshold, bound), bound)
+  }
+
   // ---------------------------------------------- scale-adaptive banding
   /** SCALE-ADAPTIVE LSH BANDING — the dedup analogue of
     * [[Similarity.autoGeometry]]: derive `(numHashes, bands)` from corpus

@@ -526,6 +526,31 @@ class DedupTextSpec extends AnyFunSuite {
     Dedup.releaseDedupIndex(index)
   }
 
+  test("quarantine budget policy: bound is the largest affordable cumulative prefix; recall never drops") {
+    val index = Dedup.buildDedupIndex(hotCorpus, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val plain = Dedup.minHashDedupPairs(hotCorpus, col("doc_id"), col("text"),
+      32, 16, 0.5, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // zero budget: everything quarantined (bound 1 — pure prefix path);
+    // the lossless fallback must still recover every plain-run pair
+    val (pairs0, bound0) = Dedup.quarantinedPairsBudget(index, 0.5, 0L)
+    assert(bound0 == 1L)
+    val set0 = pairs0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(set0), s"zero-budget lost pairs: ${plain -- set0}")
+    // ample budget: no-op (bound reaches the hottest bucket), exact plain run
+    val (pairsBig, boundBig) = Dedup.quarantinedPairsBudget(index, 0.5, 1000000L)
+    assert(boundBig == 8L, s"ample budget must keep the 8-doc bucket ($boundBig)")
+    val setBig = pairsBig.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setBig == plain)
+    // middle budget: the 16 bands × C(8,2)=28-pair hot buckets (448 pairs)
+    // are unaffordable at 100, the ≤2 buckets are — bound lands between
+    val (pairsMid, boundMid) = Dedup.quarantinedPairsBudget(index, 0.5, 100L)
+    assert(boundMid >= 1L && boundMid < 8L, s"bound $boundMid")
+    val setMid = pairsMid.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(setMid))
+    Dedup.releaseDedupIndex(index)
+  }
+
   test("autoBanding: committed 16×2 at gate scale; rows rise with corpus decades; recall bound holds; budget caps") {
     // ≤ 10^5 docs resolve to the committed recall-generous banding
     assert(Dedup.autoBanding(500L, 0.5) == ((32, 16)))
