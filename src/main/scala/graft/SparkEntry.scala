@@ -79,6 +79,17 @@ object SparkEntry {
     f.getAbsolutePath
   }
 
+  /** Save path for the dedup-catalog roundtrip gate (same PID+sf keying
+    * and shutdown-sweep registration as [[savedIndexPath]]). */
+  private def savedDedupIndexPath(sfDir: String): String = {
+    require(scratchHookInstalled)
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dedup_index_rt_${ProcessHandle.current().pid()}_" +
+        (sfDir.hashCode & 0x7fffffff).toString)
+    scratchDirs.add(f.toPath)
+    f.getAbsolutePath
+  }
+
   /** BENCH SETUP PHASE — runs once before the timed query loop, each
     * entry timed and reported under `setup` in the bench JSON (never
     * mixed into the per-query lines). Two jobs:
@@ -159,6 +170,23 @@ object SparkEntry {
         Similarity.saveIvfPqIndex(
           Similarity.ivfPqIndexFor(Tables.embeddings(s, dir),
             nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1),
+          path)
+      }
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // parquet save of the standing dedup catalog (build resolves through
+    // the memo — already built above): the dedup_index_roundtrip query
+    // line then measures LOAD + incremental serve, the cross-session
+    // ingest-job shape, with the one-time save cost attributed here
+    "dedup_index_save" -> ((s: SparkSession, dir: String) => {
+      val path = savedDedupIndexPath(dir)
+      if (!new java.io.File(path, "meta").isDirectory) {
+        Dedup.saveDedupIndex(
+          Dedup.dedupIndexFor(
+            Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+            col("doc_id"), col("text"), numHashes = 32, nBands = 16,
+            shingleK = 3),
           path)
       }
       GraftCaches.unpersistAll(blocking = true)
@@ -852,6 +880,49 @@ object SparkEntry {
       val index = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
         col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
       Dedup.quarantinedPairs(index, threshold = 0.5, maxBucket = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // INCREMENTAL + QUARANTINE — the hot-bucket mitigation on the
+    // freshness path, where a hot standing bucket recurs in EVERY daily
+    // batch's bucket join: over-bound catalog buckets (maxBucket=2; the
+    // sf0.01 catalog's hottest holds 3, so the path genuinely engages)
+    // leave the batch⋈catalog join and the batch resolves against their
+    // members through the lossless prefix fallback. Same restriction
+    // oracle as minhash_incremental: the fallback can only ADD true
+    // pairs, and at this corpus LSH recall is total, so the pair set is
+    // identical.
+    "minhash_incremental_quarantined" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      Dedup.incrementalMinHashPairsQuarantined(index,
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+          threshold = 0.5, maxBucket = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // DEDUP CATALOG ROUNDTRIP — parquet save→load of the standing index
+    // (the catalog's cross-session artifact lifecycle, completing the
+    // symmetry with ann_index_roundtrip): the save is the bench-setup
+    // `dedup_index_save` line; this query LOADS the catalog in a fresh
+    // set of artifact frames and serves the standard incremental batch
+    // against it. CLOSED-FORM ORACLE: loaded-serving ≡ built-serving
+    // (storage-exact member types, order-independent joins), so the
+    // minhash_incremental restriction oracle applies verbatim.
+    "dedup_index_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = savedDedupIndexPath(dir)
+      if (!new java.io.File(path, "meta").isDirectory) {
+        Dedup.saveDedupIndex(
+          Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+            col("doc_id"), col("text"), numHashes = 32, nBands = 16,
+            shingleK = 3),
+          path)
+      }
+      val loaded = Dedup.loadDedupIndex(s, path)
+      Dedup.incrementalMinHashPairs(loaded, docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), threshold = 0.5)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -4115,6 +4186,20 @@ object SparkEntry {
     // incremental ≡ full-run restricted to batch-touching pairs — the
     // oracle IS the committed full-run fixture under that restriction
     "minhash_incremental" ->
+      s"""SELECT id1, id2, jaccard
+        |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // loaded catalog ≡ built catalog — the roundtrip reuses the
+    // incremental restriction oracle verbatim
+    "dedup_index_roundtrip" ->
+      s"""SELECT id1, id2, jaccard
+        |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // quarantined incremental ≡ incremental (lossless fallback; total
+    // LSH recall at this corpus) — same restriction oracle
+    "minhash_incremental_quarantined" ->
       s"""SELECT id1, id2, jaccard
         |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
         |WHERE id1 % 5 = 0 OR id2 % 5 = 0

@@ -353,6 +353,65 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** INCREMENTAL PAIRS WITH HOT-BUCKET QUARANTINE — [[quarantinedPairs]]'
+    * contract on the freshness path, where it matters MOST: a hot
+    * standing bucket is joined by EVERY daily batch (the n·|batch∩bucket|
+    * join cost recurs per ingest, not once), so the standing catalog's
+    * over-bound buckets leave the batch⋈catalog bucket join and the
+    * batch instead resolves against their members through the exact
+    * prefix-filter join over (hot members ∪ batch) — lossless at the
+    * threshold, so every batch-touching pair a hot bucket would have
+    * surfaced is recovered (both endpoints of a dropped bucket pair are
+    * in the quarantined set ∪ batch by construction). Hotness is judged
+    * on STANDING bucket size (the quantity that recurs per batch and
+    * that [[dedupIndexHealth]] reports); the batch's own buckets are
+    * batch-bounded and join in full. Output ≡
+    * [[incrementalMinHashPairs]] whenever LSH candidate recall is total
+    * among hot members — and ⊇ it otherwise (the fallback can only add
+    * true pairs), which is the `minhash_incremental_quarantined` gate's
+    * restriction oracle. */
+  def incrementalMinHashPairsQuarantined(index: DedupIndex, batch: DataFrame,
+      id: Column, text: Column, threshold: Double,
+      maxBucket: Long): DataFrame = {
+    val (coldBands, hotDocs) = quarantineBuckets(index, maxBucket)
+    val (bStaged, bBands) = stageBatch(index, batch, id, text)
+    // bucket join against the COLD catalog + the batch's own buckets
+    // (same one-pass shape as the unquarantined form)
+    val allBands = coldBands.unionByName(bBands)
+    val cand = allBands
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("__a"))
+      .join(bBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("__b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
+      .distinct()
+    val allShingles = index.staged.unionByName(bStaged)
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      .persistTracked()
+    val coldPairs = verifyJaccard(cand, allShingles, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    // lossless fallback over (hot members ∪ batch), restricted afterward
+    // to batch-touching pairs (the incremental contract) — hot∪batch is
+    // small relative to the corpus, and the prefix principle bounds its
+    // join fan-out regardless of how boilerplate-heavy the members are
+    val batchIds = bStaged.select(col("doc_id")).persistTracked()
+    val hotSh = allShingles.join(
+      hotDocs.unionByName(batchIds).distinct(), Seq("doc_id"))
+      .persistTracked()
+    val hotAll = prefixFilterJoinOnShingles(hotSh, threshold)
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter"))
+          .cast("double"), 6).as("jaccard"))
+      .persistTracked() // two semi-joins below read it
+    val hotPairs = hotAll
+      .join(batchIds.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+      .unionByName(hotAll
+        .join(batchIds.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
   /** Grow the standing index by a batch (the freshness path, FAISS-`add`-
     * shaped like [[Similarity.ivfPqIndexAppend]]): batch staging/buckets
     * union into new artifact frames; the superseded generation's frames
@@ -367,6 +426,42 @@ object Dedup {
       index.bands.unionByName(bBands))
     bands.count(); staged.count()
     DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+  }
+
+  /** PERSIST a built dedup index to parquet — the catalog's production
+    * artifact lifecycle, mirroring [[Similarity.saveIvfPqIndex]]: the
+    * offline build job writes the standing catalog once; any number of
+    * ingest jobs (other sessions, other clusters) [[loadDedupIndex]] it
+    * without re-staging the corpus. Two member directories (the per-doc
+    * shingle arrays and the 4-int band buckets) plus a one-row meta
+    * table. Loaded-serving is EXACTLY in-memory serving: band hashes and
+    * shingle arrays are storage-exact types (ints, strings), and every
+    * downstream join/aggregate is partition-order-independent — the
+    * `dedup_index_roundtrip` gate pins loaded-incremental ≡ the
+    * committed restriction oracle. */
+  def saveDedupIndex(index: DedupIndex, path: String): Unit = {
+    index.staged.write.mode("overwrite").parquet(s"$path/staged")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.staged.sparkSession.range(1)
+      .select(lit(index.numHashes).as("num_hashes"),
+        lit(index.nBands).as("n_bands"), lit(index.shingleK).as("shingle_k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveDedupIndex]]'d catalog for serving: members persist in
+    * the artifact tier and materialize here, so ingest batches plan no
+    * corpus re-staging and no repeated parquet scans of the catalog. */
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DedupIndex = graft.GraftCaches.inArtifactScope {
+    graft.plans.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val staged = graft.GraftCaches.persistedArtifact(
+      spark.read.parquet(s"$path/staged"))
+    val bands = graft.GraftCaches.persistedArtifact(
+      spark.read.parquet(s"$path/bands"))
+    bands.count(); staged.count()
+    DedupIndex(staged, bands, meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("n_bands"), meta.getAs[Int]("shingle_k"))
   }
 
   /** Release one dedup-index generation's caches (idempotent; the

@@ -33,8 +33,10 @@ class CacheHygieneSpec extends AnyFunSuite {
     "minhash_incremental",
     // r9 lifecycle paths: quarantine (prefix-fallback persists), rebuild
     // policy (fresh artifact generation per call), composed ingest
-    // (dedup catalog + append generation in one query)
-    "dedup_quarantine", "ann_rebuild_policy", "ingest_pipeline")
+    // (dedup catalog + append generation in one query), catalog roundtrip
+    // (fresh loaded artifact set per call)
+    "dedup_quarantine", "ann_rebuild_policy", "ingest_pipeline",
+    "dedup_index_roundtrip")
 
   /** Run one query exactly as Bench/Verify do: materialize through the
     * noop sink, then release the working tier. */

@@ -551,6 +551,60 @@ class DedupTextSpec extends AnyFunSuite {
     Dedup.releaseDedupIndex(index)
   }
 
+  test("incremental quarantine: batch vs planted hot bucket — cold join shrinks, batch-touching recall preserved") {
+    // standing corpus: the 8-doc boilerplate cluster + singletons; the
+    // batch: one more boilerplate near-dup (pairs with all 8 ONLY through
+    // the hot bucket) and one clean near-dup of doc 20 (cold path)
+    val standing = hotCorpus
+    val boiler = (1 to 30).map(i => s"boiler$i").mkString(" ")
+    val batch = Seq(
+      (100L, s"$boiler tail100"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(standing, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val plain = Dedup.incrementalMinHashPairs(index, batch,
+        col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.GraftCaches.unpersistAll(blocking = true)
+    val quar = Dedup.incrementalMinHashPairsQuarantined(index, batch,
+        col("doc_id"), col("text"), 0.5, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(quar), s"quarantine lost pairs: ${plain -- quar}")
+    // the boilerplate batch doc must still pair with every hot member —
+    // recovered by the fallback, since its buckets left the cold join
+    assert((1L to 8L).forall(i => quar.contains((i, 100L))),
+      s"hot-member pairs missing: $quar")
+    assert(quar.contains((20L, 101L)), "clean pair must survive the cold path")
+    // no standing-standing pair may appear (the incremental contract)
+    assert(quar.forall(p => p._1 >= 100L || p._2 >= 100L),
+      s"non-batch pair leaked: ${quar.filter(p => p._1 < 100L && p._2 < 100L)}")
+    Dedup.releaseDedupIndex(index)
+  }
+
+  test("dedup catalog save→load serves incremental batches identically to the built index") {
+    val docs = (0L until 20L).map { i =>
+      val base = s"golf hotel india juliet kilo lima mike november oscar papa q${i / 2}"
+      (i, if (i % 2 == 0) base else base + " romeo")
+    }.toDF("doc_id", "text")
+    val built = Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val inMem = Dedup.incrementalMinHashPairs(built, batch, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inMem.nonEmpty)
+    graft.GraftCaches.unpersistAll(blocking = true)
+    val path = java.nio.file.Files.createTempDirectory("dedup_rt").toString
+    Dedup.saveDedupIndex(built, path)
+    val loaded = Dedup.loadDedupIndex(spark, path)
+    assert(loaded.numHashes == 32 && loaded.nBands == 16 && loaded.shingleK == 3)
+    val fromDisk = Dedup.incrementalMinHashPairs(loaded, batch, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromDisk == inMem,
+      s"loaded catalog diverged: ${fromDisk -- inMem} / ${inMem -- fromDisk}")
+    Dedup.releaseDedupIndex(built); Dedup.releaseDedupIndex(loaded)
+  }
+
   test("autoBanding: committed 16×2 at gate scale; rows rise with corpus decades; recall bound holds; budget caps") {
     // ≤ 10^5 docs resolve to the committed recall-generous banding
     assert(Dedup.autoBanding(500L, 0.5) == ((32, 16)))

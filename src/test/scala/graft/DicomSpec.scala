@@ -81,4 +81,33 @@ class DicomSpec extends AnyFunSuite {
       assert(f.copy(gcs_uri_raw = m.gcs_uri_raw) == m, name)
     }
   }
+
+  test("implicit-VR first element whose length spells a long-form VR no longer misparses") {
+    import java.io.ByteArrayOutputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = new ByteArrayOutputStream()
+    def imp(group: Int, elem: Int, value: Array[Byte]): Unit = {
+      val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      head.putShort(group.toShort).putShort(elem.toShort).putInt(value.length)
+      bb.write(head.array()); bb.write(value)
+    }
+    def us(v: Int) =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    // 16975 = 0x424F: bytes 4-5 of the first element spell "OB" (a
+    // LONG-FORM VR), so the pydicom-style guess alone classifies the
+    // headerless dataset explicit — and the explicit parse then reads the
+    // first value bytes ("sop_" = 0x5F706F73) as a 1.6 GB length and
+    // drops the file via C3. The length sanity check must notice the
+    // explicit reading cannot fit while the implicit one does.
+    val sop = ("sop_collision" + " " * 16975).substring(0, 16975)
+      .getBytes("ISO-8859-1")
+    imp(0x0008, 0x0018, sop)
+    imp(0x0028, 0x0010, us(2)); imp(0x0028, 0x0011, us(2))
+    imp(0x0028, 0x0100, us(16))
+    imp(0x7FE0, 0x0010, Array.tabulate[Byte](8)(i => i.toByte))
+    val d = Dicom.decode(bb.toByteArray)
+    assert(d.isDefined, "length-sane sniff must classify this dataset implicit")
+    assert(d.get.rows == 2 && d.get.cols == 2)
+    assert(d.get.tags("SOPInstanceUID") == "sop_collision")
+  }
 }
