@@ -384,6 +384,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest dedup restart with checkpointLocation: committed batches are not reprocessed") {
+    import java.nio.file.Files
+    import graft.functions.Dedup
+    import spark.implicits._
+    val docs = (0L until 20L).map { i =>
+      val base = s"zulu alpha beta gamma delta epsilon zeta eta theta iota k${i / 2}"
+      (i, if (i % 2 == 0) base else base + " lambda")
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val index0 = Dedup.buildDedupIndex(corpus, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val docDir = Files.createTempDirectory("dedup_ckpt_in").toString
+    val ckptDir = Files.createTempDirectory("dedup_ckpt_meta").toString
+    val outDir = Files.createTempDirectory("dedup_ckpt_out").toString + "/pairs"
+    val ref = new java.util.concurrent.atomic.AtomicReference(index0)
+    val batch1 = docs.filter(col("doc_id") % 10 === 0)
+    batch1.coalesce(1).write.mode("append").parquet(docDir)
+    val q1 = graft.streaming.DedupServing.startDedupStream(
+      spark, docDir, ref, threshold = 0.5, outDir,
+      checkpointLocation = Some(ckptDir))
+    q1.processAllAvailable(); q1.stop()
+    val afterB1 = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1.nonEmpty)
+    // RESTART: per the documented contract the driver-side index state is
+    // rebuilt from the accepted corpus snapshot (corpus + batch 1); the
+    // checkpoint must resume AFTER the committed batch-1 file — a
+    // checkpoint-less restart would replay it and crash-loop the strict
+    // id-hygiene guard against exactly this rebuilt index.
+    Dedup.releaseDedupIndex(ref.get())
+    GraftCaches.unpersistAll(blocking = true)
+    val rebuilt = Dedup.buildDedupIndex(corpus.unionByName(batch1),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    ref.set(rebuilt)
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(docDir)
+    val q2 = graft.streaming.DedupServing.startDedupStream(
+      spark, docDir, ref, threshold = 0.5, outDir,
+      checkpointLocation = Some(ckptDir))
+    try {
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"restart replayed a committed batch into the strict guard: ${q2.exception}")
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+      assert(streamed == expected,
+        s"restart output != restricted full run: " +
+          s"${streamed.diff(expected)} vs ${expected.diff(streamed)}")
+    } finally {
+      q2.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
+
   test("ingest dedup with tolerateReplays: a replayed file neither crashes the stream nor duplicates pairs") {
     import java.nio.file.Files
     import graft.functions.Dedup
