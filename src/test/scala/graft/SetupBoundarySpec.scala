@@ -26,7 +26,8 @@ class SetupBoundarySpec extends AnyFunSuite {
     "ann_ivf_topk", "ann_ivf_topk_p8", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_p8", "ann_filtered_search",
     "ann_index_health", "ann_auto_geometry", "ann_auto_rerank",
-    "minhash_incremental", "dedup_index_health", "dedup_quarantine")
+    "minhash_incremental", "dedup_index_health", "dedup_quarantine",
+    "dedup_quarantine_budget", "minhash_incremental_quarantined")
 
   test("after the bench setup phase, serving queries build zero artifacts") {
     GraftCaches.unpersistAll(blocking = true)
