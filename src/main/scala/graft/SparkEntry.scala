@@ -883,6 +883,35 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // DEDUP OPERATING REPORT — the one ops artifact a curation team
+    // reads on the standing catalog (the dedup mirror of
+    // ann_operating_report): the full catalog-health table (bucket
+    // stats, implied candidate-join cost) PLUS the derived operating
+    // points — the scale-adaptive banding the corpus size implies
+    // (autoBanding at the committed 0.5 threshold) and the quarantine
+    // bound the 175-pair candidate budget implies. One long-format
+    // integer table; the oracle re-reads the health fixture and pins
+    // the derived rows at their closed-form sf0.01 values (the
+    // derivations themselves are property-tested in DedupTextSpec).
+    "dedup_operating_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val n = index.staged.count() // artifact-cached — a metadata read
+      val (autoH, autoB) = Dedup.autoBanding(n, 0.5)
+      val bound = Dedup.quarantineBudgetBound(index, 175L)
+      val derived = s.range(1).select(explode(array(
+          struct(lit("auto_num_hashes").as("metric"), lit(-1L).as("key"),
+            lit(autoH.toLong).as("value")),
+          struct(lit("auto_bands").as("metric"), lit(-1L).as("key"),
+            lit(autoB.toLong).as("value")),
+          struct(lit("quarantine_bound_175").as("metric"), lit(-1L).as("key"),
+            lit(bound).as("value")))).as("r"))
+        .select(col("r.metric"), col("r.key"), col("r.value"))
+      Dedup.dedupIndexHealth(index).unionByName(derived)
+        .orderBy(col("metric"), col("key"))
+    }),
+
     // INCREMENTAL + QUARANTINE — the hot-bucket mitigation on the
     // freshness path, where a hot standing bucket recurs in EVERY daily
     // batch's bucket join: over-bound catalog buckets (maxBucket=2; the
@@ -4197,6 +4226,17 @@ object SparkEntry {
         |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
         |WHERE id1 % 5 = 0 OR id2 % 5 = 0
         |ORDER BY id1, id2""".stripMargin,
+    // health rows from the committed fixture; derived rows at their
+    // closed-form sf0.01 values (autoBanding(400, 0.5) = (32, 16); the
+    // 175-pair budget excludes exactly the one 3-bucket → bound 2 —
+    // derivations property-tested in DedupTextSpec)
+    "dedup_operating_report" ->
+      s"""SELECT metric, key, value
+        |FROM read_parquet('$fixturesDir/dedup_index_health.parquet')
+        |UNION ALL SELECT 'auto_num_hashes', CAST(-1 AS BIGINT), CAST(32 AS BIGINT)
+        |UNION ALL SELECT 'auto_bands', CAST(-1 AS BIGINT), CAST(16 AS BIGINT)
+        |UNION ALL SELECT 'quarantine_bound_175', CAST(-1 AS BIGINT), CAST(2 AS BIGINT)
+        |ORDER BY metric, key""".stripMargin,
     // quarantined incremental ≡ incremental (lossless fallback; total
     // LSH recall at this corpus) — same restriction oracle
     "minhash_incremental_quarantined" ->

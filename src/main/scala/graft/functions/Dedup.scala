@@ -629,15 +629,23 @@ object Dedup {
     * (bound = hottest bucket). */
   def quarantinedPairsBudget(index: DedupIndex, threshold: Double,
       maxCandidatePairs: Long): (DataFrame, Long) = {
+    val bound = quarantineBudgetBound(index, maxCandidatePairs)
+    (quarantinedPairs(index, threshold, bound), bound)
+  }
+
+  /** The bound [[quarantinedPairsBudget]] derives, exposed for ops
+    * reporting: one partial-aggregated pass into the bucket-size
+    * histogram, then a strict cumulative-prefix scan by ascending size
+    * on the driver — the bound is a THRESHOLD (every size ≤ bound
+    * stays), so a larger size may never be admitted past an unaffordable
+    * smaller one. */
+  def quarantineBudgetBound(index: DedupIndex, maxCandidatePairs: Long): Long = {
     require(maxCandidatePairs >= 0L)
     val hist = index.bands.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
       .orderBy(col("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // the bound is a THRESHOLD (every size ≤ bound stays), so the scan is
-    // a strict cumulative prefix by ascending size — a larger size may
-    // never be admitted past an unaffordable smaller one
     var budget = maxCandidatePairs
     var bound = 1L
     var fits = true
@@ -646,7 +654,7 @@ object Dedup {
       if (cost <= budget) { budget -= cost; bound = n }
       else fits = false
     }
-    (quarantinedPairs(index, threshold, bound), bound)
+    bound
   }
 
   // ---------------------------------------------- scale-adaptive banding

@@ -27,7 +27,8 @@ class SetupBoundarySpec extends AnyFunSuite {
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_p8", "ann_filtered_search",
     "ann_index_health", "ann_auto_geometry", "ann_auto_rerank",
     "minhash_incremental", "dedup_index_health", "dedup_quarantine",
-    "dedup_quarantine_budget", "minhash_incremental_quarantined")
+    "dedup_quarantine_budget", "minhash_incremental_quarantined",
+    "dedup_operating_report")
 
   test("after the bench setup phase, serving queries build zero artifacts") {
     GraftCaches.unpersistAll(blocking = true)
