@@ -1697,6 +1697,59 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // POLICY-DRIVEN INGEST — the adaptive front door, composing the
+    // round-9 policies in one query: the batch dedups against the
+    // standing catalog through the QUARANTINED incremental path (hot
+    // standing buckets resolved via the lossless prefix fallback, bound
+    // = the health report's operating point — hottest bucket 3 ⇒ bound
+    // 2); survivors (keep-first drop policy) append into the standing
+    // ANN index; the grown index runs the REBUILD POLICY (geometry
+    // drift 16 → √N fires here) and serves at the derived operating
+    // point. Every stage is the oracle-pinned operator — the
+    // composition is deterministic end-to-end and fixture-gated; the
+    // in-gate require keeps the policy-fire honest. (The BUDGET-derived
+    // bound stays in its standalone gate: its 175-pair operating point
+    // is sf0.01-pinned, and at bench SFs it over-quarantines — bound 1
+    // sends the whole batch through the t=0.5 prefix fallback, whose
+    // half-document prefixes make it the wrong tool for a batch-sized
+    // doc set at a recall-generous threshold.)
+    "ingest_pipeline_policy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val dIndex = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val pairs = Dedup.incrementalMinHashPairsQuarantined(dIndex,
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+        threshold = 0.5, maxBucket = 2)
+      val dropped = pairs
+        .select(explode(array(
+          struct(col("id1").as("a"), col("id2").as("b")),
+          struct(col("id2").as("a"), col("id1").as("b")))).as("p"))
+        .select(col("p.a").as("cand"), col("p.b").as("other"))
+        .filter(col("cand") % 5 === 0 &&
+          (col("other") % 5 =!= 0 || col("other") < col("cand")))
+        .select(col("cand").as("vec_id")).distinct()
+      // LINEAGE CUT at the dedup→ANN boundary: the survivor frame embeds
+      // the whole quarantined-dedup logical plan, and every downstream
+      // index-build action would re-run Catalyst analysis/optimization
+      // over that tree even though execution reads caches — measured
+      // 139 s → ~15 s for this line at sf0.1. The checkpoint is the
+      // composition's handoff artifact (batch-sized rows).
+      val survivors = emb.filter(col("vec_id") % 5 === 0)
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .localCheckpointTracked()
+      val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val grown = Similarity.ivfPqIndexAppend(base, survivors)
+      val (served, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grown)
+      require(rebuilt, "ingest_pipeline_policy gate: the staleness policy " +
+        "did not fire — the gate would silently serve frozen quantizers")
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          served, 5, np)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // INGEST PIPELINE — the composed front door of a training-data
     // ingest: a batch (doc_id % 5 == 0) arrives; (1) incremental
     // near-dup against the STANDING dedup catalog (batch-cost bucket
@@ -4261,6 +4314,7 @@ object SparkEntry {
     fixture("dedup_index_health", "metric, key"),
     fixture("ann_auto_rerank", "q_id, rank"),
     fixture("ingest_pipeline", "q_id, rank"),
+    fixture("ingest_pipeline_policy", "q_id, rank"),
     // rebuilt-serving ≡ fresh-auto-built serving — the rebuild policy's
     // oracle IS the committed auto-geometry fixture
     "ann_rebuild_policy" ->

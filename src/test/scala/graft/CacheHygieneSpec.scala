@@ -36,7 +36,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     // (dedup catalog + append generation in one query), catalog roundtrip
     // (fresh loaded artifact set per call)
     "dedup_quarantine", "ann_rebuild_policy", "ingest_pipeline",
-    "dedup_index_roundtrip")
+    "dedup_index_roundtrip", "ingest_pipeline_policy")
 
   /** Run one query exactly as Bench/Verify do: materialize through the
     * noop sink, then release the working tier. */
