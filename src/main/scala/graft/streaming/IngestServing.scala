@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.GraftCaches.Persistable
+import graft.functions.{Dedup, Similarity}
+
+/** STREAMING INGEST PIPELINE — the streaming face of the composed
+  * `ingest_pipeline_policy` gate, joining [[DedupServing]] (standing
+  * dedup catalog) and [[AnnServing]] (standing ANN index) into ONE front
+  * door: document+embedding batches arrive as a file stream and each
+  * micro-batch
+  *
+  *   1. emits its INCREMENTAL near-dup pairs against the standing catalog
+  *      and within itself ([[Dedup.incrementalMinHashPairs]] — batch-only
+  *      staging + bucket equi-joins, never a corpus recompute);
+  *   2. applies the deterministic KEEP-FIRST drop policy: a batch doc
+  *      drops iff it pairs at J≥threshold with an already-SEEN doc (the
+  *      standing catalog — original corpus plus every earlier streamed
+  *      batch, accepted or dropped) or with a smaller-id doc of its own
+  *      batch. Seen-not-accepted matters: a doc duplicating a previously
+  *      DROPPED doc still drops, because its keep-first canonical (the
+  *      earliest-seen member of the duplicate chain) is already indexed —
+  *      the same transitive policy the batch gates pin;
+  *   3. appends the WHOLE batch into the dedup catalog (seen-corpus
+  *      semantics — future batches must dedup against everything that has
+  *      arrived, with each pair emitted exactly once in the batch of its
+  *      later doc) and rolls the served reference, releasing the
+  *      superseded generation;
+  *   4. appends only SURVIVOR embeddings into the ANN index
+  *      (accepted-corpus semantics — retrieval must never return a
+  *      dropped duplicate) through frozen quantizers (FAISS-add), then
+  *      runs the REBUILD POLICY ([[Similarity.ivfPqRebuildIfStale]]):
+  *      when accumulated appends drift the geometry past the factor (or
+  *      lists skew past the imbalance bound), the full accepted corpus
+  *      rebuilds at [[Similarity.autoGeometry]] of its count and the
+  *      served (index, nProbe) OPERATING POINT rolls atomically — the
+  *      [[AnnServing.startServingStreamOp]] contract, since a rebuild
+  *      changes inverted-list geometry and the probe depth must move
+  *      with it.
+  *
+  * Exactness contract (StreamingSpec pins both halves): the union of
+  * per-batch pair files equals the full-corpus batch run restricted to
+  * pairs touching a streamed doc, and post-drain serving against
+  * `annOpRef` equals the BATCH composition (incremental pairs → keep-first
+  * → append survivors → rebuild-if-stale → serve) over the same splits —
+  * the `ingest_pipeline_policy` plan itself.
+  *
+  * At 100 TB this is the daily-ingest shape: per-trigger cost is
+  * batch-sized (staging, bucket joins, assignment/coding of survivors);
+  * the only corpus-sized work is the rebuild, which fires only when the
+  * geometry policy says the corpus has OUTGROWN its quantizers — amortized
+  * over every append since the last rebuild. foreachBatch is
+  * at-least-once under retries, so a production pairs sink writes
+  * epoch-keyed paths or an idempotent upsert; both index rolls are
+  * driver-side state — on restart, rebuild the catalog from the seen
+  * corpus snapshot and the ANN index from the accepted one, and pass
+  * `checkpointLocation` so committed batches are not replayed into the
+  * strict id-hygiene guards.
+  */
+object IngestServing {
+
+  /** Default layout of the staged ingest files: a document row carrying
+    * its embedding (the join of [[DedupServing.defaultDocSchema]] and
+    * [[AnnServing.defaultQuerySchema]] shapes, keyed once). */
+  val defaultIngestSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Keep-first drop policy over one batch's incremental pair set: the
+    * doc_ids of `batchDocs` that pair with a non-batch (already-seen) doc
+    * or with a smaller-id batch doc. Pure plan building (no action); both
+    * inputs are batch-sized, so every join below is a broadcast at scale.
+    * Factored out so the streaming loop and StreamingSpec's batch-truth
+    * recomputation share one definition. */
+  def keepFirstDropped(pairs: DataFrame, batchDocs: DataFrame): DataFrame = {
+    val batchIds = batchDocs.select(col("doc_id"))
+    val sym = pairs.select(explode(array(
+        struct(col("id1").as("cand"), col("id2").as("other")),
+        struct(col("id2").as("cand"), col("id1").as("other")))).as("p"))
+      .select(col("p.cand"), col("p.other"))
+    // cand must be a batch doc (standing docs are never dropped); the
+    // other side's batch membership decides which policy arm applies
+    sym.join(batchIds.select(col("doc_id").as("cand")), Seq("cand"), "left_semi")
+      .join(batchIds.select(col("doc_id").as("other"),
+        lit(true).as("__in_batch")), Seq("other"), "left")
+      .filter(!coalesce(col("__in_batch"), lit(false)) ||
+        col("other") < col("cand"))
+      .select(col("cand").as("doc_id")).distinct()
+  }
+
+  /** Start the composed ingest stream over parquet batches under
+    * `batchDir`: per micro-batch, appends `(id1, id2, jaccard)` pairs to
+    * `pairsOutDir`, rolls the dedup catalog in `dedupRef` (whole batch)
+    * and the ANN operating point in `annOpRef` (survivors, then the
+    * rebuild policy). `m`/`ksub`/`coarseIters`/`pqIters` parameterize a
+    * policy-fired rebuild and must match the standing index's build
+    * parameters (quantizer shape is not stored in [[Similarity.IvfPqIndex]]
+    * beyond `m`); `geometryFactor` is the drift bound. */
+  def startIngestStream(spark: SparkSession, batchDir: String,
+      dedupRef: AtomicReference[Dedup.DedupIndex],
+      annOpRef: AtomicReference[(Similarity.IvfPqIndex, Int)],
+      threshold: Double, pairsOutDir: String,
+      maxFilesPerTrigger: Int = 1,
+      ingestSchema: StructType = defaultIngestSchema,
+      checkpointLocation: Option[String] = None,
+      m: Int = 16, ksub: Int = 32, coarseIters: Int = 1, pqIters: Int = 1,
+      geometryFactor: Double = 1.3): StreamingQuery = {
+    val writer = spark.readStream
+      .schema(ingestSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(batchDir)
+      .writeStream
+    checkpointLocation.fold(writer)(p => writer.option("checkpointLocation", p))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dedupIx = dedupRef.get()
+        val docs = batch.select(col("doc_id"), col("text"))
+        // pairs feed two consumers (the sink and the drop policy):
+        // persist once so the bucket joins run once per batch
+        val pairs = Dedup.incrementalMinHashPairs(dedupIx, docs,
+          col("doc_id"), col("text"), threshold).persistTracked()
+        pairs.write.mode("append").parquet(pairsOutDir)
+        // LINEAGE CUT at the dedup→ANN boundary (the ingest_pipeline_policy
+        // lesson): survivors otherwise embed the whole quarantine/bucket
+        // plan and every index-build action re-analyzes it. Batch-sized.
+        val survivors = batch
+          .join(keepFirstDropped(pairs, docs), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpointTracked()
+        // roll the catalog on the WHOLE batch (seen-corpus semantics)
+        val grownDedup = Dedup.dedupIndexAppend(dedupIx, docs,
+          col("doc_id"), col("text"))
+        dedupRef.set(grownDedup)
+        Dedup.releaseDedupIndex(dedupIx)
+        // roll the ANN generation on the SURVIVORS (accepted-corpus
+        // semantics), then let the rebuild policy pick the geometry
+        val (annIx, _) = annOpRef.get()
+        val grownAnn = Similarity.ivfPqIndexAppend(annIx, survivors)
+        val (served, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grownAnn,
+          m, ksub, coarseIters, pqIters, geometryFactor)
+        annOpRef.set((served, np))
+        Similarity.releaseIndexData(annIx)
+        if (rebuilt) Similarity.releaseIndexData(grownAnn)
+        graft.GraftCaches.unpersistAll()
+        ()
+      }
+      .start()
+  }
+}

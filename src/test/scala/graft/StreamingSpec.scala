@@ -486,4 +486,111 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("composed ingest stream: dedup pairs, keep-first survivors, ANN append + rebuild policy all roll per batch") {
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.IngestServing
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+    val ingest = docs.join(emb.withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+    // standing state on the 80% split: dedup catalog + a DELIBERATELY
+    // coarse 4-list ANN index, so the rebuild policy fires on batch 1
+    // (450 accepted vectors want nc=21 ≥ 1.3×4) and passes through on
+    // batch 2 (nc stays ~21..22 < 1.3×21) — both policy arms execute
+    val corpus = ingest.filter(col("doc_id") % 5 =!= 0)
+    val dedup0 = Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val ann0 = Similarity.buildIvfPqIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val batchDir = Files.createTempDirectory("ingest_stream_in").toString
+    val pairsDir = Files.createTempDirectory("ingest_stream_out").toString + "/pairs"
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+    val b1 = ingest.filter(col("doc_id") % 10 === 0)
+    val b2 = ingest.filter(col("doc_id") % 10 === 5)
+    b1.coalesce(1).write.mode("append").parquet(batchDir)
+    val q = IngestServing.startIngestStream(spark, batchDir, dedupRef,
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8)
+    try {
+      q.processAllAvailable() // batch 1: dedup + append + rebuild fires
+      b2.coalesce(1).write.mode("append").parquet(batchDir)
+      q.processAllAvailable() // batch 2: dedup + append, policy passes
+      assert(q.exception.isEmpty, s"ingest stream died: ${q.exception}")
+
+      // (1) pair contract: union of per-batch files == full-corpus run
+      // restricted to pairs touching a streamed doc
+      val full = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expectedPairs = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+      val streamedPairs = spark.read.parquet(pairsDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamedPairs == expectedPairs,
+        s"streamed pairs != restricted full run: " +
+          s"${streamedPairs.diff(expectedPairs)} vs ${expectedPairs.diff(streamedPairs)}")
+
+      // (2) serving contract: the rolled (index, nProbe) operating point
+      // serves exactly what the BATCH composition of the same entry
+      // points produces over the same batch sequence
+      var dIx = dedup0
+      var aIx = ann0
+      var np = 2
+      var droppedIds = Set.empty[Long]
+      Seq(b1, b2).foreach { b =>
+        val bd = b.select(col("doc_id"), col("text"))
+        val pairs = Dedup.incrementalMinHashPairs(dIx, bd,
+          col("doc_id"), col("text"), threshold = 0.5)
+        val dropped = IngestServing.keepFirstDropped(pairs, bd)
+        droppedIds ++= dropped.collect().map(_.getLong(0))
+        val survivors = b
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        dIx = Dedup.dedupIndexAppend(dIx, bd, col("doc_id"), col("text"))
+        val grown = Similarity.ivfPqIndexAppend(aIx, survivors)
+        val (served, npNew, _) = Similarity.ivfPqRebuildIfStale(grown,
+          m = 4, ksub = 8, coarseIters = 1, pqIters = 1)
+        aIx = served; np = npNew
+      }
+      val (annFinal, npFinal) = annOpRef.get()
+      assert(npFinal == np, s"operating point diverged: stream np=$npFinal batch np=$np")
+      // batch-1 rebuild re-trained at the geometry derived from the
+      // THEN-current corpus (not the final count — batch 2 passed through)
+      assert(annFinal.centroids.count() > 4 &&
+          annFinal.centroids.count() == aIx.centroids.count(),
+        "batch-1 rebuild must have re-trained at the derived geometry")
+      // accepted-corpus semantics: every streamed survivor is servable,
+      // no dropped duplicate is
+      val annIds = annFinal.corpus.select(col("c_id"))
+        .collect().map(_.getLong(0)).toSet
+      val streamedIds = ingest.filter(col("doc_id") % 5 === 0).collect()
+        .map(_.getLong(0)).toSet
+      assert(droppedIds.nonEmpty, "fixture must drop at least one near-dup")
+      assert(droppedIds.forall(!annIds.contains(_)),
+        s"dropped duplicates reached the ANN corpus: ${droppedIds.intersect(annIds)}")
+      assert(annIds == (corpus.collect().map(_.getLong(0)).toSet
+          ++ streamedIds.diff(droppedIds)),
+        "ANN corpus must be standing vectors plus exactly the survivors")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val servedRows = Similarity.ivfPqTopKIndexed(queries, annFinal, 3, npFinal)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val truthRows = Similarity.ivfPqTopKIndexed(queries, aIx, 3, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(servedRows == truthRows,
+        s"stream-rolled serving != batch composition: " +
+          s"${servedRows.diff(truthRows)} vs ${truthRows.diff(servedRows)}")
+      // the catalog rolled to seen-corpus: one more incremental call sees
+      // corpus AND both batches (probe a known streamed doc's text)
+      assert(dedupRef.get().staged.count() == docs.count(),
+        "dedup catalog must hold every seen doc after the drain")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }
