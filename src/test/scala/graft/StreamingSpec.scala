@@ -487,6 +487,102 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("composed ingest restart with checkpointLocation: driver state rebuilt from snapshots, committed batches not replayed") {
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.IngestServing
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+    val ingest = docs.join(emb.withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+    val corpus = ingest.filter(col("doc_id") % 5 =!= 0)
+    val dedup0 = Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val ann0 = Similarity.buildIvfPqIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val batchDir = Files.createTempDirectory("ingest_ckpt_in").toString
+    val ckptDir = Files.createTempDirectory("ingest_ckpt_meta").toString
+    val pairsDir = Files.createTempDirectory("ingest_ckpt_out").toString + "/pairs"
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+    val b1 = ingest.filter(col("doc_id") % 10 === 0)
+    val b2 = ingest.filter(col("doc_id") % 10 === 5)
+    b1.coalesce(1).write.mode("append").parquet(batchDir)
+    val q1 = IngestServing.startIngestStream(spark, batchDir, dedupRef,
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8,
+      checkpointLocation = Some(ckptDir))
+    q1.processAllAvailable(); q1.stop()
+    val pairsAfterB1 = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfterB1.nonEmpty)
+    // RESTART: per the documented contract both driver-side index states
+    // rebuild from their corpus snapshots — the dedup catalog from the
+    // SEEN corpus (standing + whole batch 1), the ANN index from the
+    // ACCEPTED corpus (standing + batch-1 survivors) at the geometry the
+    // policy had rolled to. The checkpoint must then resume AFTER the
+    // committed batch-1 file: a checkpoint-less restart would replay it
+    // into the strict id-hygiene guards of BOTH appends and crash-loop.
+    val b1d = b1.select(col("doc_id"), col("text"))
+    val pairs1 = Dedup.incrementalMinHashPairs(dedup0, b1d,
+      col("doc_id"), col("text"), threshold = 0.5)
+    val survivors1 = b1
+      .join(IngestServing.keepFirstDropped(pairs1, b1d), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val (annSnap, npSnap, _) = Similarity.ivfPqRebuildIfStale(
+      Similarity.ivfPqIndexAppend(ann0, survivors1),
+      m = 4, ksub = 8, coarseIters = 1, pqIters = 1)
+    Dedup.releaseDedupIndex(dedupRef.get())
+    GraftCaches.unpersistAll(blocking = true)
+    val dedupSnap = Dedup.buildDedupIndex(
+      corpus.select(col("doc_id"), col("text")).unionByName(b1d),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    dedupRef.set(dedupSnap)
+    annOpRef.set((annSnap, npSnap))
+    b2.coalesce(1).write.mode("append").parquet(batchDir)
+    val q2 = IngestServing.startIngestStream(spark, batchDir, dedupRef,
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8,
+      checkpointLocation = Some(ckptDir))
+    try {
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"restart replayed a committed batch into the id guards: ${q2.exception}")
+      // pair contract holds across the restart boundary
+      val full = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+      val streamed = spark.read.parquet(pairsDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == expected,
+        s"restart pair output != restricted full run: " +
+          s"${streamed.diff(expected)} vs ${expected.diff(streamed)}")
+      // both standing structures carried through: catalog holds every seen
+      // doc; the accepted ANN corpus is standing + exactly the keep-first
+      // survivors of both batches (dropped set derived driver-side from
+      // the restricted pair set + the seen order standing → b1 → b2)
+      assert(dedupRef.get().staged.count() == docs.count())
+      def seenBefore(cand: Long, other: Long): Boolean =
+        other % 5 != 0 || (other % 10 == 0 && cand % 10 == 5) ||
+          (other % 10 == cand % 10 && other < cand)
+      val dropped = streamed.flatMap { case (a, b) =>
+        Seq((a, b), (b, a)).collect {
+          case (c, o) if c % 5 == 0 && seenBefore(c, o) => c
+        }
+      }
+      val annIds = annOpRef.get()._1.corpus.select(col("c_id"))
+        .collect().map(_.getLong(0)).toSet
+      val allIds = docs.collect().map(_.getLong(0)).toSet
+      assert(annIds == allIds.filter(i => i % 5 != 0 || !dropped.contains(i)),
+        "restarted pipeline's accepted corpus must be standing + survivors")
+    } finally {
+      q2.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
+
   test("composed ingest stream: dedup pairs, keep-first survivors, ANN append + rebuild policy all roll per batch") {
     import java.nio.file.Files
     import graft.functions.{Dedup, Similarity}
