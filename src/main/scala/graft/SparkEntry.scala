@@ -160,6 +160,17 @@ object SparkEntry {
       GraftCaches.unpersistAll(blocking = true)
       ()
     }),
+    // the rebuild-policy gate's LEGACY catalog (8 bands × 4 rows — a
+    // banding built for a smaller corpus era) — built here so the gate's
+    // line measures policy-evaluate + re-band + incremental serve, not a
+    // hidden corpus staging run
+    "dedup_legacy_build" -> ((s: SparkSession, dir: String) => {
+      Dedup.dedupIndexFor(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 8, shingleK = 3)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
     // parquet save of the roundtrip gate's index (build resolves through
     // the memo — already trained above): the ann_index_roundtrip query
     // line then measures LOAD+SERVE, the serving-job shape, with the
@@ -951,6 +962,31 @@ object SparkEntry {
       }
       val loaded = Dedup.loadDedupIndex(s, path)
       Dedup.incrementalMinHashPairs(loaded, docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // CATALOG REBUILD POLICY — the dedup mirror of ann_rebuild_policy,
+    // closing the banding-drift loop: a LEGACY catalog (8 bands × 4 rows,
+    // a banding built for a smaller corpus era; bench-setup line
+    // `dedup_legacy_build`) is judged against autoBanding of its CURRENT
+    // staged count, which derives the committed 16×2 → the policy fires
+    // and re-bands FROM THE CATALOG'S OWN STAGED FRAME (shingles are
+    // banding-independent: no corpus re-read, no re-staging — only the
+    // map-side signature+banding projection recomputes, through the
+    // bit-identical expressions buildDedupIndex uses). CLOSED-FORM
+    // ORACLE: rebuilt ≡ fresh-built at the derived banding, so the
+    // standard incremental batch against it reuses the
+    // minhash_incremental restriction oracle verbatim; the require makes
+    // the gate fail loudly if the policy ever stops firing here.
+    "dedup_rebuild_policy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val legacy = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 8, shingleK = 3)
+      val (rebuilt, fired) = Dedup.rebuildCatalogIfStale(legacy, 0.5)
+      require(fired, "dedup_rebuild_policy gate: the banding policy did " +
+        "not fire — the gate would silently test pass-through serving")
+      Dedup.incrementalMinHashPairs(rebuilt, docs.filter(col("doc_id") % 5 === 0),
           col("doc_id"), col("text"), threshold = 0.5)
         .orderBy(col("id1"), col("id2"))
     }),
@@ -4290,6 +4326,14 @@ object SparkEntry {
         |UNION ALL SELECT 'auto_bands', CAST(-1 AS BIGINT), CAST(16 AS BIGINT)
         |UNION ALL SELECT 'quarantine_bound_175', CAST(-1 AS BIGINT), CAST(2 AS BIGINT)
         |ORDER BY metric, key""".stripMargin,
+    // policy-rebuilt catalog ≡ fresh-built at the derived 16×2 banding
+    // (same staged frame, bit-identical signature/banding expressions) —
+    // same restriction oracle verbatim
+    "dedup_rebuild_policy" ->
+      s"""SELECT id1, id2, jaccard
+        |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
     // quarantined incremental ≡ incremental (lossless fallback; total
     // LSH recall at this corpus) — same restriction oracle
     "minhash_incremental_quarantined" ->

@@ -428,6 +428,48 @@ object Dedup {
     DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
   }
 
+  /** REBUILD POLICY for the standing catalog — the dedup mirror of
+    * [[Similarity.ivfPqRebuildIfStale]], closing the loop [[autoBanding]]
+    * and [[dedupIndexHealth]] leave open: a catalog keeps its build-time
+    * banding as appends grow the corpus, but banding is a FUNCTION OF
+    * CORPUS SIZE (rows-per-band rise one per decade past 10⁵ so
+    * background-similarity candidate mass stays bounded — the
+    * `BENCH_BANDING_r9.json` curve). Nothing decided when the catalog
+    * had outgrown its bands.
+    *
+    * This operator reads the CURRENT staged count (artifact-cached — a
+    * metadata read), derives [[autoBanding]] of it, and when the derived
+    * (numHashes, bands) differs from what the catalog carries, rebuilds
+    * the band catalog at the derived banding FROM THE CATALOG'S OWN
+    * STAGED FRAME: shingles are banding-independent, so the corpus text
+    * is never re-read and re-staging (normalize + tokenize + shingle —
+    * the expensive half of a build) is skipped entirely; only the
+    * map-side signature + banding projection recomputes, through the
+    * bit-identical expressions [[buildDedupIndex]] uses — so
+    * rebuilt-serving equals fresh-built serving at the derived banding
+    * exactly (the `dedup_rebuild_policy` gate's closed-form oracle).
+    * Pass-through returns the index object UNCHANGED (same reference).
+    *
+    * Returns `(index, rebuilt)`; on `rebuilt = true` the caller rolls
+    * generations — release ONLY the superseded band frame
+    * (`index.bands.unpersist()`), NOT [[releaseDedupIndex]], which would
+    * also drop the staged frame the rebuilt catalog SHARES (the exact
+    * analogue of the ANN roll keeping the shared quantizer frames). */
+  def rebuildCatalogIfStale(index: DedupIndex,
+      threshold: Double): (DedupIndex, Boolean) = {
+    val n = index.staged.count()
+    val (h, b) = autoBanding(n, threshold)
+    if (h == index.numHashes && b == index.nBands) (index, false)
+    else graft.GraftCaches.inArtifactScope {
+      graft.plans.GraftFunctions.register(index.staged.sparkSession)
+      val sigArr = minhashSigArr(index.staged, h).persistTracked()
+      val bands = graft.GraftCaches.persistedArtifact(
+        bandsOfStaged(sigArr, h, b))
+      bands.count()
+      (DedupIndex(index.staged, bands, h, b, index.shingleK), true)
+    }
+  }
+
   /** PERSIST a built dedup index to parquet — the catalog's production
     * artifact lifecycle, mirroring [[Similarity.saveIvfPqIndex]]: the
     * offline build job writes the standing catalog once; any number of

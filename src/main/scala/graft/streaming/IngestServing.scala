@@ -30,8 +30,11 @@ import graft.functions.{Dedup, Similarity}
   *   3. appends the WHOLE batch into the dedup catalog (seen-corpus
   *      semantics — future batches must dedup against everything that has
   *      arrived, with each pair emitted exactly once in the batch of its
-  *      later doc) and rolls the served reference, releasing the
-  *      superseded generation;
+  *      later doc), runs the BANDING policy ([[Dedup.rebuildCatalogIfStale]]:
+  *      when the grown count derives a different [[Dedup.autoBanding]]
+  *      than the catalog carries, the band projection recomputes over the
+  *      catalog's own staged frame — no corpus re-read) and rolls the
+  *      served reference, releasing the superseded generation;
   *   4. appends only SURVIVOR embeddings into the ANN index
   *      (accepted-corpus semantics — retrieval must never return a
   *      dropped duplicate) through frozen quantizers (FAISS-add), then
@@ -133,11 +136,18 @@ object IngestServing {
           .join(keepFirstDropped(pairs, docs), Seq("doc_id"), "left_anti")
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .localCheckpointTracked()
-        // roll the catalog on the WHOLE batch (seen-corpus semantics)
+        // roll the catalog on the WHOLE batch (seen-corpus semantics),
+        // then let the BANDING policy judge the grown count — the dedup
+        // mirror of the ANN rebuild below (on fire, re-banding reuses the
+        // catalog's staged frame, so only the band projection recomputes;
+        // release the superseded band frame alone, the staged is shared)
         val grownDedup = Dedup.dedupIndexAppend(dedupIx, docs,
           col("doc_id"), col("text"))
-        dedupRef.set(grownDedup)
+        val (servedDedup, rebanded) =
+          Dedup.rebuildCatalogIfStale(grownDedup, threshold)
+        dedupRef.set(servedDedup)
         Dedup.releaseDedupIndex(dedupIx)
+        if (rebanded) grownDedup.bands.unpersist(false)
         // roll the ANN generation on the SURVIVORS (accepted-corpus
         // semantics), then let the rebuild policy pick the geometry
         val (annIx, _) = annOpRef.get()

@@ -628,4 +628,53 @@ class DedupTextSpec extends AnyFunSuite {
     // higher thresholds afford sharper curves within the 16-band floor
     assert(Dedup.autoBanding(10000000L, 0.8) == ((64, 16))) // 16 bands × 4
   }
+
+  test("rebuildCatalogIfStale: derived banding passes through same-object; legacy banding re-bands ≡ fresh build, staged frame shared") {
+    val docs = (0L until 20L).map { i =>
+      val base = s"sierra tango uniform victor whiskey xray yankee zulu alpha bravo c${i / 2}"
+      (i, if (i % 2 == 0) base else base + " delta")
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // PASS-THROUGH: a catalog already at the derived banding (autoBanding
+    // of any ≤10^5 count at t=0.5 is 16×2) returns the SAME OBJECT
+    val current = Dedup.buildDedupIndex(corpus, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val (same, fired0) = Dedup.rebuildCatalogIfStale(current, 0.5)
+    assert(!fired0 && (same eq current), "derived banding must pass through unchanged")
+    // FIRE: a legacy 8-band catalog re-bands to the derived 16×2 —
+    // band frame bit-identical to a fresh build's (same staged frame,
+    // same signature/banding expressions), staged frame SHARED
+    val legacy = Dedup.buildDedupIndex(corpus, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 8, shingleK = 3)
+    val (rebuilt, fired) = Dedup.rebuildCatalogIfStale(legacy, 0.5)
+    assert(fired, "legacy banding must fire the policy")
+    assert(rebuilt.numHashes == 32 && rebuilt.nBands == 16)
+    assert(rebuilt.staged eq legacy.staged,
+      "re-banding must reuse the catalog's staged frame, not re-stage the corpus")
+    val freshBands = current.bands
+      .collect().map(_.toSeq).toSet
+    val rebuiltBands = rebuilt.bands
+      .collect().map(_.toSeq).toSet
+    assert(rebuiltBands == freshBands,
+      "rebuilt band catalog must be bit-identical to a fresh build at the derived banding")
+    // serving equivalence end-to-end: incremental pairs against the
+    // rebuilt catalog ≡ against the fresh-built one
+    val viaRebuilt = Dedup.incrementalMinHashPairs(rebuilt, batch,
+        col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaFresh = Dedup.incrementalMinHashPairs(current, batch,
+        col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaRebuilt.nonEmpty && viaRebuilt == viaFresh,
+      s"rebuilt serving diverged: ${viaRebuilt -- viaFresh} / ${viaFresh -- viaRebuilt}")
+    // generation roll: only the superseded BAND frame is released (the
+    // staged frame is shared with the rebuilt catalog and must survive)
+    legacy.bands.unpersist(true)
+    assert(rebuilt.staged.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "shared staged frame must stay resident after releasing the old bands")
+    Dedup.releaseDedupIndex(current); Dedup.releaseDedupIndex(rebuilt)
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
 }
