@@ -583,6 +583,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("banding policy fires mid-stream: a legacy-banded catalog re-bands on batch 1 and serving stays exact") {
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.IngestServing
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+    val ingest = docs.join(emb.withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+    val corpus = ingest.filter(col("doc_id") % 5 =!= 0)
+    // LEGACY standing catalog: 8 bands × 4 rows — autoBanding of any
+    // count at this scale derives 16×2, so the banding policy fires on
+    // the FIRST micro-batch (the composed test's 16×2 catalog pins the
+    // pass-through arm; this one pins the fire arm)
+    val dedup0 = Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 8, shingleK = 3)
+    val ann0 = Similarity.buildIvfPqIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val batchDir = Files.createTempDirectory("ingest_band_in").toString
+    val pairsDir = Files.createTempDirectory("ingest_band_out").toString + "/pairs"
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+    val batch = ingest.filter(col("doc_id") % 5 === 0)
+    batch.coalesce(1).write.mode("append").parquet(batchDir)
+    val q = IngestServing.startIngestStream(spark, batchDir, dedupRef,
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8)
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"ingest stream died: ${q.exception}")
+      // the rolled catalog carries the DERIVED banding, not the legacy one
+      val rolled = dedupRef.get()
+      assert(rolled.numHashes == 32 && rolled.nBands == 16,
+        s"banding policy must have re-banded 8→16 mid-stream, " +
+          s"got ${rolled.numHashes}×${rolled.nBands / rolled.numHashes}")
+      assert(rolled.staged.count() == docs.count(),
+        "re-banded catalog must still hold every seen doc")
+      // pair output came from the LEGACY banding (the batch deduped
+      // against the catalog as it stood), so compare against an 8-band
+      // full run's restriction — banding affects candidate recall, and
+      // the contract is exactness wrt the SERVING-time banding
+      val full8 = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+          numHashes = 32, bands = 8, threshold = 0.5, shingleK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = full8.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+      val streamed = spark.read.parquet(pairsDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == expected,
+        s"fire-arm pairs != 8-band restricted full run: " +
+          s"${streamed.diff(expected)} vs ${expected.diff(streamed)}")
+      // a FOLLOW-UP incremental against the rolled catalog behaves as a
+      // fresh 16×2 build over the same seen corpus would
+      val probe = Seq((1000L, docs.filter(col("doc_id") === 0L)
+        .select(col("text")).head().getString(0)))
+      import spark.implicits._
+      val probeDf = probe.toDF("doc_id", "text")
+      val viaRolled = Dedup.incrementalMinHashPairs(rolled, probeDf,
+          col("doc_id"), col("text"), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fresh = Dedup.buildDedupIndex(docs, col("doc_id"), col("text"),
+        numHashes = 32, nBands = 16, shingleK = 3)
+      val viaFresh = Dedup.incrementalMinHashPairs(fresh, probeDf,
+          col("doc_id"), col("text"), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaRolled == viaFresh && viaRolled.contains((0L, 1000L)),
+        s"post-roll serving diverged from a fresh derived-banding build: " +
+          s"$viaRolled vs $viaFresh")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
+
   test("composed ingest stream: dedup pairs, keep-first survivors, ANN append + rebuild policy all roll per batch") {
     import java.nio.file.Files
     import graft.functions.{Dedup, Similarity}
