@@ -991,6 +991,52 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // RETENTION DELETE on the standing catalog — the lifecycle's missing
+    // half (appends grow the catalog daily; right-to-be-forgotten /
+    // takedown events must SHRINK it on batch-sized cost, no rebuild):
+    // standing docs with doc_id % 7 == 0 are removed via the broadcast
+    // anti-join path, then the standard incremental batch serves against
+    // the shrunk catalog. CLOSED-FORM ORACLE: per-doc member rows mean
+    // remove ≡ fresh build over corpus∖removed at the same banding, so
+    // the pair set is the committed full-run fixture restricted to
+    // batch-touching pairs with NO removed standing endpoint (3 of the
+    // 14 batch-touching pairs vanish at sf0.01 — the removal genuinely
+    // engages). Same standing catalog via the memo; the removal
+    // anti-joins are the measured per-event work.
+    "dedup_index_remove" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val shrunk = Dedup.dedupIndexRemove(index,
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+          .select(col("doc_id")))
+      Dedup.incrementalMinHashPairs(shrunk, docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // CATALOG COMPACTION — the churn counterpart of the remove gate: k
+    // appends concatenate k generations of partitions into every batch
+    // bucket join and removes leave full-width mostly-empty scans;
+    // compactDedupIndex re-materializes staged on doc_id and bands on
+    // the bucket key (band_idx, band_hash) — the equi-join key every
+    // daily batch probes, so the standing side's layout amortizes across
+    // batches. Content untouched; pair sets are partition-independent
+    // (suite-wide invariant), so remove→compact→serve reuses the remove
+    // gate's restriction oracle verbatim.
+    "dedup_index_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val shrunk = Dedup.dedupIndexRemove(index,
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+          .select(col("doc_id")))
+      val compacted = Dedup.compactDedupIndex(shrunk)
+      Dedup.incrementalMinHashPairs(compacted, docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // QUARANTINE POLICY — the bound DERIVED from a candidate-pair budget
     // (Dedup.quarantinedPairsBudget, the dedup mirror of the ANN rebuild
     // policy's derive-don't-pin stance): the catalog's bucket-size
@@ -1618,6 +1664,76 @@ object SparkEntry {
         emb.filter(col("vec_id") % 5 === 0))
       Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
           appended, 5, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // RETENTION DELETE on the standing ANN index — FAISS remove_ids
+    // semantics (Similarity.ivfPqIndexRemove): the full-corpus standing
+    // index sheds vec_id % 5 == 0 through broadcast anti-joins on its
+    // keyed frames (quantizers untouched — no remaining vector's
+    // assignment or code changes), and the standard query set serves
+    // against the shrunk index. The in-gate require pins that removal
+    // genuinely shrank the corpus — without it a silently no-op remove
+    // would regenerate a full-corpus fixture and gate nothing.
+    // Fixture-gated like the other trained-ANN tiers (anti-join of
+    // bit-stable frames is bit-stable).
+    "ann_index_remove" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val full = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val shrunk = Similarity.ivfPqIndexRemove(full,
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+      require(shrunk.corpus.count() < full.corpus.count(),
+        "ann_index_remove gate: removal did not shrink the corpus — a " +
+          "no-op remove would serve the full index and gate nothing")
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          shrunk, 5, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // UPDATE = REMOVE + RE-APPEND under the same ids (the production
+    // update path the append scaladoc prescribes — re-coding an existing
+    // id in place would double its ADC sums, so an update is a delete
+    // followed by an add through the frozen quantizers). CLOSED-FORM
+    // ORACLE with no new fixture: append runs the bit-identical
+    // post-training pipeline the build ran, so remove∘append-back
+    // restores the full index frame-for-frame and serving must equal the
+    // committed ann_ivfpq_topk fixture exactly. Self-honest composition:
+    // a silently no-op remove would make the re-append THROW on id
+    // clash, and a lossy remove would leave the served ranking short.
+    "ann_index_update" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val full = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val shrunk = Similarity.ivfPqIndexRemove(full,
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val updated = Similarity.ivfPqIndexAppend(shrunk,
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          updated, 5, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // INDEX COMPACTION — the LSM-style merge for the append path: each
+    // ivfPqIndexAppend CONCATENATES a batch's partitions into the keyed
+    // frames, so after k daily appends every serving scan schedules k×
+    // the tasks and drags a k-deep union lineage through analysis,
+    // independent of data size. compactIvfPqIndex hash-repartitions
+    // corpus/assigned/codes on c_id to the session parallelism and cuts
+    // lineage at a fresh artifact boundary. Content untouched; serving
+    // is partition-independent (suite-wide invariant), so
+    // append→compact→serve must equal the committed ann_index_append
+    // fixture row for row — the closed-form oracle, no new fixture.
+    "ann_index_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val appended = Similarity.ivfPqIndexAppend(base,
+        emb.filter(col("vec_id") % 5 === 0))
+      val compacted = Similarity.compactIvfPqIndex(appended)
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          compacted, 5, nProbe = 4)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -4341,6 +4457,26 @@ object SparkEntry {
         |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
         |WHERE id1 % 5 = 0 OR id2 % 5 = 0
         |ORDER BY id1, id2""".stripMargin,
+    // retention delete: per-doc member rows make remove ≡ fresh build on
+    // corpus∖removed, so the served pair set is the committed full-run
+    // fixture restricted to batch-touching pairs with NO removed
+    // standing endpoint (standing = id % 5 ≠ 0; removed = % 7 = 0)
+    "dedup_index_remove" ->
+      s"""SELECT id1, id2, jaccard
+        |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |ORDER BY id1, id2""".stripMargin,
+    // compaction repartitions content-identical frames and pair sets are
+    // partition-independent — remove→compact reuses the remove oracle
+    "dedup_index_compact" ->
+      s"""SELECT id1, id2, jaccard
+        |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |ORDER BY id1, id2""".stripMargin,
     fixture("simhash_pairs", "id1, id2"),
     fixture("embedding_neardups", "id1, id2"),
     fixture("i1_distinct_counts", "source"),
@@ -4352,6 +4488,18 @@ object SparkEntry {
     fixture("ann_ivf_topk_p8", "q_id, rank"),
     fixture("ann_ivfpq_rerank_p8", "q_id, rank"),
     fixture("ann_index_append", "q_id, rank"),
+    fixture("ann_index_remove", "q_id, rank"),
+    // remove∘append-back restores the full index frame-for-frame (append
+    // is the build's own post-training pipeline against the same frozen
+    // quantizers), so the update path's oracle IS the committed
+    // full-build fixture
+    "ann_index_update" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/ann_ivfpq_topk.parquet') ORDER BY q_id, rank",
+    // compaction repartitions content-identical frames and serving is
+    // partition-independent, so append→compact serves the committed
+    // append fixture exactly
+    "ann_index_compact" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/ann_index_append.parquet') ORDER BY q_id, rank",
     fixture("ann_index_health", "metric, key"),
     fixture("ann_filtered_search", "q_id, rank"),
     fixture("ann_auto_geometry", "q_id, rank"),

@@ -428,6 +428,57 @@ object Dedup {
     DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
   }
 
+  /** RETENTION DELETE — shrink the standing catalog without a rebuild
+    * (the dedup mirror of [[Similarity.ivfPqIndexRemove]], completing
+    * the same lifecycle: right-to-be-forgotten / takedown events must
+    * REMOVE documents from the standing structures on batch-sized cost).
+    * Both member frames anti-join the removal set; nothing about any
+    * REMAINING doc changes (shingles, signatures and band hashes are
+    * all per-doc), so the shrunk catalog is EXACTLY a fresh build over
+    * corpus∖removed at the same banding — every incremental batch
+    * against it yields the full-run pair set minus pairs touching a
+    * removed doc, which is the `dedup_index_remove` gate's closed-form
+    * restriction oracle over the committed full-run fixture. Ids absent
+    * from the catalog are ignored (idempotent deletes — tombstone
+    * streams replay). The anti-join broadcasts the removal set:
+    * deletion events are batch-sized, the catalog is the corpus-sized
+    * side, one scan per frame, no shuffle. `ids` carries a `doc_id`
+    * column. Generations roll as in [[dedupIndexAppend]]. */
+  def dedupIndexRemove(index: DedupIndex, ids: DataFrame): DedupIndex =
+    graft.GraftCaches.inArtifactScope {
+      val rm = broadcast(ids.select(col("doc_id")).distinct())
+      val staged = graft.GraftCaches.persistedArtifact(
+        index.staged.join(rm, Seq("doc_id"), "left_anti"))
+      val bands = graft.GraftCaches.persistedArtifact(
+        index.bands.join(rm, Seq("doc_id"), "left_anti"))
+      bands.count(); staged.count()
+      DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+    }
+
+  /** COMPACTION — re-materialize the catalog's frames at their natural
+    * partitioning (the dedup mirror of [[Similarity.compactIvfPqIndex]]):
+    * k appends concatenate k generations of partitions into every batch
+    * bucket join and removes leave full-width mostly-empty scans; a
+    * periodic merge restores bounded task counts and a flat lineage.
+    * Staged rows hash-partition on `doc_id`; band rows on the bucket key
+    * `(band_idx, band_hash)` — the equi-join key every incremental batch
+    * probes with, so a co-partitioned standing side is the layout a
+    * 100-TB catalog wants to amortize across daily batches. Content is
+    * untouched; pair sets are partition-independent (suite-wide
+    * invariant), so compacted serving reuses the remove gate's oracle
+    * verbatim (`dedup_index_compact`). */
+  def compactDedupIndex(index: DedupIndex,
+      partitions: Option[Int] = None): DedupIndex =
+    graft.GraftCaches.inArtifactScope {
+      val n = partitions.getOrElse(
+        index.staged.sparkSession.sessionState.conf.numShufflePartitions)
+      val staged = graft.GraftCaches.checkpointed(
+        index.staged.repartition(n, col("doc_id")))
+      val bands = graft.GraftCaches.checkpointed(
+        index.bands.repartition(n, col("band_idx"), col("band_hash")))
+      DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+    }
+
   /** REBUILD POLICY for the standing catalog — the dedup mirror of
     * [[Similarity.ivfPqRebuildIfStale]], closing the loop [[autoBanding]]
     * and [[dedupIndexHealth]] leave open: a catalog keeps its build-time

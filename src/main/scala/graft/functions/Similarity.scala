@@ -792,6 +792,78 @@ object Similarity {
         index.crossTerms, index.m)
     }
 
+  /** RETENTION DELETE — shrink a built index without retraining (FAISS
+    * `remove_ids` semantics, the missing half of the freshness story:
+    * appends grow a standing index daily, but right-to-be-forgotten /
+    * license-revocation events must REMOVE vectors on the same index
+    * without a corpus-sized rebuild). The keyed frames (corpus, inverted
+    * lists, codes) anti-join the removal set; quantizers, codebook and
+    * the cross-term table are untouched — removal never changes how any
+    * REMAINING vector is assigned or coded, so serving from the shrunk
+    * index is EXACTLY serving the remaining corpus through the same
+    * quantizers (the `ann_index_remove` gate pins the ranking; the
+    * remove∘append-back identity gives `ann_index_update` its
+    * closed-form oracle against the committed full-build fixture).
+    * Ids absent from the index are ignored (idempotent deletes — the
+    * production tombstone stream replays). The anti-join broadcasts the
+    * removal set: deletion events are batch-sized, the index is the
+    * 100-TB side, and each member frame is one scan with no shuffle.
+    * `removeIds` carries a `vec_id` column (the append-side key name).
+    *
+    * Generations roll exactly as in [[ivfPqIndexAppend]]: the superseded
+    * frames stay valid (shared lineage) and release when the caller
+    * retires the old generation. An UPDATE is remove + append of the new
+    * vector under the same id — the `ann_index_update` gate runs that
+    * composition end-to-end. */
+  def ivfPqIndexRemove(index: IvfPqIndex, removeIds: DataFrame): IvfPqIndex =
+    graft.GraftCaches.inArtifactScope {
+      val rm = broadcast(
+        removeIds.select(col("vec_id").as("c_id")).distinct())
+      val corpus = graft.GraftCaches.persistedArtifact(
+        index.corpus.join(rm, Seq("c_id"), "left_anti"))
+      val assigned = graft.GraftCaches.persistedArtifact(
+        index.assigned.join(rm, Seq("c_id"), "left_anti"))
+      val codes = graft.GraftCaches.persistedArtifact(
+        index.codes.join(rm, Seq("c_id"), "left_anti"))
+      codes.count(); assigned.count(); corpus.count()
+      IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
+        index.crossTerms, index.m)
+    }
+
+  /** COMPACTION — re-materialize the growing member frames at their
+    * natural partitioning. Every [[ivfPqIndexAppend]] unions a batch into
+    * corpus/assigned/codes, and a union CONCATENATES partitions: after k
+    * daily appends each serving scan schedules k× the tasks (most of
+    * them batch-sized slivers) and drags a k-deep union lineage through
+    * Catalyst analysis, independent of data size — the LSM-tree
+    * fragmentation problem, solved the same way (periodic merge).
+    * [[ivfPqIndexRemove]] adds the mirror image: anti-joined frames keep
+    * their partition COUNT while shrinking, so a churned index pays
+    * full-width scheduling over mostly-empty partitions.
+    *
+    * Compaction hash-repartitions each keyed frame on `c_id` to the
+    * session shuffle parallelism (or an explicit target) and cuts the
+    * lineage at the fresh artifact boundary. Row content is untouched,
+    * and serving is partition-independent by the suite-wide invariant
+    * (integer ADC terms, id tie-breaks), so compacted-serving ≡
+    * uncompacted-serving exactly — the `ann_index_compact` gate reuses
+    * the committed append fixture as its oracle. Run it on the standing
+    * index every k appends/removes (k ~ 10 keeps scheduling width within
+    * 2× of natural; the right cadence is an ops dial, not a constant). */
+  def compactIvfPqIndex(index: IvfPqIndex,
+      partitions: Option[Int] = None): IvfPqIndex =
+    graft.GraftCaches.inArtifactScope {
+      val n = partitions.getOrElse(
+        index.corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      def compacted(df: DataFrame): DataFrame =
+        graft.GraftCaches.checkpointed(df.repartition(n, col("c_id")))
+      val corpus = compacted(index.corpus)
+      val assigned = compacted(index.assigned)
+      val codes = compacted(index.codes)
+      IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
+        index.crossTerms, index.m)
+    }
+
   /** METADATA-FILTERED ANN over a built index — the vector-DB "filtered
     * search" surface: top-k among only the corpus vectors whose metadata
     * row satisfies `pred`. The filter applies to the CANDIDATE list

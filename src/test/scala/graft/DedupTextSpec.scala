@@ -116,6 +116,55 @@ class DedupTextSpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("dedupIndexRemove ≡ fresh build on corpus∖removed; absent ids no-op; compaction preserves pairs at bounded partitions") {
+    val docs = (0L until 20L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo${i / 2}"
+      (i, if (i % 2 == 0) base else base + " lima")
+    }.toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(docs, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    // remove the odd ids 1..7 — their twins (0,2,4,6) lose their partner
+    val rmIds = Seq(1L, 3L, 5L, 7L).toDF("doc_id")
+    val shrunk = Dedup.dedupIndexRemove(index, rmIds)
+    assert(shrunk.staged.count() == 16 && shrunk.bands.count() == 16 * 16,
+      "remove must shrink both member frames by exactly the removed docs")
+    // per-doc member rows: the shrunk catalog ≡ a fresh build over the
+    // filtered corpus, frame for frame
+    val fresh = Dedup.buildDedupIndex(
+      docs.filter(!col("doc_id").isin(1L, 3L, 5L, 7L)),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    assert(shrunk.bands.collect().map(_.toSeq).toSet ==
+      fresh.bands.collect().map(_.toSeq).toSet,
+      "shrunk band catalog must equal the fresh build on corpus∖removed")
+    // serving: a probe duplicating doc 0's text pairs with 0 but no
+    // longer with the removed 1
+    val probe = Seq((100L,
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo0"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinHashPairs(shrunk, probe,
+        col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)) && !pairs.exists(p => p._1 == 1L),
+      s"shrunk catalog must pair with kept docs only, got $pairs")
+    // idempotent deletes: absent ids are ignored (tombstone replay)
+    val again = Dedup.dedupIndexRemove(shrunk, Seq(1L, 999L).toDF("doc_id"))
+    assert(again.staged.count() == 16 && again.bands.count() == 16 * 16,
+      "removing absent ids must be a no-op")
+    // compaction: content untouched, pair set identical, partition count
+    // at the explicit target (churned frames would otherwise keep
+    // full-width scans over mostly-empty partitions)
+    val compacted = Dedup.compactDedupIndex(shrunk, partitions = Some(3))
+    assert(compacted.staged.rdd.getNumPartitions == 3 &&
+      compacted.bands.rdd.getNumPartitions == 3,
+      "compaction must re-materialize at the target partition count")
+    val pairsC = Dedup.incrementalMinHashPairs(compacted, probe,
+        col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsC == pairs, "compaction must not change the served pair set")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("dedupIndexHealth: closed-form bucket stats on a known degenerate corpus") {
     // 3 identical docs + 1 unrelated: every band has one 3-doc bucket
     // (identical signatures) and one singleton → per band: buckets=2,

@@ -313,6 +313,54 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("ivfPqIndexRemove: remove∘append-back restores serving; absent ids no-op; compaction preserves serving at bounded partitions") {
+    val base = (0L until 16L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 7 + d * 3) % 13).toFloat - 6.0f) / 6.0f))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+    val queries = base.take(4).map { case (i, v) => (i + 500L, v) }
+      .toDF("vec_id", "embedding")
+    val built = Similarity.buildIvfPqIndex(emb, nCentroids = 4, coarseIters = 1,
+      m = 4, ksub = 4, pqIters = 1)
+    val servedFull = Similarity.ivfPqTopKIndexed(queries, built, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // remove 6 ids: keyed frames shrink by exactly those; quantizers shared
+    val rmIds = (0L until 6L).toDF("vec_id")
+    val shrunk = Similarity.ivfPqIndexRemove(built, rmIds)
+    assert(shrunk.corpus.count() == 10 && shrunk.assigned.count() == 10 &&
+      shrunk.codes.count() == 10 * 4,
+      "remove must shrink corpus, inverted lists and codes by the removed ids")
+    val servedShrunk = Similarity.ivfPqTopKIndexed(queries, shrunk, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!servedShrunk.exists(_._3 < 6L),
+      "no removed id may appear in the served ranking")
+    // idempotent deletes: absent ids are ignored (tombstone replay)
+    val again = Similarity.ivfPqIndexRemove(shrunk, Seq(0L, 999L).toDF("vec_id"))
+    assert(again.corpus.count() == 10 && again.codes.count() == 10 * 4,
+      "removing absent ids must be a no-op")
+    // UPDATE path: re-appending the removed vectors through the frozen
+    // quantizers restores build-time assignment and coding exactly, so
+    // serving returns to the full-build ranking row for row
+    val updated = Similarity.ivfPqIndexAppend(shrunk,
+      base.take(6).toDF("vec_id", "embedding"))
+    val servedUpdated = Similarity.ivfPqTopKIndexed(queries, updated, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(servedUpdated == servedFull,
+      "remove∘append-back must restore the full-build serving exactly")
+    // compaction: serving identical, partition count at the target (k
+    // appends concatenate k generations of partitions otherwise)
+    val compacted = Similarity.compactIvfPqIndex(updated, partitions = Some(3))
+    assert(compacted.corpus.rdd.getNumPartitions == 3 &&
+      compacted.codes.rdd.getNumPartitions == 3,
+      "compaction must re-materialize keyed frames at the target partition count")
+    val servedCompacted = Similarity.ivfPqTopKIndexed(queries, compacted, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(servedCompacted == servedUpdated,
+      "compaction must not change the served ranking")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("autoGeometry: √N centroids clamped to [16, 65536], √nc probes") {
     assert(Similarity.autoGeometry(100L) == ((16, 4)))          // floor clamp
     assert(Similarity.autoGeometry(10000L) == ((100, 10)))
