@@ -1037,6 +1037,39 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // COMPACTION POLICY on the catalog — the detector→actuator for the
+    // merge cadence (Dedup.compactDedupIndexIfFragmented; "every k
+    // batches" is the wrong trigger since batch sizes vary — the policy
+    // reads scheduling width directly). The standing corpus
+    // (doc_id % 5 ≠ 0) assembles as a base build plus two appends, so
+    // the member frames carry three generations of concatenated
+    // partitions and the width arm (bound pinned just above the base
+    // width) must fire — the in-gate require keeps a silently no-op
+    // policy from serving an uncompacted catalog and gating nothing.
+    // Member rows are per-doc, so base+appends ≡ one build over % 5 ≠ 0
+    // and policy-fired serving reuses the incremental restriction
+    // oracle verbatim — closed-form, no new fixture.
+    "dedup_compact_policy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val standing = docs.filter(col("doc_id") % 5 =!= 0)
+      val base = Dedup.dedupIndexFor(standing.filter(col("doc_id") % 7 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val baseWidth = math.max(base.staged.rdd.getNumPartitions,
+        base.bands.rdd.getNumPartitions)
+      val grown = Seq(0, 1).foldLeft(base) { (ix, j) =>
+        Dedup.dedupIndexAppend(ix,
+          standing.filter(col("doc_id") % 7 === 0 && col("doc_id") % 2 === j),
+          col("doc_id"), col("text"))
+      }
+      val (served, fired) = Dedup.compactDedupIndexIfFragmented(grown,
+        maxPartitions = Some(baseWidth + 1))
+      require(fired, "dedup_compact_policy gate: the width arm did not " +
+        "fire — an uncompacted catalog would serve and gate nothing")
+      Dedup.incrementalMinHashPairs(served, docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // QUARANTINE POLICY — the bound DERIVED from a candidate-pair budget
     // (Dedup.quarantinedPairsBudget, the dedup mirror of the ANN rebuild
     // policy's derive-don't-pin stance): the catalog's bucket-size
@@ -1734,6 +1767,40 @@ object SparkEntry {
       val compacted = Similarity.compactIvfPqIndex(appended)
       Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
           compacted, 5, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // COMPACTION POLICY on the ANN index — the merge-cadence actuator
+    // (Similarity.compactIvfPqIndexIfFragmented): the 20% append arrives
+    // as FOUR sub-batches (vec_id % 20 ∈ {0,5,10,15}), each repartitioned
+    // to the width a production batch read actually has (at sf0.01 the
+    // whole table is one parquet sliver, so an un-repartitioned batch
+    // would contribute a single partition and mask exactly the
+    // fragmentation the policy exists to bound). The corpus frame
+    // concatenates 4×16 batch partitions past the bound (pinned just
+    // above the base width) and the arm must fire — the in-gate require
+    // keeps a no-op policy from gating nothing. Per-vector assignment
+    // and coding make four sub-appends content-identical to
+    // ann_index_append's single append, and serving is
+    // partition-independent (repartition included), so the policy-fired
+    // serve must equal the committed append fixture row for row —
+    // closed-form, no new fixture.
+    "ann_compact_policy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val baseWidth = Seq(base.corpus, base.assigned, base.codes)
+        .map(_.rdd.getNumPartitions).max
+      val appended = (0 until 4).foldLeft(base) { (ix, j) =>
+        Similarity.ivfPqIndexAppend(ix,
+          emb.filter(col("vec_id") % 20 === j * 5).repartition(16))
+      }
+      val (served, fired) = Similarity.compactIvfPqIndexIfFragmented(appended,
+        maxPartitions = Some(baseWidth + 2))
+      require(fired, "ann_compact_policy gate: the width arm did not fire " +
+        "— an uncompacted index would serve and gate nothing")
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          served, 5, nProbe = 4)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -4477,6 +4544,14 @@ object SparkEntry {
         |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
         |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
         |ORDER BY id1, id2""".stripMargin,
+    // policy-fired compaction: base+appends ≡ one build over % 5 ≠ 0
+    // (per-doc member rows) and pair sets are partition-independent, so
+    // the policy gate reuses the incremental restriction oracle
+    "dedup_compact_policy" ->
+      s"""SELECT id1, id2, jaccard
+        |FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
     fixture("simhash_pairs", "id1, id2"),
     fixture("embedding_neardups", "id1, id2"),
     fixture("i1_distinct_counts", "source"),
@@ -4499,6 +4574,11 @@ object SparkEntry {
     // partition-independent, so append→compact serves the committed
     // append fixture exactly
     "ann_index_compact" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/ann_index_append.parquet') ORDER BY q_id, rank",
+    // policy-fired compaction: four sub-appends are content-identical to
+    // the single append (per-vector assignment/coding) and serving is
+    // partition-independent, so the policy gate reuses the append fixture
+    "ann_compact_policy" ->
       s"SELECT * FROM read_parquet('$fixturesDir/ann_index_append.parquet') ORDER BY q_id, rank",
     fixture("ann_index_health", "metric, key"),
     fixture("ann_filtered_search", "q_id, rank"),

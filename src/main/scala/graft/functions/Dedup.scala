@@ -479,6 +479,39 @@ object Dedup {
       DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
     }
 
+  /** COMPACTION POLICY — detector→actuator over [[compactDedupIndex]],
+    * the dedup mirror of [[Similarity.compactIvfPqIndexIfFragmented]]
+    * (same two arms, same rationale): "compact every k batches" is the
+    * wrong trigger because batch sizes vary — what every incremental
+    * bucket join actually pays is SCHEDULING WIDTH, so the detector
+    * reads it directly. WIDTH arm: the wider member frame exceeds
+    * `maxPartitions` (default `widthFactor`× session shuffle
+    * parallelism) — unions concatenate partitions, so k appended
+    * batches cost k× the tasks per probe regardless of data size;
+    * planner-side read, no job. EMPTINESS arm (opt-in via
+    * `minRowsPerPartition` > 0): removes shrink rows at constant width,
+    * so a tombstone-churned catalog scans mostly-empty partitions;
+    * fires when band rows < width · minRowsPerPartition — one `count()`
+    * on the persisted artifact. No-fire passes the catalog through
+    * untouched. Pair sets are partition-independent, so the
+    * `dedup_compact_policy` gate pins policy-fired serving against the
+    * incremental restriction oracle (k sub-appends are
+    * content-identical to one build — member rows are per-doc). */
+  def compactDedupIndexIfFragmented(index: DedupIndex,
+      maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
+      minRowsPerPartition: Long = 0L): (DedupIndex, Boolean) = {
+    val natural =
+      index.staged.sparkSession.sessionState.conf.numShufflePartitions
+    val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
+    require(bound >= 1, s"compaction width bound must be ≥ 1, got $bound")
+    val width = Seq(index.staged, index.bands)
+      .map(_.rdd.getNumPartitions).max
+    lazy val sparse = minRowsPerPartition > 0L &&
+      index.bands.count() < width.toLong * minRowsPerPartition
+    if (width <= bound && !sparse) (index, false)
+    else (compactDedupIndex(index), true)
+  }
+
   /** REBUILD POLICY for the standing catalog — the dedup mirror of
     * [[Similarity.ivfPqRebuildIfStale]], closing the loop [[autoBanding]]
     * and [[dedupIndexHealth]] leave open: a catalog keeps its build-time

@@ -864,6 +864,50 @@ object Similarity {
         index.crossTerms, index.m)
     }
 
+  /** COMPACTION POLICY — the detector→actuator loop for
+    * [[compactIvfPqIndex]], completing the round's pattern (every ops
+    * dial derived, not pinned: [[autoGeometry]] for centroids,
+    * [[ivfPqRebuildIfStale]] for retraining, this for the merge cadence).
+    * "Every k appends" is the wrong trigger at 100 TB — batch sizes vary
+    * wildly, and what serving actually pays for is SCHEDULING WIDTH, so
+    * the detector reads the symptom directly. Two arms, both free of
+    * corpus-sized work:
+    *
+    *  - WIDTH (append fragmentation): the widest keyed frame exceeds
+    *    `maxPartitions` (defaulting to `widthFactor`× the session shuffle
+    *    parallelism — the width a fresh shuffle-built index would have).
+    *    Unions concatenate partitions, so k appends schedule k× the
+    *    tasks per serving scan regardless of data size. Planner-side
+    *    read (`rdd.getNumPartitions`), no job.
+    *  - EMPTINESS (remove churn, opt-in via `minRowsPerPartition` > 0):
+    *    anti-joins shrink rows but keep partition COUNT, so a
+    *    heavily-tombstoned index pays full scheduling width over
+    *    mostly-empty partitions. Fires when corpus rows fall below
+    *    `width · minRowsPerPartition` — one `count()` on an
+    *    already-persisted artifact frame.
+    *
+    * When neither fires the index passes through untouched (zero-cost
+    * no-op — the per-trigger call in the retention stream relies on
+    * this). When either fires, [[compactIvfPqIndex]] re-materializes at
+    * natural width; serving is partition-independent, so the
+    * `ann_compact_policy` gate pins policy-fired serving against the
+    * committed append fixture (k sub-appends are content-identical to
+    * one append — per-vector assignment and coding are per-row). */
+  def compactIvfPqIndexIfFragmented(index: IvfPqIndex,
+      maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
+      minRowsPerPartition: Long = 0L): (IvfPqIndex, Boolean) = {
+    val natural =
+      index.corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
+    require(bound >= 1, s"compaction width bound must be ≥ 1, got $bound")
+    val width = Seq(index.corpus, index.assigned, index.codes)
+      .map(_.rdd.getNumPartitions).max
+    lazy val sparse = minRowsPerPartition > 0L &&
+      index.corpus.count() < width.toLong * minRowsPerPartition
+    if (width <= bound && !sparse) (index, false)
+    else (compactIvfPqIndex(index), true)
+  }
+
   /** METADATA-FILTERED ANN over a built index — the vector-DB "filtered
     * search" surface: top-k among only the corpus vectors whose metadata
     * row satisfies `pred`. The filter applies to the CANDIDATE list

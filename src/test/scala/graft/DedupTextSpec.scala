@@ -165,6 +165,50 @@ class DedupTextSpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("compactDedupIndexIfFragmented: width and emptiness arms fire, within-bound catalog passes through untouched") {
+    val docs = (0L until 12L).map { i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel india${i}")
+    }.toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(docs, col("doc_id"), col("text"),
+      numHashes = 32, nBands = 16, shingleK = 3)
+    val w0 = math.max(index.staged.rdd.getNumPartitions,
+      index.bands.rdd.getNumPartitions)
+    // pass-through: width within bound, emptiness arm off → same instance
+    val (same, fired0) = Dedup.compactDedupIndexIfFragmented(index,
+      maxPartitions = Some(w0))
+    assert(!fired0 && (same eq index),
+      "a within-bound catalog must pass through untouched")
+    // WIDTH arm: appends concatenate partitions past the bound
+    val frag = Seq(12L, 13L).foldLeft(index) { (ix, i) =>
+      Dedup.dedupIndexAppend(ix,
+        Seq((i, s"juliet kilo lima mike november oscar papa$i"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    val wF = math.max(frag.staged.rdd.getNumPartitions,
+      frag.bands.rdd.getNumPartitions)
+    assert(wF > w0, "appends must have widened the member frames")
+    val (compacted, fired1) = Dedup.compactDedupIndexIfFragmented(frag,
+      maxPartitions = Some(w0))
+    val target = spark.sessionState.conf.numShufflePartitions
+    assert(fired1 &&
+      compacted.staged.rdd.getNumPartitions == target &&
+      compacted.staged.count() == 14,
+      "width arm must fire and re-materialize at natural width")
+    // EMPTINESS arm: removes shed rows at constant width
+    val shrunk = Dedup.dedupIndexRemove(compacted, (0L until 12L).toDF("doc_id"))
+    assert(shrunk.bands.rdd.getNumPartitions == target &&
+      shrunk.bands.count() == 2 * 16)
+    val (_, fired2) = Dedup.compactDedupIndexIfFragmented(shrunk,
+      maxPartitions = Some(100), minRowsPerPartition = 10L)
+    assert(fired2, "emptiness arm must fire at 32 band rows over 4·10 floor")
+    val (_, fired3) = Dedup.compactDedupIndexIfFragmented(shrunk,
+      maxPartitions = Some(100))
+    assert(!fired3, "emptiness arm is opt-in — disabled it must not fire")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("dedupIndexHealth: closed-form bucket stats on a known degenerate corpus") {
     // 3 identical docs + 1 unrelated: every band has one 3-doc bucket
     // (identical signatures) and one singleton → per band: buckets=2,

@@ -361,6 +361,50 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("compactIvfPqIndexIfFragmented: width and emptiness arms fire, within-bound index passes through untouched") {
+    val base = (0L until 12L).map { i =>
+      (i, Seq.tabulate(8)(d => (((i * 5 + d) % 11).toFloat - 5.0f) / 5.0f))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+    val built = Similarity.buildIvfPqIndex(emb, nCentroids = 4,
+      coarseIters = 1, m = 4, ksub = 4, pqIters = 1)
+    val w0 = Seq(built.corpus, built.assigned, built.codes)
+      .map(_.rdd.getNumPartitions).max
+    // pass-through: width within bound, emptiness arm off → same instance
+    val (same, fired0) = Similarity.compactIvfPqIndexIfFragmented(built,
+      maxPartitions = Some(w0))
+    assert(!fired0 && (same eq built),
+      "a within-bound index must pass through untouched")
+    // WIDTH arm: appends concatenate partitions past the bound
+    val frag = Seq(12L, 14L, 16L).foldLeft(built) { (ix, i) =>
+      Similarity.ivfPqIndexAppend(ix,
+        Seq((i, base.head._2)).toDF("vec_id", "embedding"))
+    }
+    val wF = Seq(frag.corpus, frag.assigned, frag.codes)
+      .map(_.rdd.getNumPartitions).max
+    assert(wF > w0, "appends must have widened the keyed frames")
+    val (compacted, fired1) = Similarity.compactIvfPqIndexIfFragmented(frag,
+      maxPartitions = Some(w0))
+    val target = spark.sessionState.conf.numShufflePartitions
+    assert(fired1 &&
+      compacted.corpus.rdd.getNumPartitions == target &&
+      compacted.corpus.count() == 15,
+      "width arm must fire and re-materialize at natural width")
+    // EMPTINESS arm: removes shed rows at constant width — mostly-empty
+    // partitions until the opt-in arm says merge
+    val shrunk = Similarity.ivfPqIndexRemove(compacted,
+      (0L until 14L).toDF("vec_id"))  // leaves {14, 16}: 2 rows wide 4
+    assert(shrunk.corpus.rdd.getNumPartitions == target)
+    val (_, fired2) = Similarity.compactIvfPqIndexIfFragmented(shrunk,
+      maxPartitions = Some(100), minRowsPerPartition = 1L)
+    assert(fired2, "emptiness arm must fire at 2 rows over 4 partitions")
+    val (_, fired3) = Similarity.compactIvfPqIndexIfFragmented(shrunk,
+      maxPartitions = Some(100))
+    assert(!fired3, "emptiness arm is opt-in — disabled it must not fire")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("autoGeometry: √N centroids clamped to [16, 65536], √nc probes") {
     assert(Similarity.autoGeometry(100L) == ((16, 4)))          // floor clamp
     assert(Similarity.autoGeometry(10000L) == ((100, 10)))

@@ -763,4 +763,131 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("retention stream: tombstones shrink both standing indexes, compaction fires, idempotent replay converges") {
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.RetentionServing
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val nFull = emb.count()
+    val ncSeed = Similarity.autoGeometry(nFull)._1
+    // standing state seeded FRAGMENTED (base build + one append, so the
+    // member frames carry two generations of partitions and the width
+    // arm has something to fire on): content ≡ one build on the full
+    // corpus (append ≡ build restricted — the gated invariants)
+    def seedDedup() = Dedup.dedupIndexAppend(
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3),
+      docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+    def seedAnn() = Seq(0, 3, 6, 9).foldLeft(
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        nCentroids = ncSeed, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)) {
+      (ix, j) =>  // % 3 == 0 in four slices: each union adds ≥ 1 partition
+        Similarity.ivfPqIndexAppend(ix, emb.filter(col("vec_id") % 12 === j))
+    }
+    val dedup0 = seedDedup()
+    val ann0 = seedAnn()
+    val w0 = Seq(ann0.corpus, ann0.assigned, ann0.codes)
+      .map(_.rdd.getNumPartitions).max
+    val target = spark.sessionState.conf.numShufflePartitions
+    assert(w0 > target, "seed must be fragmented past natural width")
+    val tsDir = Files.createTempDirectory("retention_stream_in").toString
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference(
+      (ann0, Similarity.autoGeometry(nFull)._2))
+    val t1 = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val t2 = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"))
+    t1.coalesce(1).write.mode("append").parquet(tsDir)
+    val q = RetentionServing.startRetentionStream(spark, tsDir, dedupRef,
+      annOpRef, threshold = 0.5, m = 4, ksub = 8,
+      compactMaxPartitions = Some(target))
+    val queries = emb.filter(col("vec_id") % 20 === 3)
+    try {
+      q.processAllAvailable() // t1: remove + width-arm compaction fires
+      t2.coalesce(1).write.mode("append").parquet(tsDir)
+      q.processAllAvailable() // t2: remove, width 4 ≤ 4 → no fire
+      assert(q.exception.isEmpty, s"retention stream died: ${q.exception}")
+
+      // structural contracts: both structures shed exactly the tombstoned
+      // ids, and compaction restored natural width
+      val removed = (t1.collect() ++ t2.collect()).map(_.getLong(0)).toSet
+      val surviving = docs.collect().map(_.getLong(0)).toSet -- removed
+      val (annF, npF) = annOpRef.get()
+      assert(annF.corpus.collect().map(_.getLong(0)).toSet == surviving,
+        "ANN corpus must be exactly the un-tombstoned ids")
+      assert(dedupRef.get().staged.count() == surviving.size,
+        "dedup catalog must hold exactly the un-tombstoned docs")
+      assert(Seq(annF.corpus, annF.assigned, annF.codes)
+          .map(_.rdd.getNumPartitions).max == target && target < w0,
+        "batch-1 compaction must have re-materialized at natural width")
+
+      // serving contract: the rolled state serves exactly what the BATCH
+      // composition of the same entry points produces (fresh identical
+      // seeds — builds are deterministic — then the stream body per batch)
+      var dT = seedDedup()
+      var aT = seedAnn()
+      var npT = annOpRef.get()._2
+      Seq(t1, t2).foreach { ts =>
+        val shrunkD = Dedup.dedupIndexRemove(dT, ts)
+        val (rb, rbFired) = Dedup.rebuildCatalogIfStale(shrunkD, 0.5)
+        dT = if (rbFired) rb
+          else Dedup.compactDedupIndexIfFragmented(shrunkD,
+            maxPartitions = Some(target))._1
+        val shrunkA = Similarity.ivfPqIndexRemove(aT,
+          ts.select(col("doc_id").as("vec_id")))
+        val (rbA, np2, rbAFired) = Similarity.ivfPqRebuildIfStale(shrunkA,
+          m = 4, ksub = 8, coarseIters = 1, pqIters = 1)
+        aT = if (rbAFired) rbA
+          else Similarity.compactIvfPqIndexIfFragmented(shrunkA,
+            maxPartitions = Some(target))._1
+        npT = np2
+      }
+      assert(npF == npT, s"operating point diverged: stream np=$npF batch np=$npT")
+      def served(ix: Similarity.IvfPqIndex, np: Int) =
+        Similarity.ivfPqTopKIndexed(queries, ix, 3, np)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamRows = served(annF, npF)
+      assert(streamRows == served(aT, npT),
+        "stream-rolled ANN serving != batch remove composition")
+      assert(streamRows.nonEmpty && !streamRows.exists(t => removed(t._3)),
+        "no tombstoned id may appear in the served ranking")
+      val probe = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+      def pairsOf(ix: Dedup.DedupIndex) =
+        Dedup.incrementalMinHashPairs(ix, probe, col("doc_id"), col("text"),
+          threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamPairs = pairsOf(dedupRef.get())
+      assert(streamPairs == pairsOf(dT),
+        "stream-rolled catalog pairs != batch remove composition")
+      assert(!streamPairs.exists(p => removed(p._1) || removed(p._2)),
+        "no tombstoned doc may appear in the served pairs")
+
+      // IDEMPOTENT REPLAY — the restart story: a new stream with no
+      // checkpoint replays BOTH tombstone files against the already-shrunk
+      // state; removes ignore absent ids and the policies are no-ops at
+      // natural width, so the served state converges without a recovery
+      // hook (ivfPqIndexRemove's tombstone-replay contract, end-to-end)
+      q.stop()
+      val q2 = RetentionServing.startRetentionStream(spark, tsDir, dedupRef,
+        annOpRef, threshold = 0.5, m = 4, ksub = 8,
+        compactMaxPartitions = Some(target))
+      try {
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"replay stream died: ${q2.exception}")
+        val (annR, npR) = annOpRef.get()
+        assert(served(annR, npR) == streamRows,
+          "idempotent replay must converge to the same served ranking")
+        assert(pairsOf(dedupRef.get()) == streamPairs,
+          "idempotent replay must converge to the same served pairs")
+        assert(dedupRef.get().staged.count() == surviving.size)
+      } finally q2.stop()
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }
