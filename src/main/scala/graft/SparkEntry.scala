@@ -1804,6 +1804,41 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // COMPOSED RETENTION — the batch mirror of streaming/RetentionServing
+    // (the tombstone face of ingest_pipeline): the auto-geometry standing
+    // index sheds vec_id % 5 == 0, then BOTH policies judge the shrunk
+    // index. The geometry policy must NOT fire — a 20% deletion moves √N
+    // well inside the 1.3 drift factor, and a right-sized index must not
+    // retrain on routine churn (the no-fire arm is the exercised path,
+    // pinned by the require). The compaction policy's EMPTINESS arm must
+    // fire — removal sheds rows at constant width, so rows-per-partition
+    // falls below the standing layout's own build density, computed
+    // in-gate from the standing index (derive-don't-pin). The standard
+    // query set serves at the policy-returned operating point.
+    // Fixture-gated: anti-join + repartition of bit-stable frames is
+    // bit-stable, and the content equals remove-only serving since both
+    // policies are content-preserving on the no-fire/compact paths.
+    "retention_pipeline" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (full, _) = Similarity.ivfPqAutoIndexFor(emb)
+      val width = Seq(full.corpus, full.assigned, full.codes)
+        .map(_.rdd.getNumPartitions).max
+      val buildDensity = full.corpus.count() / width
+      val shrunk = Similarity.ivfPqIndexRemove(full,
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+      val (afterGeom, np, rebuilt) = Similarity.ivfPqRebuildIfStale(shrunk)
+      require(!rebuilt, "retention_pipeline gate: a 20% deletion must not " +
+        "trip the geometry policy — the no-fire arm is the exercised path")
+      val (served, fired) = Similarity.compactIvfPqIndexIfFragmented(
+        afterGeom, maxPartitions = Some(width),
+        minRowsPerPartition = buildDensity)
+      require(fired, "retention_pipeline gate: the emptiness arm did not " +
+        "fire — removal at constant width must drop density below build's")
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          served, 5, nProbe = np)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---------------------------------------------------------------
     // FILTERED SEARCH, exact tier — brute-force cosine top-k restricted
     // by a metadata predicate (label=2), the oracle-able baseline of the
@@ -4580,6 +4615,7 @@ object SparkEntry {
     // partition-independent, so the policy gate reuses the append fixture
     "ann_compact_policy" ->
       s"SELECT * FROM read_parquet('$fixturesDir/ann_index_append.parquet') ORDER BY q_id, rank",
+    fixture("retention_pipeline", "q_id, rank"),
     fixture("ann_index_health", "metric, key"),
     fixture("ann_filtered_search", "q_id, rank"),
     fixture("ann_auto_geometry", "q_id, rank"),
