@@ -33,8 +33,12 @@ import graft.functions.{Dedup, Similarity}
   *      later doc), runs the BANDING policy ([[Dedup.rebuildCatalogIfStale]]:
   *      when the grown count derives a different [[Dedup.autoBanding]]
   *      than the catalog carries, the band projection recomputes over the
-  *      catalog's own staged frame — no corpus re-read) and rolls the
-  *      served reference, releasing the superseded generation;
+  *      catalog's own staged frame — no corpus re-read), falls back to
+  *      the COMPACTION policy when the banding passes through
+  *      ([[Dedup.compactDedupIndexIfFragmented]] — k appended batches
+  *      otherwise concatenate k generations of partitions into every
+  *      bucket join), and rolls the served reference, releasing the
+  *      superseded generation;
   *   4. appends only SURVIVOR embeddings into the ANN index
   *      (accepted-corpus semantics — retrieval must never return a
   *      dropped duplicate) through frozen quantizers (FAISS-add), then
@@ -45,7 +49,9 @@ import graft.functions.{Dedup, Similarity}
   *      served (index, nProbe) OPERATING POINT rolls atomically — the
   *      [[AnnServing.startServingStreamOp]] contract, since a rebuild
   *      changes inverted-list geometry and the probe depth must move
-  *      with it.
+  *      with it; when the policy passes through, the COMPACTION policy
+  *      ([[Similarity.compactIvfPqIndexIfFragmented]]) bounds the keyed
+  *      frames' scheduling width the same way.
   *
   * Exactness contract (StreamingSpec pins both halves): the union of
   * per-batch pair files equals the full-corpus batch run restricted to
@@ -114,7 +120,9 @@ object IngestServing {
       ingestSchema: StructType = defaultIngestSchema,
       checkpointLocation: Option[String] = None,
       m: Int = 16, ksub: Int = 32, coarseIters: Int = 1, pqIters: Int = 1,
-      geometryFactor: Double = 1.3): StreamingQuery = {
+      geometryFactor: Double = 1.3,
+      compactMaxPartitions: Option[Int] = None,
+      compactWidthFactor: Double = 4.0): StreamingQuery = {
     val writer = spark.readStream
       .schema(ingestSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -143,20 +151,35 @@ object IngestServing {
         // release the superseded band frame alone, the staged is shared)
         val grownDedup = Dedup.dedupIndexAppend(dedupIx, docs,
           col("doc_id"), col("text"))
-        val (servedDedup, rebanded) =
+        val (rebandedDedup, rebanded) =
           Dedup.rebuildCatalogIfStale(grownDedup, threshold)
+        // COMPACTION POLICY when no reband fired: every append
+        // concatenates the batch's partitions into the member frames, so
+        // k daily batches schedule k× the tasks per bucket join until a
+        // merge re-materializes at natural width (a reband already cuts
+        // fresh band frames; the staged frame re-compacts next fire)
+        val servedDedup =
+          if (rebanded) rebandedDedup
+          else Dedup.compactDedupIndexIfFragmented(grownDedup,
+            compactMaxPartitions, compactWidthFactor)._1
         dedupRef.set(servedDedup)
         Dedup.releaseDedupIndex(dedupIx)
         if (rebanded) grownDedup.bands.unpersist(false)
+        else if (servedDedup ne grownDedup) Dedup.releaseDedupIndex(grownDedup)
         // roll the ANN generation on the SURVIVORS (accepted-corpus
-        // semantics), then let the rebuild policy pick the geometry
+        // semantics), then let the rebuild policy pick the geometry; when
+        // it passes through, the compaction policy bounds scheduling width
         val (annIx, _) = annOpRef.get()
         val grownAnn = Similarity.ivfPqIndexAppend(annIx, survivors)
-        val (served, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grownAnn,
+        val (rebuiltAnn, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grownAnn,
           m, ksub, coarseIters, pqIters, geometryFactor)
+        val served =
+          if (rebuilt) rebuiltAnn
+          else Similarity.compactIvfPqIndexIfFragmented(grownAnn,
+            compactMaxPartitions, compactWidthFactor)._1
         annOpRef.set((served, np))
         Similarity.releaseIndexData(annIx)
-        if (rebuilt) Similarity.releaseIndexData(grownAnn)
+        if (rebuilt || (served ne grownAnn)) Similarity.releaseIndexData(grownAnn)
         graft.GraftCaches.unpersistAll()
         ()
       }

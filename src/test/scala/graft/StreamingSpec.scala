@@ -683,13 +683,26 @@ class StreamingSpec extends AnyFunSuite {
     val b1 = ingest.filter(col("doc_id") % 10 === 0)
     val b2 = ingest.filter(col("doc_id") % 10 === 5)
     b1.coalesce(1).write.mode("append").parquet(batchDir)
+    val target = spark.sessionState.conf.numShufflePartitions
     val q = IngestServing.startIngestStream(spark, batchDir, dedupRef,
-      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8)
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8,
+      compactMaxPartitions = Some(target))
     try {
       q.processAllAvailable() // batch 1: dedup + append + rebuild fires
       b2.coalesce(1).write.mode("append").parquet(batchDir)
       q.processAllAvailable() // batch 2: dedup + append, policy passes
       assert(q.exception.isEmpty, s"ingest stream died: ${q.exception}")
+      // the compaction policy bounds scheduling width under the stream:
+      // each append concatenates batch partitions, so without a merge the
+      // width would exceed the bound after two batches (serving equality
+      // below holds regardless — compaction is content-preserving)
+      val (annW, _) = annOpRef.get()
+      assert(Seq(annW.corpus, annW.assigned, annW.codes)
+          .map(_.rdd.getNumPartitions).max <= target,
+        "post-drain ANN width must sit within the compaction bound")
+      assert(math.max(dedupRef.get().staged.rdd.getNumPartitions,
+          dedupRef.get().bands.rdd.getNumPartitions) <= target,
+        "post-drain catalog width must sit within the compaction bound")
 
       // (1) pair contract: union of per-batch files == full-corpus run
       // restricted to pairs touching a streamed doc
