@@ -160,6 +160,13 @@ object SparkEntry {
       GraftCaches.unpersistAll(blocking = true)
       ()
     }),
+    "emb_index_build" -> ((s: SparkSession, dir: String) => {
+      Dedup.embIndexFor(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
     // the rebuild-policy gate's LEGACY catalog (8 bands × 4 rows — a
     // banding built for a smaller corpus era) — built here so the gate's
     // line measures policy-evaluate + re-band + incremental serve, not a
@@ -599,6 +606,64 @@ object SparkEntry {
       // candidate-verify path non-trivially exercised
       Dedup.embeddingNearDups(Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"), nPlanes = 4, threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // INCREMENTAL embedding near-dup — the batch-vs-standing-catalog form
+    // (Dedup.incrementalEmbeddingNearDups), completing the incremental
+    // story across all three near-dup modalities: the standing catalog
+    // (vec_id % 5 ≠ 0, build-once via the memo — its build is the
+    // emb_index_build setup line) holds per-vector precomputed hyperplane
+    // buckets, and the batch pays only its own bucketing plus bucket
+    // equi-joins — never a corpus re-bucket. CLOSED-FORM ORACLE:
+    // per-vector bucket rows make incremental ≡ the committed full-run
+    // fixture restricted to batch-touching pairs — the
+    // minhash_incremental logic on the semantic tier.
+    "embdedup_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      Dedup.incrementalEmbeddingNearDups(index,
+          emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // RETENTION DELETE on the embedding catalog — the same verb as the
+    // other two standing families (broadcast anti-join, idempotent on
+    // absent ids): standing docs with vec_id % 7 == 0 leave, then the
+    // standard batch serves against the shrunk catalog. Per-vector rows
+    // make remove ≡ fresh build on corpus∖removed, so the pair set is
+    // the full-run fixture restricted to batch-touching pairs with no
+    // removed standing endpoint (5 pairs vanish at sf0.01 — the removal
+    // genuinely engages).
+    "embdedup_index_remove" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val shrunk = Dedup.embIndexRemove(index,
+        emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 === 0)
+          .select(col("vec_id")))
+      Dedup.incrementalEmbeddingNearDups(shrunk,
+          emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // COMPACTION of the embedding catalog at its bucket probe key —
+    // content untouched and pair sets partition-independent, so
+    // remove→compact→serve reuses the remove restriction oracle verbatim.
+    "embdedup_index_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val shrunk = Dedup.embIndexRemove(index,
+        emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 === 0)
+          .select(col("vec_id")))
+      val compacted = Dedup.compactEmbIndex(shrunk)
+      Dedup.incrementalEmbeddingNearDups(compacted,
+          emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), threshold = 0.3)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -4589,6 +4654,30 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin,
     fixture("simhash_pairs", "id1, id2"),
     fixture("embedding_neardups", "id1, id2"),
+    // per-vector bucket rows: incremental ≡ full run restricted to
+    // batch-touching pairs (the minhash_incremental logic, semantic tier)
+    "embdedup_incremental" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // remove ≡ fresh build on corpus∖removed ⇒ drop pairs with a removed
+    // standing endpoint (standing = id % 5 ≠ 0; removed = % 7 = 0)
+    "embdedup_index_remove" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |ORDER BY id1, id2""".stripMargin,
+    // compaction repartitions a content-identical frame — reuse verbatim
+    "embdedup_index_compact" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |ORDER BY id1, id2""".stripMargin,
     fixture("i1_distinct_counts", "source"),
     fixture("ann_lsh_topk", "q_id, rank"),
     fixture("ann_ivf_topk", "q_id, rank"),

@@ -1044,6 +1044,144 @@ object Dedup {
       .distinct()
   }
 
+  /** STANDING EMBEDDING CATALOG — the semantic-dedup mirror of
+    * [[DedupIndex]], completing the incremental story across all three
+    * near-dup modalities (MinHash catalog, ANN index, and now
+    * embedding-cosine LSH): [[embeddingNearDups]] re-buckets the whole
+    * corpus on every run, which at 100 TB turns a daily batch into a
+    * corpus-sized job. The catalog holds one frame —
+    * `(vec_id, v, bucket)` with the hyperplane bucket precomputed by the
+    * same codegen expression the batch form uses — so an incremental
+    * batch pays its own bucketing plus bucket equi-joins against the
+    * standing side, never a corpus re-scan. Member rows are PER-VECTOR
+    * (bucket is a pure function of the vector), which gives every
+    * lifecycle verb a closed-form oracle: incremental ≡ the full run
+    * restricted to batch-touching pairs, remove ≡ a fresh build over
+    * corpus∖removed, compaction content-preserving. */
+  final case class EmbIndex(vecs: DataFrame, nPlanes: Int)
+
+  /** One bucketing pass shared bit-for-bit by build, append and the
+    * incremental batch side (the restriction oracles depend on it), with
+    * the same id-hygiene guards as [[stageBatch]]: a duplicated or
+    * already-indexed vec_id would emit duplicate pairs under two vectors
+    * claiming one key. `existing` is None at build time. */
+  private def stageEmbBatch(batch: DataFrame, id: Column, vec: Column,
+      nPlanes: Int, existing: Option[DataFrame]): DataFrame = {
+    graft.plans.GraftFunctions.register(batch.sparkSession)
+    val staged = batch
+      .select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes))
+      .persistTracked()
+    existing.foreach { idx =>
+      val dups = staged.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      require(dups == 0L,
+        s"emb batch: $dups vec_id(s) appear more than once in the batch")
+      val clash = staged.select(col("vec_id"))
+        .join(idx.select(col("vec_id")), Seq("vec_id")).count()
+      require(clash == 0L,
+        s"emb batch: $clash vec_id(s) already exist in the catalog — " +
+          "re-ingesting an id would pair one key against two vectors")
+    }
+    staged
+  }
+
+  /** Build the standing embedding catalog (offline, once): one map-side
+    * bucketing projection over the corpus, persisted in the artifact
+    * tier. No shuffle — the bucket is computed per-row by the
+    * [[Similarity.hyperplaneBucket]] codegen expression. */
+  def buildEmbIndex(emb: DataFrame, id: Column, vec: Column,
+      nPlanes: Int = 4): EmbIndex = graft.GraftCaches.inArtifactScope {
+    val vecs = graft.GraftCaches.persistedArtifact(
+      stageEmbBatch(emb, id, vec, nPlanes, None))
+    vecs.count()
+    EmbIndex(vecs, nPlanes)
+  }
+
+  private val embIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int), EmbIndex]
+  graft.GraftCaches.onArtifactRelease(() => embIndexMemo.clear())
+
+  /** Build-once memo over [[buildEmbIndex]] (the [[dedupIndexFor]]
+    * pattern: one standing catalog per (session, corpus plan, nPlanes),
+    * dropped on artifact release so a stale handle never serves). */
+  def embIndexFor(emb: DataFrame, id: Column, vec: Column,
+      nPlanes: Int = 4): EmbIndex = {
+    val key = (System.identityHashCode(emb.sparkSession),
+      emb.select(id.as("vec_id"), vec.as("__v"))
+        .queryExecution.analyzed.semanticHash(), nPlanes)
+    embIndexMemo.getOrElseUpdate(key, buildEmbIndex(emb, id, vec, nPlanes))
+  }
+
+  /** INCREMENTAL embedding near-dup pairs — a batch against the standing
+    * catalog, the [[incrementalMinHashPairs]] shape: ONE bucket equi-join
+    * of (standing ∪ batch) against the batch side covers every pair with
+    * ≥1 batch member (old–new once, new–new twice, collapsed by
+    * distinct); exact cosine verifies only within-bucket candidates.
+    * Per-vector bucket rows make the closed-form oracle: the pair set
+    * equals [[embeddingNearDups]] over the full corpus restricted to
+    * batch-touching pairs (`embdedup_incremental` gate). Batch-sized
+    * staging + bucket joins; the standing side is scanned through its
+    * persisted bucket column, never re-bucketed. */
+  def incrementalEmbeddingNearDups(index: EmbIndex, batch: DataFrame,
+      id: Column, vec: Column, threshold: Double): DataFrame = {
+    val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
+    val all = index.vecs.select(col("bucket"), col("vec_id"), col("v"))
+      .unionByName(b)
+    all.join(b.select(col("bucket"), col("vec_id").as("vid2"),
+        col("v").as("v2")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("vid2"))
+      .select(least(col("vec_id"), col("vid2")).as("id1"),
+        greatest(col("vec_id"), col("vid2")).as("id2"),
+        col("v"), col("v2"))
+      .withColumn("cosine", Similarity.cosineFast(col("v"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
+  /** Append a batch into the standing catalog (generation roll as in
+    * [[dedupIndexAppend]]; id-hygiene guards via the shared staging). */
+  def embIndexAppend(index: EmbIndex, batch: DataFrame, id: Column,
+      vec: Column): EmbIndex = graft.GraftCaches.inArtifactScope {
+    val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
+    val vecs = graft.GraftCaches.persistedArtifact(index.vecs.unionByName(b))
+    vecs.count()
+    EmbIndex(vecs, index.nPlanes)
+  }
+
+  /** RETENTION DELETE on the standing embedding catalog — the broadcast
+    * anti-join path shared by all three standing families; per-vector
+    * rows make remove ≡ a fresh build on corpus∖removed, so the
+    * `embdedup_index_remove` gate reuses the full-run fixture restricted
+    * to no-removed-endpoint pairs. Absent ids are ignored (idempotent —
+    * tombstone replay). `ids` carries a `vec_id` column. */
+  def embIndexRemove(index: EmbIndex, ids: DataFrame): EmbIndex =
+    graft.GraftCaches.inArtifactScope {
+      val rm = broadcast(ids.select(col("vec_id")).distinct())
+      val vecs = graft.GraftCaches.persistedArtifact(
+        index.vecs.join(rm, Seq("vec_id"), "left_anti"))
+      vecs.count()
+      EmbIndex(vecs, index.nPlanes)
+    }
+
+  /** COMPACTION of the standing embedding catalog at its probe key (the
+    * bucket every incremental batch equi-joins) — the same LSM merge as
+    * [[compactDedupIndex]]/[[Similarity.compactIvfPqIndex]]; pair sets
+    * are partition-independent, so compacted serving reuses the remove
+    * restriction oracle (`embdedup_index_compact`). */
+  def compactEmbIndex(index: EmbIndex,
+      partitions: Option[Int] = None): EmbIndex =
+    graft.GraftCaches.inArtifactScope {
+      val n = partitions.getOrElse(
+        index.vecs.sparkSession.sessionState.conf.numShufflePartitions)
+      EmbIndex(graft.GraftCaches.checkpointed(
+        index.vecs.repartition(n, col("bucket"))), index.nPlanes)
+    }
+
+  def releaseEmbIndex(index: EmbIndex, blocking: Boolean = false): Unit =
+    index.vecs.unpersist(blocking)
+
   /** PAGERANK over an undirected pair graph (`id1`,`id2` — e.g. the
     * near-dup pair set): importance weighting for cluster
     * representatives, beside [[connectedComponentsStar]]'s membership.

@@ -209,6 +209,66 @@ class DedupTextSpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts()
   }
 
+  test("standing embedding catalog: incremental ≡ full-run restricted; remove ≡ fresh build; id guards; compaction preserves pairs") {
+    // two exact-duplicate groups spanning the standing/batch split plus
+    // noise vectors: cos(dup twin)=1 ≥ any threshold; distinct noise
+    // directions stay below it
+    def v(seed: Int) = Seq.tabulate(8)(d =>
+      (((seed * 31 + d * 7) % 17).toDouble - 8.0) / 8.0)
+    val rows = Seq(
+      (0L, v(1)), (1L, v(2)), (2L, v(3)), (3L, v(4)), (4L, v(5)),
+      (5L, v(1)), (6L, v(3)), (7L, v(6)))  // 5 dups 0, 6 dups 2
+    val emb = rows.toDF("vec_id", "embedding")
+    val standing = emb.filter(col("vec_id") < 5)
+    val batch = emb.filter(col("vec_id") >= 5)
+    val index = Dedup.buildEmbIndex(standing, col("vec_id"), col("embedding"),
+      nPlanes = 4)
+    val inc = Dedup.incrementalEmbeddingNearDups(index, batch,
+        col("vec_id"), col("embedding"), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+        nPlanes = 4, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full.filter(p => p._1 >= 5 || p._2 >= 5) &&
+      inc.contains((0L, 5L)) && inc.contains((2L, 6L)),
+      s"incremental must equal the full run restricted to batch pairs: $inc")
+    // id guards: in-batch duplicate and already-indexed id both throw
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDups(index,
+        Seq((9L, v(1)), (9L, v(2))).toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), 0.95).count()
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embIndexAppend(index, Seq((0L, v(1))).toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding")).vecs.count()
+    }
+    // append then remove: grown catalog serves batch-vs-all; removing id 0
+    // ≡ a fresh build without it (per-vector rows)
+    val grown = Dedup.embIndexAppend(index, batch,
+      col("vec_id"), col("embedding"))
+    assert(grown.vecs.count() == 8)
+    val shrunk = Dedup.embIndexRemove(grown, Seq(0L, 999L).toDF("vec_id"))
+    assert(shrunk.vecs.count() == 7, "absent ids must be ignored")
+    val fresh = Dedup.buildEmbIndex(emb.filter(col("vec_id") =!= 0L),
+      col("vec_id"), col("embedding"), nPlanes = 4)
+    assert(shrunk.vecs.collect().map(_.toSeq).toSet ==
+      fresh.vecs.collect().map(_.toSeq).toSet,
+      "shrunk catalog must equal the fresh build on corpus∖removed")
+    // compaction: content-identical at the target partition count
+    val compacted = Dedup.compactEmbIndex(shrunk, partitions = Some(3))
+    assert(compacted.vecs.rdd.getNumPartitions == 3)
+    val probe = Seq((100L, v(3))).toDF("vec_id", "embedding")
+    def pairsOf(ix: Dedup.EmbIndex) =
+      Dedup.incrementalEmbeddingNearDups(ix, probe,
+        col("vec_id"), col("embedding"), 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(compacted) == pairsOf(shrunk) &&
+      pairsOf(compacted).contains((2L, 100L)),
+      "compaction must not change the served pair set")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
+
   test("dedupIndexHealth: closed-form bucket stats on a known degenerate corpus") {
     // 3 identical docs + 1 unrelated: every band has one 3-doc bucket
     // (identical signatures) and one singleton → per band: buckets=2,
