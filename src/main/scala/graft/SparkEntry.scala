@@ -650,6 +650,19 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // HEALTH of the embedding catalog — the detector that drives the
+    // plane-count / hot-bucket decision (Dedup.embIndexHealth), mirroring
+    // dedup_index_health on the semantic tier. Serving-pure against the
+    // memoized standing catalog; fixture-gated (bucket hashing is
+    // engine-specific, integers partition-independent).
+    "embdedup_index_health" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      Dedup.embIndexHealth(index)
+        .orderBy(col("metric"), col("key"))
+    }),
+
     // COMPACTION of the embedding catalog at its bucket probe key —
     // content untouched and pair sets partition-independent, so
     // remove→compact→serve reuses the remove restriction oracle verbatim.
@@ -4709,6 +4722,7 @@ object SparkEntry {
     fixture("ann_filtered_search", "q_id, rank"),
     fixture("ann_auto_geometry", "q_id, rank"),
     fixture("dedup_index_health", "metric, key"),
+    fixture("embdedup_index_health", "metric, key"),
     fixture("ann_auto_rerank", "q_id, rank"),
     fixture("ingest_pipeline", "q_id, rank"),
     fixture("ingest_pipeline_policy", "q_id, rank"),

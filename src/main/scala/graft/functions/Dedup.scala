@@ -1182,6 +1182,38 @@ object Dedup {
   def releaseEmbIndex(index: EmbIndex, blocking: Boolean = false): Unit =
     index.vecs.unpersist(blocking)
 
+  /** EMBEDDING CATALOG HEALTH — [[dedupIndexHealth]]'s analogue on the
+    * semantic tier: hyperplane-bucket statistics plus the implied
+    * candidate-join cost. The failure mode is the same (boilerplate
+    * embeddings collapse into one bucket; a bucket of n vectors costs
+    * n·(n−1)/2 candidates to every batch touching it) and the decision
+    * the report drives is the same — more planes (finer buckets) or a
+    * hot-bucket fallback — BEFORE the join blows up. Long-format
+    * `(metric, key, value)`, integers only (bit-stable on any
+    * partitioning): `vectors`, `buckets`, `hottest_bucket`,
+    * `total_candidate_pairs`, all key −1 (one bucket space — no bands).
+    * One partial-aggregated pass over the bucket column; the vectors
+    * themselves are never touched. */
+  def embIndexHealth(index: EmbIndex): DataFrame = {
+    val buckets = index.vecs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    buckets.agg(
+        coalesce(count(lit(1)), lit(0L)).as("buckets"),
+        coalesce(max(col("n")), lit(0L)).as("hot"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("tot"))
+      .crossJoin(index.vecs.agg(count(lit(1)).as("vectors")))
+      .select(explode(array(
+        struct(lit("vectors").as("metric"), lit(-1L).as("key"),
+          col("vectors").as("value")),
+        struct(lit("buckets").as("metric"), lit(-1L).as("key"),
+          col("buckets").as("value")),
+        struct(lit("hottest_bucket").as("metric"), lit(-1L).as("key"),
+          col("hot").as("value")),
+        struct(lit("total_candidate_pairs").as("metric"), lit(-1L).as("key"),
+          col("tot").as("value")))).as("r"))
+      .select(col("r.metric"), col("r.key"), col("r.value"))
+  }
+
   /** PAGERANK over an undirected pair graph (`id1`,`id2` — e.g. the
     * near-dup pair set): importance weighting for cluster
     * representatives, beside [[connectedComponentsStar]]'s membership.

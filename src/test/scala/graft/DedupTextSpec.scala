@@ -223,6 +223,13 @@ class DedupTextSpec extends AnyFunSuite {
     val batch = emb.filter(col("vec_id") >= 5)
     val index = Dedup.buildEmbIndex(standing, col("vec_id"), col("embedding"),
       nPlanes = 4)
+    // health: integer invariants on the tiny standing catalog (5 vectors
+    // in ≥1 buckets; candidate mass bounded by the all-pairs count)
+    val health = Dedup.embIndexHealth(index).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(health("vectors") == 5 && health("buckets") >= 1 &&
+      health("hottest_bucket") <= 5 && health("total_candidate_pairs") <= 10,
+      s"embIndexHealth invariants violated: $health")
     val inc = Dedup.incrementalEmbeddingNearDups(index, batch,
         col("vec_id"), col("embedding"), threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
