@@ -18,6 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Releasing a locally-checkpointed RDD triggers a WARN per RDD ("saved
+    // blocks cannot be recomputed") from RDD.unpersist — intended here (the
+    // query is done; the blocks must go), but the flood buried the result
+    // JSON line past the driver's captured stderr tail. The warning is
+    // logged under the concrete RDD class, so silence the rdd package.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains(_)).toMap
       else SparkEntry.queries
@@ -83,12 +90,53 @@ object Bench {
     // Full sf0.1 runs only: an arg-restricted spot-bench or a smoke run at
     // another SF must not clobber the last complete sf0.1 record.
     if (args.isEmpty && sfDir.contains("sf0.1")) {
-      val sorted = results
-        .map { case (k, (mn, mx, n)) =>
-          f"""  "$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n}""" } ++
-        setupTimes.map { case (k, v) => f"""  "setup:$k": $v%.6f""" }
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"),
-        sorted.mkString("{\n", ",\n", "\n}\n"))
+      // FOLD, don't overwrite: the record is a min-of-all-runs ledger (n up
+      // to ~40 per query). A single noisy run that clobbered it destroyed
+      // weeks of samples once (round 9) — so read the prior record and merge:
+      // min of mins, max of maxes, n summed; setup floats take the min.
+      val path = java.nio.file.Paths.get("bench_queries.json")
+      val prior: Map[String, Either[Double, (Double, Double, Int)]] =
+        if (java.nio.file.Files.exists(path)) {
+          val text = java.nio.file.Files.readString(path)
+          val objRe = """"([^"]+)"\s*:\s*\{\s*"min"\s*:\s*([-0-9.eE]+)\s*,\s*"max"\s*:\s*([-0-9.eE]+)\s*,\s*"n"\s*:\s*(\d+)\s*\}""".r
+          val fltRe = """"(setup:[^"]+)"\s*:\s*([-0-9.eE]+)""".r
+          val objs = objRe.findAllMatchIn(text).map(m =>
+            m.group(1) -> Right[Double, (Double, Double, Int)](
+              (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toInt))).toMap
+          val flts = fltRe.findAllMatchIn(text).map(m =>
+            m.group(1) -> Left[Double, (Double, Double, Int)](m.group(2).toDouble)).toMap
+          objs ++ flts
+        } else Map.empty
+      val mergedQ: Map[String, (Double, Double, Int)] =
+        results.map { case (k, (mn, mx, n)) =>
+          prior.get(k) match {
+            case Some(Right((pmn, pmx, pn))) => k -> ((math.min(pmn, mn), math.max(pmx, mx), pn + n))
+            case _ => k -> ((mn, mx, n))
+          }
+        }.toMap
+      val mergedS: Map[String, Double] =
+        setupTimes.map { case (k, v) =>
+          val key = s"setup:$k"
+          prior.get(key) match {
+            case Some(Left(pv)) => key -> math.min(pv, v)
+            case _ => key -> v
+          }
+        }.toMap
+      // preserve record lines this run didn't exercise (renamed/retired
+      // queries stay until deliberately pruned; a partial failure must not
+      // drop history)
+      val untouched = prior.filterNot { case (k, _) =>
+        mergedQ.contains(k) || mergedS.contains(k) }
+      val lines =
+        (mergedQ.map { case (k, (mn, mx, n)) =>
+            k -> f""""$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n}""" } ++
+         mergedS.map { case (k, v) => k -> f""""$k": $v%.6f""" } ++
+         untouched.map {
+           case (k, Right((mn, mx, n))) =>
+             k -> f""""$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n}"""
+           case (k, Left(v)) => k -> f""""$k": $v%.6f"""
+         }).toSeq.sortBy(_._1).map("  " + _._2)
+      java.nio.file.Files.writeString(path, lines.mkString("{\n", ",\n", "\n}\n"))
     }
     GraftCaches.releaseArtifacts(blocking = true)
     spark.stop()
