@@ -90,6 +90,17 @@ object SparkEntry {
     f.getAbsolutePath
   }
 
+  /** Save path for the embedding-catalog roundtrip gate (same PID+sf
+    * keying and shutdown-sweep registration as [[savedIndexPath]]). */
+  private def savedEmbIndexPath(sfDir: String): String = {
+    require(scratchHookInstalled)
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_emb_index_rt_${ProcessHandle.current().pid()}_" +
+        (sfDir.hashCode & 0x7fffffff).toString)
+    scratchDirs.add(f.toPath)
+    f.getAbsolutePath
+  }
+
   /** BENCH SETUP PHASE — runs once before the timed query loop, each
     * entry timed and reported under `setup` in the bench JSON (never
     * mixed into the per-query lines). Two jobs:
@@ -150,6 +161,15 @@ object SparkEntry {
       GraftCaches.unpersistAll(blocking = true)
       ()
     }),
+    // the no-fire gate's RIGHT-SIZED standing index (auto geometry over
+    // the 80% split) — the ingest_pipeline_nofire line then measures
+    // append + policy-evaluate + serve, the routine-day shape
+    "ann_auto_base_build" -> ((s: SparkSession, dir: String) => {
+      Similarity.ivfPqAutoIndexFor(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0))
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
     // standing dedup index over the 80% corpus split — the
     // minhash_incremental line then measures batch staging + bucket joins
     // only, the daily-ingest shape
@@ -175,6 +195,40 @@ object SparkEntry {
       Dedup.dedupIndexFor(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
         col("doc_id"), col("text"), numHashes = 32, nBands = 8, shingleK = 3)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // the embedding-catalog rebuild-policy gate's LEGACY catalog (2
+    // planes — a bucketing built for a ≤128-vector corpus era)
+    "emb_legacy_build" -> ((s: SparkSession, dir: String) => {
+      Dedup.embIndexFor(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 2)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // the embedding compaction-policy gate's BASE catalog (the % 7 ≠ 0
+    // split the gate then appends onto)
+    "emb_base_build" -> ((s: SparkSession, dir: String) => {
+      Dedup.embIndexFor(
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // parquet save of the standing embedding catalog (build resolves
+    // through the memo): the embdedup_index_roundtrip line then measures
+    // LOAD + incremental serve with the one-time save cost attributed here
+    "emb_index_save" -> ((s: SparkSession, dir: String) => {
+      val path = savedEmbIndexPath(dir)
+      if (!new java.io.File(path, "meta").isDirectory) {
+        Dedup.saveEmbIndex(
+          Dedup.embIndexFor(
+            Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0),
+            col("vec_id"), col("embedding"), nPlanes = 4),
+          path)
+      }
       GraftCaches.unpersistAll(blocking = true)
       ()
     }),
@@ -677,6 +731,105 @@ object SparkEntry {
       Dedup.incrementalEmbeddingNearDups(compacted,
           emb.filter(col("vec_id") % 5 === 0),
           col("vec_id"), col("embedding"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // EMBEDDING CATALOG ROUNDTRIP — parquet save→load of the standing
+    // catalog, completing the cross-session artifact lifecycle across
+    // all three standing families (dedup_index_roundtrip /
+    // ann_index_roundtrip symmetry): the save is the bench-setup
+    // `emb_index_save` line; this query LOADS the catalog into fresh
+    // artifact frames and serves the standard incremental batch.
+    // CLOSED-FORM ORACLE: doubles and the bucket long are storage-exact
+    // and the joins order-independent, so loaded-serving ≡ built-serving
+    // — the embdedup_incremental restriction oracle verbatim.
+    "embdedup_index_roundtrip" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = savedEmbIndexPath(dir)
+      if (!new java.io.File(path, "meta").isDirectory) {
+        Dedup.saveEmbIndex(
+          Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+            col("vec_id"), col("embedding"), nPlanes = 4),
+          path)
+      }
+      val loaded = Dedup.loadEmbIndex(s, path)
+      Dedup.incrementalEmbeddingNearDups(loaded,
+          emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // PLANE REBUILD POLICY on the embedding catalog — the third standing
+    // structure gets the banding-drift loop the other two have
+    // (dedup_rebuild_policy / ann_rebuild_policy symmetry): a LEGACY
+    // catalog (2 planes, a bucketing for a ≤128-vector era; bench-setup
+    // `emb_legacy_build`) is judged against autoPlanes of its CURRENT
+    // count (400 standing vectors at sf0.01 → 4), fires, and re-buckets
+    // FROM ITS OWN CACHED VECTORS — one map-side hyperplane projection
+    // through the bit-identical codegen expression buildEmbIndex uses;
+    // the corpus parquet is never re-read. CLOSED-FORM ORACLE: rebuilt ≡
+    // fresh-built at the derived 4 planes, so serving reuses the
+    // embdedup_incremental restriction oracle verbatim.
+    "embdedup_rebuild_policy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val legacy = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 2)
+      val (rebuilt, fired) = Dedup.rebuildEmbIndexIfStale(legacy)
+      require(fired, "embdedup_rebuild_policy gate: the plane policy did " +
+        "not fire — the gate would silently test pass-through serving")
+      Dedup.incrementalEmbeddingNearDups(rebuilt,
+          emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // COMPACTION POLICY on the embedding catalog — width-arm
+    // detector→actuator (dedup_compact_policy's shape on the semantic
+    // tier, through the shared convergent CompactionPolicy arithmetic):
+    // the standing corpus assembles as a base build (% 7 ≠ 0,
+    // bench-setup `emb_base_build`) plus two appends, so the member
+    // frame carries three generations of concatenated partitions and
+    // the width arm (bound pinned just above the base width) must fire
+    // — landing INSIDE the bound, the round-10 fixed-point semantics.
+    // Per-vector rows make base+appends ≡ one build and pair sets are
+    // partition-independent → the incremental restriction oracle.
+    "embdedup_compact_policy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val standing = emb.filter(col("vec_id") % 5 =!= 0)
+      val base = Dedup.embIndexFor(standing.filter(col("vec_id") % 7 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val baseWidth = base.vecs.rdd.getNumPartitions
+      val grown = Seq(0, 1).foldLeft(base) { (ix, j) =>
+        Dedup.embIndexAppend(ix,
+          standing.filter(col("vec_id") % 7 === 0 && col("vec_id") % 2 === j),
+          col("vec_id"), col("embedding"))
+      }
+      val (served, fired) = Dedup.compactEmbIndexIfFragmented(grown,
+        maxPartitions = Some(baseWidth + 1))
+      require(fired, "embdedup_compact_policy gate: the width arm did not " +
+        "fire — an uncompacted catalog would serve and gate nothing")
+      Dedup.incrementalEmbeddingNearDups(served,
+          emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // HOT-BUCKET QUARANTINE on the embedding catalog — the ACTUATOR for
+    // embdedup_index_health's detector (dedup_quarantine's verb on the
+    // semantic tier): buckets over the bound (32 — the sf0.01 catalog's
+    // hottest holds 42, so the quarantine genuinely engages) leave the
+    // within-bucket self-join; their members re-route through the
+    // per-bucket max-variance-coordinate CELL JOIN, lossless for the
+    // same-bucket contract (a unit-vector pair at cos ≥ t differs ≤
+    // √(2−2t) in every coordinate). CLOSED-FORM ORACLE: lossless ⇒
+    // quarantined ≡ the plain catalog pair set ≡ the committed full-run
+    // fixture restricted to both-endpoints-standing.
+    "embdedup_quarantine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      Dedup.embeddingNearDupsQuarantined(index, threshold = 0.3,
+          maxBucket = 32L)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -1901,7 +2054,11 @@ object SparkEntry {
       val (full, _) = Similarity.ivfPqAutoIndexFor(emb)
       val width = Seq(full.corpus, full.assigned, full.codes)
         .map(_.rdd.getNumPartitions).max
-      val buildDensity = full.corpus.count() / width
+      // floor at 1: integer division would zero the density when the
+      // corpus is smaller than the partition width, silently disabling
+      // the emptiness arm and failing the require with a misleading
+      // "arm did not fire" at tiny scales
+      val buildDensity = math.max(1L, full.corpus.count() / width)
       val shrunk = Similarity.ivfPqIndexRemove(full,
         emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
       val (afterGeom, np, rebuilt) = Similarity.ivfPqRebuildIfStale(shrunk)
@@ -2076,6 +2233,53 @@ object SparkEntry {
       val (served, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grown)
       require(rebuilt, "ingest_pipeline_policy gate: the staleness policy " +
         "did not fire — the gate would silently serve frozen quantizers")
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          served, 5, np)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
+    // ROUTINE-DAY TWIN of ingest_pipeline_policy — the NO-FIRE arm,
+    // gated: the fire-day line proves the policy rebuilds on drift, but
+    // nothing proved it STAYS QUIET on a routine append at the derived
+    // thresholds (the retention side has exactly this pair — the
+    // geometry no-fire arm inside retention_pipeline). Here the standing
+    // index is RIGHT-SIZED (auto-geometry over the 80% split: nc =
+    // √400 = 20 at sf0.01; bench-setup `ann_auto_base_build`), the same
+    // dedup→drop→survivors batch appends (~95 vectors, 400 → ~495:
+    // autoGeometry wants 22 < 1.3×20), and the require pins that the
+    // policy passes through — serving at the UNREBUILT operating point.
+    // A policy that started firing on routine days would burn a
+    // corpus-sized Lloyd per batch at 100 TB; this gate makes that a
+    // loud failure instead of a silent cost. Fixture-gated (frozen-
+    // quantizer appends are per-vector and bit-stable).
+    "ingest_pipeline_nofire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val dIndex = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val pairs = Dedup.incrementalMinHashPairs(dIndex,
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+        threshold = 0.5)
+      val dropped = pairs
+        .select(explode(array(
+          struct(col("id1").as("a"), col("id2").as("b")),
+          struct(col("id2").as("a"), col("id1").as("b")))).as("p"))
+        .select(col("p.a").as("cand"), col("p.b").as("other"))
+        .filter(col("cand") % 5 === 0 &&
+          (col("other") % 5 =!= 0 || col("other") < col("cand")))
+        .select(col("cand").as("vec_id")).distinct()
+      // same lineage cut as the policy gate — the handoff artifact
+      val survivors = emb.filter(col("vec_id") % 5 === 0)
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .localCheckpointTracked()
+      val (base, _) = Similarity.ivfPqAutoIndexFor(
+        emb.filter(col("vec_id") % 5 =!= 0))
+      val grown = Similarity.ivfPqIndexAppend(base, survivors)
+      val (served, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grown)
+      require(!rebuilt, "ingest_pipeline_nofire gate: a routine sub-drift " +
+        "append must NOT fire the geometry policy — firing here means " +
+        "every daily batch pays a corpus-sized retrain")
       Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
           served, 5, np)
         .orderBy(col("q_id"), col("rank"))
@@ -4691,6 +4895,36 @@ object SparkEntry {
         |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
         |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
         |ORDER BY id1, id2""".stripMargin,
+    // loaded catalog ≡ built catalog (storage-exact doubles/longs) — the
+    // roundtrip reuses the incremental restriction oracle verbatim
+    "embdedup_index_roundtrip" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // policy-rebuilt catalog ≡ fresh-built at the derived 4 planes
+    // (autoPlanes(400) = 4 — the fixture's own bucketing) — same
+    // restriction oracle verbatim
+    "embdedup_rebuild_policy" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // policy-fired compaction: base+appends ≡ one build (per-vector
+    // rows) and pair sets are partition-independent — same oracle
+    "embdedup_compact_policy" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // quarantine re-routes hot buckets through the LOSSLESS cell join,
+    // so the pair set ≡ the unquarantined catalog run — the committed
+    // full-run fixture under the both-endpoints-standing restriction
+    "embdedup_quarantine" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE id1 % 5 <> 0 AND id2 % 5 <> 0
+        |ORDER BY id1, id2""".stripMargin,
     fixture("i1_distinct_counts", "source"),
     fixture("ann_lsh_topk", "q_id, rank"),
     fixture("ann_ivf_topk", "q_id, rank"),
@@ -4726,6 +4960,11 @@ object SparkEntry {
     fixture("ann_auto_rerank", "q_id, rank"),
     fixture("ingest_pipeline", "q_id, rank"),
     fixture("ingest_pipeline_policy", "q_id, rank"),
+    // the routine-day no-fire twin: frozen-quantizer appends are
+    // per-vector and bit-stable, so the un-rebuilt serving is its own
+    // committed fixture (the in-gate require(!rebuilt) carries the
+    // policy semantics; the fixture carries the serving)
+    fixture("ingest_pipeline_nofire", "q_id, rank"),
     // rebuilt-serving ≡ fresh-auto-built serving — the rebuild policy's
     // oracle IS the committed auto-geometry fixture
     "ann_rebuild_policy" ->

@@ -22,6 +22,44 @@ import graft.GraftCaches.Persistable
   * user's own persisted frames alone. `Bench` and `Verify` do this per
   * query.
   */
+/** Shared detector→target arithmetic for the standing structures'
+  * compaction policies ([[Dedup.compactDedupIndexIfFragmented]],
+  * [[Similarity.compactIvfPqIndexIfFragmented]],
+  * [[Dedup.compactEmbIndexIfFragmented]]). Two arms:
+  *
+  *  - WIDTH: `width > bound` — appends concatenate partitions, so k
+  *    appended batches cost k× the tasks per probe. Target
+  *    min(natural, bound): landing INSIDE the bound is what makes the
+  *    trigger a fixed point (compacting to natural when a caller pins
+  *    `bound < natural` would re-fire forever at constant width).
+  *  - EMPTINESS (opt-in, `minRowsPerPartition > 0`): removes shed rows
+  *    at constant width. Target derives from the ROW COUNT
+  *    (clamp(rows/minRowsPerPartition, 1, min(natural, bound))) — a
+  *    catalog below the floor even at natural width previously
+  *    re-compacted to the same width on every trigger (per tombstone
+  *    batch in the retention stream) with no convergence.
+  *
+  * Returns Some(target) only when an arm fires AND the target differs
+  * from the current width — the fixed-point guard that makes repeated
+  * policy evaluation idempotent. `rows` is by-name: the width arm never
+  * runs the count job. */
+private[graft] object CompactionPolicy {
+  def target(width: Int, natural: Int, bound: Int, rows: => Long,
+      minRowsPerPartition: Long): Option[Int] = {
+    require(bound >= 1, s"compaction width bound must be ≥ 1, got $bound")
+    val cap = math.min(natural, bound)
+    if (width > bound) Some(cap).filter(_ != width)
+    else if (minRowsPerPartition <= 0L) None
+    else {
+      val nRows = rows
+      if (nRows >= width.toLong * minRowsPerPartition) None
+      else Some(math.max(1L,
+        math.min(cap.toLong, nRows / minRowsPerPartition)).toInt)
+        .filter(_ != width)
+    }
+  }
+}
+
 object Dedup {
 
   // ------------------------------------------------------------ exact
@@ -503,13 +541,13 @@ object Dedup {
     val natural =
       index.staged.sparkSession.sessionState.conf.numShufflePartitions
     val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
-    require(bound >= 1, s"compaction width bound must be ≥ 1, got $bound")
     val width = Seq(index.staged, index.bands)
       .map(_.rdd.getNumPartitions).max
-    lazy val sparse = minRowsPerPartition > 0L &&
-      index.bands.count() < width.toLong * minRowsPerPartition
-    if (width <= bound && !sparse) (index, false)
-    else (compactDedupIndex(index), true)
+    CompactionPolicy.target(width, natural, bound,
+        index.bands.count(), minRowsPerPartition) match {
+      case Some(t) => (compactDedupIndex(index, Some(t)), true)
+      case None => (index, false)
+    }
   }
 
   /** REBUILD POLICY for the standing catalog — the dedup mirror of
@@ -1212,6 +1250,235 @@ object Dedup {
         struct(lit("total_candidate_pairs").as("metric"), lit(-1L).as("key"),
           col("tot").as("value")))).as("r"))
       .select(col("r.metric"), col("r.key"), col("r.value"))
+  }
+
+  // ------------------------------------------- emb catalog lifecycle
+  /** PERSIST the standing embedding catalog to parquet — the third
+    * standing structure gets the same cross-session artifact lifecycle
+    * as [[saveDedupIndex]] / [[Similarity.saveIvfPqIndex]]: the offline
+    * build job writes once; ingest jobs [[loadEmbIndex]] without
+    * re-bucketing the corpus. One member directory (the per-vector
+    * `(vec_id, v, bucket)` rows) plus a one-row meta table. Loaded
+    * serving is EXACTLY in-memory serving: doubles and the bucket long
+    * are storage-exact, and every downstream join/aggregate is
+    * partition-order-independent — the `embdedup_index_roundtrip` gate
+    * pins loaded-incremental ≡ the committed restriction oracle. */
+  def saveEmbIndex(index: EmbIndex, path: String): Unit = {
+    index.vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    index.vecs.sparkSession.range(1)
+      .select(lit(index.nPlanes).as("n_planes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveEmbIndex]]'d catalog for serving: members persist in
+    * the artifact tier and materialize here, so ingest batches plan no
+    * corpus re-bucketing and no repeated parquet scans. */
+  def loadEmbIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): EmbIndex = graft.GraftCaches.inArtifactScope {
+    graft.plans.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val vecs = graft.GraftCaches.persistedArtifact(
+      spark.read.parquet(s"$path/vecs"))
+    vecs.count()
+    EmbIndex(vecs, meta.getAs[Int]("n_planes"))
+  }
+
+  /** SCALE-ADAPTIVE PLANE COUNT — [[autoBanding]]'s analogue for the
+    * hyperplane bucket space: the plane count fixes the number of cells
+    * (2^p), so a catalog that keeps its build-time planes while the
+    * corpus grows drifts toward ever-hotter buckets (expected bucket
+    * size n/2^p, candidate mass Σ n_b²/2 growing quadratically in the
+    * drift). Derivation: the smallest p with `targetBucket`·2^p ≥ n —
+    * expected bucket occupancy stays ≤ targetBucket. Pure integer
+    * arithmetic (no float log whose 2^k boundary cases round wrong).
+    * Floor 2 keeps tiny corpora on non-degenerate bucketing; cap 32
+    * bounds the bucket long far below its sign bit. */
+  def autoPlanes(corpusCount: Long, targetBucket: Long = 32L): Int = {
+    require(targetBucket >= 1L, "need a positive target bucket size")
+    var p = 2
+    while (p < 32 && (targetBucket << p) < corpusCount) p += 1
+    p
+  }
+
+  /** REBUILD POLICY for the embedding catalog — the mirror of
+    * [[rebuildCatalogIfStale]] on the semantic tier, closing the loop
+    * [[autoPlanes]] and [[embIndexHealth]] leave open: nothing decided
+    * when the catalog had outgrown its plane count. Reads the CURRENT
+    * vector count (artifact-cached), derives [[autoPlanes]], and when it
+    * differs re-buckets FROM THE CATALOG'S OWN CACHED VECTORS — one
+    * map-side [[Similarity.hyperplaneBucket]] projection, no corpus
+    * re-read, through the bit-identical codegen expression
+    * [[buildEmbIndex]] uses — so rebuilt serving equals fresh-built
+    * serving at the derived planes exactly (the `embdedup_rebuild_policy`
+    * gate's closed-form oracle). Pass-through returns the index object
+    * UNCHANGED. On `rebuilt = true` the caller rolls generations
+    * ([[releaseEmbIndex]] on the superseded one). */
+  def rebuildEmbIndexIfStale(index: EmbIndex,
+      targetBucket: Long = 32L): (EmbIndex, Boolean) = {
+    val n = index.vecs.count()
+    val p = autoPlanes(n, targetBucket)
+    if (p == index.nPlanes) (index, false)
+    else graft.GraftCaches.inArtifactScope {
+      graft.plans.GraftFunctions.register(index.vecs.sparkSession)
+      val vecs = graft.GraftCaches.persistedArtifact(
+        index.vecs.select(col("vec_id"), col("v"))
+          .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), p)))
+      vecs.count()
+      (EmbIndex(vecs, p), true)
+    }
+  }
+
+  /** COMPACTION POLICY on the embedding catalog — the same two
+    * detector arms as [[compactDedupIndexIfFragmented]] (shared
+    * [[CompactionPolicy]] arithmetic: width from appends, emptiness
+    * from removes; fires only when compaction would actually change the
+    * width, so repeated triggers reach a fixed point). Pair sets are
+    * partition-independent, so the `embdedup_compact_policy` gate pins
+    * policy-fired serving against the incremental restriction oracle. */
+  def compactEmbIndexIfFragmented(index: EmbIndex,
+      maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
+      minRowsPerPartition: Long = 0L): (EmbIndex, Boolean) = {
+    val natural =
+      index.vecs.sparkSession.sessionState.conf.numShufflePartitions
+    val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
+    CompactionPolicy.target(index.vecs.rdd.getNumPartitions, natural, bound,
+        index.vecs.count(), minRowsPerPartition) match {
+      case Some(t) => (compactEmbIndex(index, Some(t)), true)
+      case None => (index, false)
+    }
+  }
+
+  /** Split the embedding catalog at a bucket-size bound — the ACTUATOR
+    * for [[embIndexHealth]]'s hot-bucket detector (the
+    * [[quarantineBuckets]] verb on the semantic tier). Returns
+    * `(coldVecs, hotVecs)`: members of ≤-bound buckets (safe for the
+    * within-bucket self-join) and members of over-bound buckets. One
+    * partial-aggregated pass over the bucket column; the hot-bucket
+    * list is over-bound-only (tiny) and AQE broadcasts both splits'
+    * joins against it. */
+  def quarantineEmbBuckets(index: EmbIndex,
+      maxBucket: Long): (DataFrame, DataFrame) = {
+    require(maxBucket >= 1, "a bucket bound below 1 quarantines everything")
+    val hotBuckets = index.vecs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select(col("bucket")).persistTracked()
+    val cold = index.vecs.join(hotBuckets, Seq("bucket"), "left_anti")
+    val hot = index.vecs.join(hotBuckets, Seq("bucket"), "left_semi")
+    (cold, hot)
+  }
+
+  /** Within-bucket exact-cosine pairs — the verification half shared by
+    * the plain and quarantined catalog-pair forms (bit-identical cosine
+    * arithmetic, so a pair carries one value on either path). */
+  private def bucketSelfJoinPairs(vecs: DataFrame,
+      threshold: Double): DataFrame = {
+    val v = vecs.persistTracked()
+    v.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
+      .join(v.select(col("bucket"), col("vec_id").as("id2"),
+        col("v").as("v2")), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** CATALOG NEAR-DUP PAIRS WITH HOT-BUCKET QUARANTINE — the mitigation
+    * for the hyperplane-LSH failure mode at web scale (the
+    * [[quarantinedPairs]] verb on the semantic tier): boilerplate
+    * embeddings collapse into one bucket, and a bucket of n vectors
+    * costs n·(n−1)/2 exact cosines in the self-join. Buckets over
+    * `maxBucket` leave the plain self-join; their members re-route
+    * through a PIGEONHOLE CELL JOIN that is LOSSLESS for the
+    * same-bucket-pairs contract: for unit-normalized vectors,
+    * cos(a,b) ≥ t ⟺ ‖â−b̂‖² ≤ 2−2t ⟹ every coordinate differs by at
+    * most w = √(2−2t), so cells of width w along ONE coordinate admit
+    * only same-or-adjacent-cell candidates. The coordinate is chosen
+    * PER BUCKET as the max-variance normalized dimension (one
+    * partial-aggregated pass over the hot members — any choice is
+    * lossless; the max-variance one prunes most), so the result is
+    * EXACTLY the unquarantined within-bucket pair set at any corpus —
+    * a stronger equivalence than the dedup tier's (`embdedup_quarantine`
+    * gate's restriction oracle). Pruning sharpens with the threshold
+    * (w = 0.32 at t = 0.95, 0.14 at t = 0.99 — semantic-dedup operating
+    * points); at loose thresholds the cells widen toward no-op, never
+    * below the plain join's recall. Requires t ∈ (0, 1): the pigeonhole
+    * bound needs a positive w below the coordinate range. */
+  def embeddingNearDupsQuarantined(index: EmbIndex, threshold: Double,
+      maxBucket: Long): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "the cell pigeonhole needs 0 < threshold < 1")
+    graft.plans.GraftFunctions.register(index.vecs.sparkSession)
+    val (cold, hot) = quarantineEmbBuckets(index, maxBucket)
+    val coldPairs = bucketSelfJoinPairs(cold, threshold)
+    val w = math.sqrt(2.0 - 2.0 * threshold)
+    // unit-normalized coordinates; ε-guard keeps a degenerate zero
+    // vector in cell 0 (its cosine is 0 under the suite's guard — below
+    // any positive threshold, so its placement never loses a pair)
+    val withNorm = hot.withColumn("__norm", greatest(
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)),
+      lit(java.lang.Double.MIN_NORMAL)))
+    // per-bucket max-variance dimension: hot members only, skinny
+    // (bucket, dim, x̂) rows, partial-aggregated; ties break to the
+    // smallest dim via the struct order (inconsequential — every dim
+    // yields a lossless filter; only pruning quality varies)
+    val bestDim = withNorm
+      .select(col("bucket"), col("__norm"), posexplode(col("v")))
+      .select(col("bucket"), col("pos").as("dim"),
+        (col("col") / col("__norm")).as("xh"))
+      .groupBy(col("bucket"), col("dim"))
+      .agg(var_pop(col("xh")).as("s2"))
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("s2"), (-col("dim")).cast("long").as("nd"))).as("m"))
+      .select(col("bucket"), (-col("m.nd")).cast("int").as("dim"))
+    val cells = withNorm.join(broadcast(bestDim), Seq("bucket"))
+      .withColumn("cell", floor(
+        element_at(col("v"), col("dim") + 1) / col("__norm") / lit(w))
+        .cast("long"))
+      .select(col("bucket"), col("cell"), col("vec_id"), col("v"))
+      .persistTracked()
+    // probe side duplicates each vector at {cell, cell+1} so the join is
+    // a pure EQUI-join on (bucket, jcell) — a |Δcell| ≤ 1 predicate in
+    // the join condition would degrade to a bucket-only join with a
+    // post-filter and regenerate the n² pairs the quarantine removes.
+    // Same-cell pairs dedupe by id order; a Δcell = 1 pair surfaces
+    // exactly once (the lower cell's +1 probe against the anchor).
+    val probe = cells.select(col("bucket"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("cell").as("cell1"),
+      explode(array(col("cell"), col("cell") + 1)).as("jcell"))
+    val anchor = cells.select(col("bucket"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("cell").as("jcell"))
+    val hotPairs = probe.join(anchor, Seq("bucket", "jcell"))
+      .filter(col("cell1") =!= col("jcell") || col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        round(col("cosine"), 6).as("cosine"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
+  /** The budget-derived bucket bound for the embedding catalog —
+    * [[quarantineBudgetBound]]'s arithmetic over the single hyperplane
+    * bucket space: one partial-aggregated bucket-size histogram
+    * (cardinality = distinct sizes), strict cumulative-prefix scan by
+    * ascending size on the driver. */
+  def embQuarantineBudgetBound(index: EmbIndex,
+      maxCandidatePairs: Long): Long = {
+    require(maxCandidatePairs >= 0L)
+    val hist = index.vecs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
+      .orderBy(col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var budget = maxCandidatePairs
+    var bound = 1L
+    var fits = true
+    for ((n, buckets) <- hist if fits) {
+      val cost = buckets * (n * (n - 1) / 2)
+      if (cost <= budget) { budget -= cost; bound = n }
+      else fits = false
+    }
+    bound
   }
 
   /** PAGERANK over an undirected pair graph (`id1`,`id2` — e.g. the

@@ -899,13 +899,15 @@ object Similarity {
     val natural =
       index.corpus.sparkSession.sessionState.conf.numShufflePartitions
     val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
-    require(bound >= 1, s"compaction width bound must be ≥ 1, got $bound")
     val width = Seq(index.corpus, index.assigned, index.codes)
       .map(_.rdd.getNumPartitions).max
-    lazy val sparse = minRowsPerPartition > 0L &&
-      index.corpus.count() < width.toLong * minRowsPerPartition
-    if (width <= bound && !sparse) (index, false)
-    else (compactIvfPqIndex(index), true)
+    // shared convergent target arithmetic — see [[Dedup.CompactionPolicy]]:
+    // width-arm lands inside the bound; emptiness-arm sizes from rows
+    CompactionPolicy.target(width, natural, bound,
+        index.corpus.count(), minRowsPerPartition) match {
+      case Some(t) => (compactIvfPqIndex(index, Some(t)), true)
+      case None => (index, false)
+    }
   }
 
   /** METADATA-FILTERED ANN over a built index — the vector-DB "filtered

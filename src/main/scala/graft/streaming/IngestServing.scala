@@ -122,14 +122,28 @@ object IngestServing {
       m: Int = 16, ksub: Int = 32, coarseIters: Int = 1, pqIters: Int = 1,
       geometryFactor: Double = 1.3,
       compactMaxPartitions: Option[Int] = None,
-      compactWidthFactor: Double = 4.0): StreamingQuery = {
+      compactWidthFactor: Double = 4.0,
+      embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
+      embTargetBucket: Long = 32L): StreamingQuery = {
     val writer = spark.readStream
       .schema(ingestSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(batchDir)
       .writeStream
     checkpointLocation.fold(writer)(p => writer.option("checkpointLocation", p))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // SERIALIZED ROLLS: the batch body synchronizes on `dedupRef` — the
+      // one object this stream and a concurrently-running
+      // [[RetentionServing]] stream share by construction (one standing
+      // state, two front doors). Without it, two in-flight foreachBatch
+      // bodies interleave get()/set() and the LAST set wins: a lost
+      // retention roll silently resurrects right-to-be-forgotten docs in
+      // the served state, the loser's generation frames release twice,
+      // and each body's end-of-batch `GraftCaches.unpersistAll()` yanks
+      // the other's in-flight working frames. Holding the lock for the
+      // whole body makes roll + release + cleanup one atomic unit.
+      // CONTRACT: concurrent streams over the same standing state must be
+      // constructed with the SAME dedupRef instance (the lock identity).
+      .foreachBatch { (batch: DataFrame, _: Long) => dedupRef.synchronized {
         val dedupIx = dedupRef.get()
         val docs = batch.select(col("doc_id"), col("text"))
         // pairs feed two consumers (the sink and the drop policy):
@@ -180,9 +194,32 @@ object IngestServing {
         annOpRef.set((served, np))
         Similarity.releaseIndexData(annIx)
         if (rebuilt || (served ne grownAnn)) Similarity.releaseIndexData(grownAnn)
+        // roll the EMBEDDING catalog on the whole batch (seen-corpus
+        // semantics, like the dedup catalog — semantic near-dup checks
+        // must see everything that has arrived), then the plane policy
+        // ([[Dedup.rebuildEmbIndexIfStale]]: a grown corpus derives more
+        // hyperplanes; re-bucketing is one map-side projection over the
+        // catalog's own cached vectors) and the compaction policy when
+        // it passes through — all three standing structures roll per
+        // micro-batch.
+        embRef.foreach { ref =>
+          val embIx = ref.get()
+          val grownEmb = Dedup.embIndexAppend(embIx,
+            batch.select(col("doc_id").as("vec_id"), col("embedding")),
+            col("vec_id"), col("embedding"))
+          val (rebuiltEmb, rebucketed) =
+            Dedup.rebuildEmbIndexIfStale(grownEmb, embTargetBucket)
+          val servedEmb =
+            if (rebucketed) rebuiltEmb
+            else Dedup.compactEmbIndexIfFragmented(grownEmb,
+              compactMaxPartitions, compactWidthFactor)._1
+          ref.set(servedEmb)
+          Dedup.releaseEmbIndex(embIx)
+          if (servedEmb ne grownEmb) Dedup.releaseEmbIndex(grownEmb)
+        }
         graft.GraftCaches.unpersistAll()
         ()
-      }
+      } }
       .start()
   }
 }

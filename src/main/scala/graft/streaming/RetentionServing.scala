@@ -78,14 +78,22 @@ object RetentionServing {
       geometryFactor: Double = 1.3,
       compactMaxPartitions: Option[Int] = None,
       compactWidthFactor: Double = 4.0,
-      compactMinRowsPerPartition: Long = 0L): StreamingQuery = {
+      compactMinRowsPerPartition: Long = 0L,
+      embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
+      embTargetBucket: Long = 32L): StreamingQuery = {
     val writer = spark.readStream
       .schema(tombstoneSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(tombstoneDir)
       .writeStream
     checkpointLocation.fold(writer)(p => writer.option("checkpointLocation", p))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // SERIALIZED ROLLS on the shared `dedupRef` — see the
+      // [[IngestServing.startIngestStream]] block comment: an ingest and
+      // a retention stream over one standing state must not interleave
+      // get()/set() (a lost retention roll resurrects removed docs) nor
+      // run end-of-batch cache cleanup under the other's in-flight batch.
+      // Same contract: concurrent streams share the dedupRef INSTANCE.
+      .foreachBatch { (batch: DataFrame, _: Long) => dedupRef.synchronized {
         val ids = batch.select(col("doc_id"))
         // dedup catalog: remove → banding policy → compaction policy
         val dedupIx = dedupRef.get()
@@ -118,9 +126,28 @@ object RetentionServing {
         annOpRef.set((servedA, np))
         Similarity.releaseIndexData(annIx)
         if (servedA ne shrunkA) Similarity.releaseIndexData(shrunkA)
+        // embedding catalog: remove → plane policy → compaction policy —
+        // the third standing structure leaves on the same tombstones
+        // (vec_id = doc_id, the ingest-side convention); removes ignore
+        // absent ids, so replay idempotence holds here too
+        embRef.foreach { ref =>
+          val embIx = ref.get()
+          val shrunkE = Dedup.embIndexRemove(embIx,
+            ids.select(col("doc_id").as("vec_id")))
+          val (rebuiltE, rebucketed) =
+            Dedup.rebuildEmbIndexIfStale(shrunkE, embTargetBucket)
+          val servedE =
+            if (rebucketed) rebuiltE
+            else Dedup.compactEmbIndexIfFragmented(shrunkE,
+              compactMaxPartitions, compactWidthFactor,
+              compactMinRowsPerPartition)._1
+          ref.set(servedE)
+          Dedup.releaseEmbIndex(embIx)
+          if (servedE ne shrunkE) Dedup.releaseEmbIndex(shrunkE)
+        }
         graft.GraftCaches.unpersistAll()
         ()
-      }
+      } }
       .start()
   }
 }

@@ -837,4 +837,132 @@ class DedupTextSpec extends AnyFunSuite {
     graft.GraftCaches.unpersistAll()
     graft.GraftCaches.releaseArtifacts()
   }
+
+  test("embedding catalog lifecycle: save/load roundtrip, plane rebuild policy, compaction policy convergence, hot-bucket quarantine") {
+    def v(seed: Int) = Seq.tabulate(8)(d =>
+      (((seed * 31 + d * 7) % 17).toDouble - 8.0) / 8.0)
+    val rows = Seq(
+      (0L, v(1)), (1L, v(2)), (2L, v(3)), (3L, v(4)), (4L, v(5)),
+      (5L, v(1)), (6L, v(3)), (7L, v(6)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val standing = emb.filter(col("vec_id") < 5)
+    val batch = emb.filter(col("vec_id") >= 5)
+    val index = Dedup.buildEmbIndex(standing, col("vec_id"), col("embedding"),
+      nPlanes = 4)
+    def served(ix: Dedup.EmbIndex) =
+      Dedup.incrementalEmbeddingNearDups(ix, batch,
+          col("vec_id"), col("embedding"), threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = served(index)
+    assert(base.contains((0L, 5L)) && base.contains((2L, 6L)))
+    // SAVE/LOAD roundtrip: loaded serving ≡ built serving (doubles and
+    // the bucket long are storage-exact)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_rt").toFile
+    try {
+      Dedup.saveEmbIndex(index, dir.getAbsolutePath)
+      val loaded = Dedup.loadEmbIndex(spark, dir.getAbsolutePath)
+      assert(loaded.nPlanes == 4 && served(loaded) == base,
+        "loaded catalog must serve the built catalog's pair set")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+    // autoPlanes: exact integer derivation — smallest p with target·2^p ≥ n
+    assert(Dedup.autoPlanes(0L) == 2 && Dedup.autoPlanes(128L) == 2,
+      "floor at 2 planes")
+    assert(Dedup.autoPlanes(129L) == 3, "one past the 2-plane capacity")
+    assert(Dedup.autoPlanes(400L) == 4, "the sf0.01 standing catalog")
+    assert(Dedup.autoPlanes(1600L) == 6, "the sf0.1 standing catalog")
+    assert(Dedup.autoPlanes(Long.MaxValue / 4) == 32, "cap at 32 planes")
+    // REBUILD policy: right-sized passes through as the same reference;
+    // stale planes fire and the rebuilt catalog ≡ a fresh build at the
+    // derived count (bit-identical bucketing expression)
+    val rightSized = Dedup.buildEmbIndex(standing,
+      col("vec_id"), col("embedding"), nPlanes = Dedup.autoPlanes(5L))
+    val (sameIx, fired0) = Dedup.rebuildEmbIndexIfStale(rightSized)
+    assert(!fired0 && (sameIx eq rightSized),
+      "a right-sized catalog must pass through untouched")
+    val legacy = Dedup.buildEmbIndex(standing,
+      col("vec_id"), col("embedding"), nPlanes = 7)
+    val (rebuilt, fired1) = Dedup.rebuildEmbIndexIfStale(legacy)
+    assert(fired1 && rebuilt.nPlanes == 2)
+    val fresh2 = Dedup.buildEmbIndex(standing,
+      col("vec_id"), col("embedding"), nPlanes = 2)
+    assert(rebuilt.vecs.collect().map(_.toSeq).toSet ==
+      fresh2.vecs.collect().map(_.toSeq).toSet &&
+      served(rebuilt) == served(fresh2),
+      "rebuilt catalog must equal the fresh build at the derived planes")
+    // COMPACTION policy: width arm lands inside the bound; emptiness arm
+    // sizes from rows; both reach a fixed point
+    val w0 = index.vecs.rdd.getNumPartitions
+    val grown = Dedup.embIndexAppend(index, batch,
+      col("vec_id"), col("embedding"))
+    assert(grown.vecs.rdd.getNumPartitions > w0,
+      "append must have widened the member frame")
+    val probe = Seq((100L, v(3))).toDF("vec_id", "embedding")
+    def servedP(ix: Dedup.EmbIndex) =
+      Dedup.incrementalEmbeddingNearDups(ix, probe,
+          col("vec_id"), col("embedding"), threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (cp, f1) = Dedup.compactEmbIndexIfFragmented(grown,
+      maxPartitions = Some(w0))
+    val cap = math.min(spark.sessionState.conf.numShufflePartitions, w0)
+    assert(f1 && cp.vecs.rdd.getNumPartitions == cap &&
+      servedP(cp) == servedP(grown) && servedP(cp).contains((2L, 100L)),
+      "width arm must fire, land inside the bound, and preserve serving")
+    val (_, refire1) = Dedup.compactEmbIndexIfFragmented(cp,
+      maxPartitions = Some(w0))
+    assert(!refire1, "width arm must reach a fixed point")
+    val (lean, f2) = Dedup.compactEmbIndexIfFragmented(cp,
+      maxPartitions = Some(100), minRowsPerPartition = 5L)
+    assert(f2 && lean.vecs.rdd.getNumPartitions == 1,
+      "emptiness target derives from rows: clamp(8/5, 1, 4) = 1")
+    val (_, refire2) = Dedup.compactEmbIndexIfFragmented(lean,
+      maxPartitions = Some(100), minRowsPerPartition = 5L)
+    assert(!refire2, "emptiness arm must reach a fixed point")
+    // QUARANTINE: with every multi-member bucket quarantined (bound 1),
+    // the cell-join fallback must reproduce the plain within-bucket pair
+    // set exactly — the lossless contract
+    val all8 = Dedup.buildEmbIndex(emb, col("vec_id"), col("embedding"),
+      nPlanes = 2)
+    val (_, hot) = Dedup.quarantineEmbBuckets(all8, maxBucket = 1L)
+    assert(hot.count() >= 2, "bound 1 must quarantine the duplicate buckets")
+    def triple(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = triple(Dedup.embeddingNearDups(emb,
+      col("vec_id"), col("embedding"), nPlanes = 2, threshold = 0.95))
+    val quar = triple(Dedup.embeddingNearDupsQuarantined(all8,
+      threshold = 0.95, maxBucket = 1L))
+    assert(plain.nonEmpty && quar == plain,
+      s"quarantined pairs diverged: ${quar -- plain} / ${plain -- quar}")
+    // cell-boundary coverage: three unit 2-d vectors whose max-variance
+    // coordinate straddles a cell edge at w = √(2−2·0.95) ≈ 0.3162
+    // (sin 0.30 = 0.2955 < w < sin 0.36 = 0.3523) — the Δcell = 1 probe
+    // must surface the straddling pairs, the same-cell path the third
+    val thetas = Seq(10L -> 0.30, 11L -> 0.34, 12L -> 0.36)
+    val straddle = thetas.map { case (id, t) =>
+      (id, Seq(math.sin(t), math.cos(t))) }.toDF("vec_id", "embedding")
+    val sIx = Dedup.buildEmbIndex(straddle, col("vec_id"), col("embedding"),
+      nPlanes = 2)
+    val sPlain = triple(Dedup.embeddingNearDups(straddle,
+      col("vec_id"), col("embedding"), nPlanes = 2, threshold = 0.95))
+    assert(sPlain.map(p => (p._1, p._2)) ==
+      Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"straddle family must share a bucket and pass the threshold: $sPlain")
+    val sQuar = triple(Dedup.embeddingNearDupsQuarantined(sIx,
+      threshold = 0.95, maxBucket = 1L))
+    assert(sQuar == sPlain,
+      s"cell-boundary pairs lost: ${sPlain -- sQuar}")
+    // budget bound: 0 quarantines everything (bound 1); an ample budget
+    // admits the hottest bucket
+    assert(Dedup.embQuarantineBudgetBound(all8, 0L) == 1L)
+    val hottest = Dedup.embIndexHealth(all8).collect()
+      .collectFirst { case r if r.getString(0) == "hottest_bucket" =>
+        r.getLong(2) }.get
+    assert(Dedup.embQuarantineBudgetBound(all8, Long.MaxValue / 4) == hottest)
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts()
+  }
 }

@@ -903,4 +903,85 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("all three standing structures roll in the composed streams: embedding catalog appends, re-buckets on the plane policy, shrinks on tombstones") {
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.{IngestServing, RetentionServing}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+    val ingest = docs.join(emb.withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+    val corpus = ingest.filter(col("doc_id") % 5 =!= 0)
+    val dedup0 = Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val ann0 = Similarity.buildIvfPqIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    // LEGACY 2-plane embedding catalog (a bucketing for a ≤128-vector
+    // era; the standing 400 already derive 4) — the plane policy must
+    // fire on the first ingest trigger and re-bucket from the catalog's
+    // own cached vectors
+    val emb0 = Dedup.buildEmbIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), nPlanes = 2)
+    val batchDir = Files.createTempDirectory("threeway_in").toString
+    val tsDir = Files.createTempDirectory("threeway_ts").toString
+    val pairsDir = Files.createTempDirectory("threeway_out").toString + "/pairs"
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+    val embRef = new java.util.concurrent.atomic.AtomicReference(emb0)
+    val target = spark.sessionState.conf.numShufflePartitions
+    // BOTH front doors live at once over the same refs — the serialized-
+    // roll contract (batch bodies synchronize on the shared dedupRef)
+    val qi = IngestServing.startIngestStream(spark, batchDir, dedupRef,
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8,
+      compactMaxPartitions = Some(target), embRef = Some(embRef))
+    val qr = RetentionServing.startRetentionStream(spark, tsDir, dedupRef,
+      annOpRef, threshold = 0.5, m = 4, ksub = 8,
+      compactMaxPartitions = Some(target), embRef = Some(embRef))
+    val b1 = ingest.filter(col("doc_id") % 10 === 0)
+    try {
+      b1.coalesce(1).write.mode("append").parquet(batchDir)
+      qi.processAllAvailable()
+      assert(qi.exception.isEmpty, s"ingest stream died: ${qi.exception}")
+      assert(embRef.get().nPlanes == 4,
+        "the plane policy must have fired on the grown seen corpus")
+      // tombstones: standing docs with doc_id % 7 == 0 leave all three
+      corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(tsDir)
+      qr.processAllAvailable()
+      assert(qr.exception.isEmpty, s"retention stream died: ${qr.exception}")
+      // batch truth: the embedding catalog holds (standing ∖ tombstoned)
+      // ∪ batch at the derived 4 planes — per-vector rows make the
+      // rolled state ≡ a fresh build over exactly that corpus
+      val truthIx = Dedup.buildEmbIndex(
+        corpus.filter(col("doc_id") % 7 =!= 0).unionByName(b1)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val rolled = embRef.get()
+      assert(rolled.vecs.collect().map(_.toSeq).toSet ==
+        truthIx.vecs.collect().map(_.toSeq).toSet,
+        "rolled embedding catalog must equal the fresh build over " +
+          "(standing ∖ tombstoned) ∪ batch at the derived planes")
+      // serving equivalence through the incremental verb on a fresh probe
+      val probe = emb.filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id"), col("embedding"))
+      def pairsOf(ix: Dedup.EmbIndex) =
+        Dedup.incrementalEmbeddingNearDups(ix, probe,
+            col("vec_id"), col("embedding"), threshold = 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rolledPairs = pairsOf(rolled)
+      assert(rolledPairs == pairsOf(truthIx),
+        "rolled catalog serving != fresh-build serving")
+      assert(!rolledPairs.exists(p =>
+          (p._1 % 5 != 0 && p._1 % 7 == 0) || (p._2 % 5 != 0 && p._2 % 7 == 0)),
+        "no tombstoned vector may appear in the served pairs")
+    } finally {
+      qi.stop(); qr.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }

@@ -41,6 +41,22 @@ for q in sorted(b30['queries']):
     queries[q] = row
 
 total = sum(sp['min'] for sp in b30['spread'].values())
+# every derived statistic in the headline is COMPUTED from the loaded
+# records (a regenerated file must not carry stale hardcoded claims):
+# sf0.1 total over the common query set, cost ratio, aggregate exponent,
+# and the named exponent callouts for the fixed-vs-auto ANN contrast.
+common = [q for q in b30['spread'] if b01.get(q, {}).get('min')]
+sf01_total = sum(b01[q]['min'] for q in common)
+x30_common = sum(b30['spread'][q]['min'] for q in common)
+cost_ratio = x30_common / sf01_total if sf01_total else float('nan')
+agg_exp = math.log10(max(cost_ratio, 0.01)) / DECADES
+
+
+def exp_of(q):
+    e = queries.get(q, {}).get('exponent_x30')
+    return ('%s %.2f' % (q, e)) if e is not None else ('%s n/a' % q)
+
+
 out = {
  'what': ('Full-suite x30 scale record: EVERY gated query on the ScaleGen x30 derived dataset, bench '
           'protocol identical to BENCH (min-of-2, third sample on >2x disagreement, noop sink, blocking '
@@ -48,17 +64,21 @@ out = {
           'exponent_x30 = log10(t_x30/t_sf0.1)/log10(30), so 1.0 = linear PER DECADE and rows compare '
           'directly with BENCH_x10.json exponents. Queries under ~0.3s at sf0.1 sit on fixed job overhead '
           'and their exponents are noise, not scaling.'),
- 'headline': ('%d queries, %.1f s min-sum at x30 vs the sf0.1 record (132.7 s) - 6.9x cost for 30x data, '
-              'aggregate per-decade exponent 0.57. Worst per-decade exponent on a >0.3s base: %s at %.2f. '
-              'The super-linear tail is EXACTLY the deliberately fixed-geometry ANN gates (nCentroids=16 '
-              'pinned while the query set grows with the corpus - per-query scan cost grows linearly AND '
-              '|Q| grows linearly, so up to 2.0 is the naive ceiling): ann_pq_topk 1.41, ann_ivfpq_rerank_p8 '
-              '1.35, ann_ivfpq_topk 1.17. Their scale-path counterparts hold at or near the 1.0 that |Q| '
-              'growth alone dictates: ann_auto_geometry 0.74, ann_auto_rerank 1.07, ingest_pipeline 0.79 - '
-              'the same split BENCH_sf1.json and BENCH_x10.json document, now confirmed over 1.5 decades '
-              'end-to-end. Every non-ANN family is sub-linear per decade (worst: dup_windows/text families '
-              '~0.7, TPC-H joins/aggregates 0.3-0.6, dedup tiers <=0.65).') % (
-               len(queries), total, worst[0], worst[1]),
+ 'headline': ('%d queries, %.1f s min-sum at x30 vs the sf0.1 record (%.1f s over the %d common queries) '
+              '- %.1fx cost for 30x data, aggregate per-decade exponent %.2f. Worst per-decade exponent '
+              'on a >0.3s base: %s at %.2f. The super-linear tail is the deliberately fixed-geometry ANN '
+              'contrast gates (nCentroids=16 pinned while the query set grows with the corpus - per-query '
+              'scan cost grows linearly AND |Q| grows linearly, so up to 2.0 is the naive ceiling): %s, '
+              '%s, %s. Their scale-path counterparts hold at or near the 1.0 that |Q| growth alone '
+              'dictates: %s, %s, %s.') % (
+               len(queries), total, sf01_total, len(common), cost_ratio,
+               agg_exp, worst[0], worst[1], exp_of('ann_pq_topk'),
+               exp_of('ann_ivfpq_rerank_p8'), exp_of('ann_ivfpq_topk'),
+               exp_of('ann_auto_geometry'), exp_of('ann_auto_rerank'),
+               exp_of('ingest_pipeline')),
+ 'sf01_total_common_sec': round(sf01_total, 1),
+ 'cost_ratio_x30': round(cost_ratio, 2),
+ 'aggregate_exponent_per_decade': round(agg_exp, 2),
  'setup_sec': {k: round(v, 1) for k, v in b30['setup'].items()},
  'dataset': 'target/testdata-sf3 (ScaleGen x30 of /root/testdata/sf0.1; lexically-disjoint document copies, perturbed embedding copies)',
  'total_min_sum_sec': round(total, 1),
