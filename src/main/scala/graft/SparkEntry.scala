@@ -170,6 +170,15 @@ object SparkEntry {
       GraftCaches.unpersistAll(blocking = true)
       ()
     }),
+    // the warm-rebuild gate's standing index (auto geometry over the 50%
+    // split) — the ann_warm_rebuild line then measures append + warm
+    // fire-day + serve, the drift-day shape
+    "ann_warm_base_build" -> ((s: SparkSession, dir: String) => {
+      Similarity.ivfPqAutoIndexFor(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 1))
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
     // standing dedup index over the 80% corpus split — the
     // minhash_incremental line then measures batch staging + bucket joins
     // only, the daily-ingest shape
@@ -2186,6 +2195,42 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // WARM-START REBUILD — the fire-day cost fix for the policy above:
+    // the cold rebuild re-trains quantizers and re-codes EVERY vector;
+    // Similarity.ivfPqRebuildWarmStart keeps the surviving centroids and
+    // their lists untouched, SPLITS only the (ncWant − ncHave) hottest
+    // lists (deterministic 2-seed + one confined Lloyd step), and
+    // re-assigns/re-codes only those members through the FROZEN codebook
+    // — moved-members-sized fire-day work instead of corpus-sized. The
+    // standing index here is auto-geometry over the 50% split (nc =
+    // √250 = 16 at sf0.01; setup `ann_warm_base_build`); the other half
+    // appends, the derived nc rises to 22 ≥ 1.3×16, and the warm path
+    // must run (require). Structural invariants are self-derived and
+    // scale-independent; serving is fixture-gated (frozen-quantizer
+    // coding is per-vector and bit-stable) and the warm tier's measured
+    // recall/MRR/nDCG ride ann_operating_report beside the cold tiers'.
+    "ann_warm_rebuild" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (base, _) = Similarity.ivfPqAutoIndexFor(
+        emb.filter(col("vec_id") % 2 === 1))
+      val grown = Similarity.ivfPqIndexAppend(base,
+        emb.filter(col("vec_id") % 2 === 0))
+      val (warm, np, fired, warmPath) = Similarity.ivfPqRebuildWarmStart(grown)
+      require(fired && warmPath, "ann_warm_rebuild gate: the warm path did " +
+        "not run — a silent cold fallback would alias the cold gate")
+      val n = warm.corpus.count()
+      require(warm.centroids.count() == Similarity.autoGeometry(n)._1,
+        "warm rebuild must reach the derived centroid count")
+      require(warm.assigned.count() == n &&
+        warm.assigned.select(col("c_id")).distinct().count() == n &&
+        warm.codes.count() == n * warm.m,
+        "warm rebuild must keep every vector assigned once and coded m×")
+      Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
+          warm, 5, np)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // POLICY-DRIVEN INGEST — the adaptive front door, composing the
     // round-9 policies in one query: the batch dedups against the
     // standing catalog through the QUARANTINED incremental path (hot
@@ -2348,7 +2393,7 @@ object SparkEntry {
       val perMethod =
         Seq("ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
             "ann_ivfpq_rerank", "ann_ivf_topk_p8", "ann_ivfpq_rerank_p8",
-            "ann_auto_geometry", "ann_auto_rerank")
+            "ann_auto_geometry", "ann_auto_rerank", "ann_warm_rebuild")
           .map { name =>
             s.read.parquet(s"$fixturesDir/$name.parquet")
               .select(lit(name).as("method"), col("q_id"), col("rank"), col("c_id"))
@@ -4965,6 +5010,11 @@ object SparkEntry {
     // committed fixture (the in-gate require(!rebuilt) carries the
     // policy semantics; the fixture carries the serving)
     fixture("ingest_pipeline_nofire", "q_id, rank"),
+    // warm fire-day serving: deterministic splits (hash-seeded, confined
+    // Lloyd) + frozen-codebook coding are bit-stable; the in-gate
+    // requires carry the warm/structural semantics, the fixture the
+    // serving, and ann_operating_report the measured recall parity
+    fixture("ann_warm_rebuild", "q_id, rank"),
     // rebuilt-serving ≡ fresh-auto-built serving — the rebuild policy's
     // oracle IS the committed auto-geometry fixture
     "ann_rebuild_policy" ->
@@ -5078,7 +5128,9 @@ object SparkEntry {
         |  UNION ALL SELECT 'ann_auto_geometry', q_id, rank, c_id
         |    FROM read_parquet('$fixturesDir/ann_auto_geometry.parquet')
         |  UNION ALL SELECT 'ann_auto_rerank', q_id, rank, c_id
-        |    FROM read_parquet('$fixturesDir/ann_auto_rerank.parquet')),
+        |    FROM read_parquet('$fixturesDir/ann_auto_rerank.parquet')
+        |  UNION ALL SELECT 'ann_warm_rebuild', q_id, rank, c_id
+        |    FROM read_parquet('$fixturesDir/ann_warm_rebuild.parquet')),
         |perq AS (
         |  SELECT method, a.q_id,
         |    MIN(CASE WHEN e.c_id IS NOT NULL THEN a.rank END) AS first_rel,

@@ -28,7 +28,8 @@ class SetupBoundarySpec extends AnyFunSuite {
     "ann_index_health", "ann_auto_geometry", "ann_auto_rerank",
     "minhash_incremental", "dedup_index_health", "dedup_quarantine",
     "dedup_quarantine_budget", "minhash_incremental_quarantined",
-    "dedup_operating_report", "embdedup_incremental", "embdedup_index_health")
+    "dedup_operating_report", "embdedup_incremental", "embdedup_index_health",
+    "embdedup_quarantine")
 
   test("after the bench setup phase, serving queries build zero artifacts") {
     GraftCaches.unpersistAll(blocking = true)

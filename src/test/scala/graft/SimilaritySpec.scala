@@ -566,4 +566,92 @@ class SimilaritySpec extends AnyFunSuite {
       assert(Similarity.autoRecallOperatingPoint(nc, 5)._1 >= plain)
     }
   }
+
+  test("warm rebuild: grow splits hottest lists keeping untouched codes bit-for-bit; shrink merges coldest; >2x jump falls back cold") {
+    // injective vector map (dim-0 value = i·31 mod 101, gcd(31,101)=1 —
+    // no duplicate vectors, so geometric splits are well-defined)
+    def mkV(i: Long) = Seq.tabulate(8)(d =>
+      (((i * 31 + d * 7) % 101).toDouble - 50.0) / 50.0)
+    val emb = (0L until 100L).map(i => (i, mkV(i))).toDF("vec_id", "embedding")
+    def codeSet(ix: Similarity.IvfPqIndex) = ix.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def assignMap(ix: Similarity.IvfPqIndex) = ix.assigned.collect()
+      .map(r => (r.getLong(r.fieldIndex("c_id")),
+        r.getInt(r.fieldIndex("cent_id")))).toMap
+
+    // NO-FIRE: a right-sized 16-centroid index passes through untouched
+    val right = Similarity.buildIvfPqIndex(emb, nCentroids = 16,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val (same, np0, f0, w0) = Similarity.ivfPqRebuildWarmStart(right,
+      m = 4, ksub = 8)
+    assert(!f0 && !w0 && (same eq right) && np0 == 4)
+
+    // GROW: 12 centroids vs autoGeometry(100) = 16 → fires warm, k = 4
+    // hottest lists split; 8 lists untouched
+    val base = Similarity.buildIvfPqIndex(emb, nCentroids = 12,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val beforeAssign = assignMap(base)
+    val beforeCodes = codeSet(base)
+    val hot4 = base.assigned.groupBy(col("cent_id")).count()
+      .orderBy(col("count").desc, col("cent_id").asc)
+      .limit(4).collect().map(_.getInt(0)).toSet
+    val (grown, np1, f1, w1) = Similarity.ivfPqRebuildWarmStart(base,
+      m = 4, ksub = 8)
+    assert(f1 && w1 && np1 == 4, "geometry drift must fire the warm path")
+    assert(grown.centroids.count() == 16 &&
+      grown.m == base.m && (grown.codebook eq base.codebook) &&
+      (grown.corpus eq base.corpus),
+      "warm grow reuses corpus and codebook, reaches the derived nc")
+    // partition invariants: every vector assigned exactly once, coded m×
+    assert(grown.assigned.count() == 100 &&
+      grown.assigned.select(col("c_id")).distinct().count() == 100)
+    assert(grown.codes.count() == 100L * 4 &&
+      grown.crossTerms.count() == 16L * base.codebook.count())
+    // untouched lists keep members AND codes bit-for-bit; only split-list
+    // members may move, and they land on their old id or a fresh one
+    val afterAssign = assignMap(grown)
+    val afterCodes = codeSet(grown)
+    val untouchedIds = beforeAssign.filter(kv => !hot4(kv._2)).keySet
+    assert(untouchedIds.forall(id => afterAssign(id) == beforeAssign(id)),
+      "untouched-list members must not move")
+    assert(untouchedIds.flatMap(id => beforeCodes.filter(_._1 == id)) ==
+      untouchedIds.flatMap(id => afterCodes.filter(_._1 == id)),
+      "untouched-list codes must be bit-identical")
+    val movedIds = beforeAssign.filter(kv => hot4(kv._2)).keySet
+    assert(movedIds.forall(id =>
+        afterAssign(id) == beforeAssign(id) || afterAssign(id) >= 12),
+      "split members stay on their list id or take a fresh one")
+    // serving shape: full k rows per query against the warm index
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val servedRows = Similarity.ivfPqTopKIndexed(q, grown, 3, nProbe = 4)
+      .collect()
+    assert(servedRows.length == q.count() * 3,
+      "warm index must serve a full top-k per query")
+
+    // SHRINK: 33 centroids vs the derived 16 → coldest 17 lists merge
+    val wide = Similarity.buildIvfPqIndex(emb, nCentroids = 33,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val (shrunk, np2, f2, w2) = Similarity.ivfPqRebuildWarmStart(wide,
+      m = 4, ksub = 8)
+    assert(f2 && w2 && np2 == 4 && shrunk.centroids.count() == 16)
+    assert(shrunk.assigned.count() == 100 &&
+      shrunk.assigned.select(col("c_id")).distinct().count() == 100 &&
+      shrunk.codes.count() == 400 &&
+      // crossTerms = nc × |codebook| (Lloyd may retire unused codewords,
+      // so the codebook can hold fewer than m·ksub rows)
+      shrunk.crossTerms.count() == 16L * wide.codebook.count())
+    // surviving centroid ids are a subset of the wide index's
+    val wideIds = wide.centroids.collect().map(_.getInt(0)).toSet
+    assert(shrunk.centroids.collect().map(_.getInt(0)).toSet.subsetOf(wideIds))
+
+    // >2× jump: 6 centroids vs 16 wanted → cold fallback, still fired
+    val tiny = Similarity.buildIvfPqIndex(emb, nCentroids = 6,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val (cold, _, f3, w3) = Similarity.ivfPqRebuildWarmStart(tiny,
+      m = 4, ksub = 8)
+    assert(f3 && !w3 && cold.centroids.count() == 16,
+      "a >2× geometry jump must fall back to the cold rebuild")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
 }
