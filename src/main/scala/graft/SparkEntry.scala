@@ -2283,6 +2283,34 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // QUARANTINE POLICY on the embedding catalog — the bound DERIVED
+    // from a candidate-pair budget (Dedup.embQuarantineBudgetBound, the
+    // semantic-tier mirror of dedup_quarantine_budget): one
+    // partial-aggregated bucket-size histogram, cumulative-cost scan by
+    // ascending size, the largest bound whose within-bound join cost
+    // fits the budget. The 4000-pair budget sits under the sf0.01
+    // catalog's 5176-pair full join, so the derived bound must exclude
+    // the hottest bucket (the require keeps that honest at every SF —
+    // at larger corpora the budget simply quarantines more). Lossless
+    // cell-join fallback ⇒ the same restriction oracle as
+    // embdedup_quarantine.
+    "embdedup_quarantine_budget" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val bound = Dedup.embQuarantineBudgetBound(index,
+        maxCandidatePairs = 4000L)
+      val hottest = index.vecs.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+      require(bound < hottest,
+        s"embdedup_quarantine_budget gate: the budget must exclude the " +
+          s"hottest bucket (bound=$bound, hottest=$hottest) — the gate " +
+          "would silently test a no-op")
+      Dedup.embeddingNearDupsQuarantined(index, threshold = 0.3,
+          maxBucket = bound)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ---------------------------------------------------------------
     // ROUTINE-DAY TWIN of ingest_pipeline_policy — the NO-FIRE arm,
     // gated: the fire-day line proves the policy rebuilds on drift, but
@@ -4966,6 +4994,13 @@ object SparkEntry {
     // so the pair set ≡ the unquarantined catalog run — the committed
     // full-run fixture under the both-endpoints-standing restriction
     "embdedup_quarantine" ->
+      s"""SELECT id1, id2, cosine
+        |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |WHERE id1 % 5 <> 0 AND id2 % 5 <> 0
+        |ORDER BY id1, id2""".stripMargin,
+    // the budget-derived bound re-routes MORE buckets, never different
+    // pairs (lossless) — same restriction oracle
+    "embdedup_quarantine_budget" ->
       s"""SELECT id1, id2, cosine
         |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
         |WHERE id1 % 5 <> 0 AND id2 % 5 <> 0
