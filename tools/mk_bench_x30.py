@@ -84,5 +84,15 @@ out = {
  'total_min_sum_sec': round(total, 1),
  'queries': queries,
 }
+# surface per-query failures (graft.Bench tags a sample's exception in
+# "errors") — an errored line's timing is the failure path, not scaling
+errs = b30.get('errors') or {}
+if errs:
+    out['errors'] = errs
+    for q in errs:
+        queries.get(q, {}).pop('exponent_x30', None)
+        queries.get(q, {}).pop('ratio_x30', None)
+    out['headline'] += (' ERRORED at x30 (timings are failure-path, '
+                        'excluded from exponents): %s.' % ', '.join(sorted(errs)))
 json.dump(out, open('/root/repo/BENCH_x30.json', 'w'), indent=1, sort_keys=True)
 print('written', len(queries), 'rows; total', round(total, 1), 's; worst', worst)
