@@ -2,11 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line `{"metric":"total","value":...,"queries":
-  * {...},"sf":...}` over `SPARK_GRAFT_SF_DIR`. Each query materializes
-  * through the noop sink (count() would let Catalyst prune the measured
-  * projections). Two passes per query, min taken — single-pass numbers on
-  * a shared VM swing by >10x from CPU steal; min-of-2 reports the engine's
-  * cost, not the neighbours'. Optional args restrict to named queries.
+  * {...},"errors":{...},"sf":...}` over `SPARK_GRAFT_SF_DIR`. Each query
+  * materializes through the noop sink (count() would let Catalyst prune
+  * the measured projections). Two passes per query, min taken —
+  * single-pass numbers on a shared VM swing by >10x from CPU steal;
+  * min-of-2 reports the engine's cost, not the neighbours'. A sample that
+  * THROWS is still timed but tagged in "errors" (name → exception) and its
+  * query never folds into the durable ledger — at scale SFs a failing
+  * require/OOM must not masquerade as a fast valid sample. Optional args
+  * restrict to named queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,16 +52,23 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must be VISIBLE in the record, not a silently
+    // recorded failure-path time: at scale SFs an in-gate require or an
+    // OOM would otherwise masquerade as a (often suspiciously fast) valid
+    // sample and poison the exponent analysis. The sample still reports
+    // its duration, tagged with the error.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries persist shared intermediates (dedup signatures etc.) —
       // drop them so later timings aren't skewed by eviction/GC pressure.
       // BLOCKING: async removal bleeds into the next query's timed region
       GraftCaches.unpersistAll(blocking = true)
-      dt
+      (dt, err)
     }
     // name-sorted execution: Map iteration order reshuffles whenever a
     // query is added, which moves every query's predecessor (and the GC /
@@ -70,11 +81,16 @@ object Bench {
     // regression. So: take a THIRD sample on >2× disagreement, and
     // record {min, max, n} per query — a noisy window is then visible
     // IN the record instead of as an unexplained cross-record delta.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var samples = List(timeOnce(fn), timeOnce(fn))
-      if (samples.max / samples.min > 2.0) samples = timeOnce(fn) :: samples
-      name -> ((samples.min, samples.max, samples.length))
+      if (samples.map(_._1).max / samples.map(_._1).min > 2.0)
+        samples = timeOnce(fn) :: samples
+      val times = samples.map(_._1)
+      (name, (times.min, times.max, times.length),
+        samples.flatMap(_._2).headOption)
     }
+    val results = timed.map { case (name, mmn, _) => name -> mmn }
+    val errors = timed.collect { case (name, _, Some(msg)) => name -> msg }
     val qs = results.map { case (k, (mn, _, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (mn, mx, n)) =>
@@ -82,8 +98,14 @@ object Bench {
       .mkString("{", ",", "}")
     val setup = setupTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errJson = errors.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"setup":$setup,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"setup":$setup,"errors":$errJson,"sf":"$sfDir"}""")
     // Durable per-query timing map (name-sorted, one entry per line) — the
     // driver archives only a truncated tail of stdout, which made round-
     // over-round regressions unattributable without tail archaeology.
@@ -107,8 +129,12 @@ object Bench {
             m.group(1) -> Left[Double, (Double, Double, Int)](m.group(2).toDouble)).toMap
           objs ++ flts
         } else Map.empty
+      // an errored query's samples never enter the ledger — a failure-path
+      // duration folded as a "min" would be indistinguishable from a real
+      // speedup; its prior record survives via the untouched pass-through
+      val errored = errors.map(_._1).toSet
       val mergedQ: Map[String, (Double, Double, Int)] =
-        results.map { case (k, (mn, mx, n)) =>
+        results.filterNot { case (k, _) => errored(k) }.map { case (k, (mn, mx, n)) =>
           prior.get(k) match {
             case Some(Right((pmn, pmx, pn))) => k -> ((math.min(pmn, mn), math.max(pmx, mx), pn + n))
             case _ => k -> ((mn, mx, n))

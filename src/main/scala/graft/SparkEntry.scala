@@ -1818,6 +1818,129 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // RADIUS (range) SEARCH, exact tier — "every corpus vector within
+    // cosine >= t", the retrieval shape for all-candidates near-dup
+    // sweeps where top-k's fixed k truncates dense neighborhoods. No
+    // ranking anywhere in the plan: scan → broadcast-join → threshold
+    // filter, output-sized result. The ONE ANN gate with a true
+    // EXTERNAL oracle — DuckDB recomputes the cosines itself via
+    // list_cosine_similarity over the same parquet (no committed
+    // fixture, no engine-vs-engine comparison); the sf0.01 margins are
+    // measured (nearest pair to the 0.3 threshold: 1.3e-4; nearest
+    // rounded value to a 6-dp half-boundary: 2e-8 — both orders of
+    // magnitude beyond cross-engine double noise).
+    "ann_range_exact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.cosineRange(queries, emb, minCos = 0.3)
+        .orderBy(col("q_id"), col("c_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // RADIUS SEARCH over the BUILT IVF index (the scale tier): probes
+    // restrict each query to its nProbe inverted lists; the threshold
+    // filters exact cosines inside them. Lossless at full probe (the
+    // lists partition the corpus — RangeSearchSpec gates the closed-form
+    // equivalence to cosineRange); at the nProbe=4 operating point the
+    // result is a SUBSET of ann_range_exact with identical cos values,
+    // fixture-gated like the other partial-probe ANN tiers. Serves from
+    // the same (16,1) IVF memo entry ann_ivf_topk uses — zero training
+    // jobs in this line.
+    "ann_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val index = Similarity.ivfIndexFor(emb, nCentroids = 16, lloydIters = 1)
+      Similarity.ivfRangeIndexed(queries, index, minCos = 0.3, nProbe = 4)
+        .orderBy(col("q_id"), col("c_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // RADIUS SEARCH over the COMPRESSED (IVF-PQ) index — the 100 TB
+    // shape: the ADC scan shortlists pairs clearing minCos − slack
+    // without touching raw vectors; only candidates probe the corpus
+    // once for the exact cosine, and the true threshold filters on it.
+    // Quantization can LOSE candidates, never admit false pairs or
+    // drift a score (the verify stage runs the exact scorer) —
+    // SimilaritySpec gates both containments closed-form. Serves from
+    // the same (16,1,16,32,1) memo entry as ann_ivfpq_topk; fixture-
+    // gated at the nProbe=4 operating point like the other partial-
+    // probe tiers.
+    "ann_range_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val index = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      Similarity.ivfPqRangeIndexed(queries, index, minCos = 0.3,
+          nProbe = 4, slack = 0.05)
+        .orderBy(col("q_id"), col("c_id"))
+    }),
+
+    // ---------------------------------------------------------------
+    // CROSS-CATALOG CONSISTENCY REPORT — the governance audit a
+    // three-structure deployment runs after every ingest day: the dedup
+    // catalog and embedding catalog hold SEEN semantics (every arrived
+    // doc/vector), the ANN index holds ACCEPTED semantics (survivors of
+    // the keep-first drop policy), and the report counts the referential
+    // invariants between them as relational anti-/semi-join counts —
+    // served-but-never-seen vectors (must be 0), embedding-catalog
+    // members without a dedup-catalog doc (must be 0), and
+    // dropped-but-still-served leaks (must be 0, the
+    // right-to-be-forgotten mirror of retention_pipeline's check) —
+    // alongside the membership counts themselves. Same composition as
+    // ingest_pipeline (base %5≠0 standing, batch %5=0, threshold 0.5),
+    // so the oracle is CLOSED-FORM: counts derive from the base tables
+    // plus the committed minhash fixture under the incremental
+    // restriction, and every invariant row is a literal 0. All joins are
+    // id-only (vector-free) frames — at 100 TB each audit join
+    // broadcasts ids or shuffles longs, never embeddings.
+    "catalog_consistency_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val dIndex = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val grownDedup = Dedup.dedupIndexAppend(dIndex,
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"))
+      val pairs = Dedup.incrementalMinHashPairs(dIndex,
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+        threshold = 0.5)
+      val dropped = pairs
+        .select(explode(array(
+          struct(col("id1").as("a"), col("id2").as("b")),
+          struct(col("id2").as("a"), col("id1").as("b")))).as("p"))
+        .select(col("p.a").as("cand"), col("p.b").as("other"))
+        .filter(col("cand") % 5 === 0 &&
+          (col("other") % 5 =!= 0 || col("other") < col("cand")))
+        .select(col("cand").as("vec_id")).distinct()
+      val survivors = emb.filter(col("vec_id") % 5 === 0)
+        .join(dropped, Seq("vec_id"), "left_anti")
+      val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val grownAnn = Similarity.ivfPqIndexAppend(base, survivors)
+      val embIx = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val grownEmb = Dedup.embIndexAppend(embIx,
+        emb.filter(col("vec_id") % 5 === 0), col("vec_id"), col("embedding"))
+      val dedupIds = grownDedup.staged.select(col("doc_id").as("id"))
+      val embIds = grownEmb.vecs.select(col("vec_id").as("id"))
+      val annIds = grownAnn.corpus.select(col("c_id").as("id"))
+      def metricRow(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("value"))
+          .select(lit(name).as("metric"), col("value"))
+      metricRow("seen_docs", dedupIds)
+        .unionByName(metricRow("seen_embeddings", embIds))
+        .unionByName(metricRow("served_vectors", annIds))
+        .unionByName(metricRow("dropped_by_policy", dropped))
+        .unionByName(metricRow("ann_not_in_emb",
+          annIds.join(embIds, Seq("id"), "left_anti")))
+        .unionByName(metricRow("emb_not_in_dedup",
+          embIds.join(dedupIds, Seq("id"), "left_anti")))
+        .unionByName(metricRow("dropped_still_served",
+          annIds.join(dropped.select(col("vec_id").as("id")),
+            Seq("id"), "left_semi")))
+        .orderBy(col("metric"))
+    }),
+
+    // ---------------------------------------------------------------
     // ANN via PRODUCT QUANTIZATION (Similarity.pqTopK — PQ-ADC): the
     // compression tier of the ANN ladder (64× smaller corpus residency
     // than raw floats at m=8, ksub=16). Codebooks train jointly across
@@ -2558,6 +2681,35 @@ object SparkEntry {
         .withColumn("recall_permille",
           expr("(n_hits * 1000) div (5 * n_queries)"))
         .drop("n_queries")
+        .orderBy(col("method"))
+    }),
+
+    // ---------------------------------------------------------------
+    // RANGE-TIER RECALL — "measure, don't guess" for the radius ladder:
+    // each committed range fixture (IVF probe tier, compressed ADC
+    // shortlist tier) joined against the exact range recomputed LIVE.
+    // The tiers' contract says they never admit false pairs, so n_true
+    // must equal n_found — the report MEASURES that claim per tier (the
+    // oracle recomputes the hits independently in DuckDB, so a tier
+    // that started admitting false pairs fails this gate, not just its
+    // own fixture diff). Denominator is the exact pair count, the range
+    // analogue of recall@k's 5·|Q|.
+    "ann_range_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.cosineRange(queries, emb, minCos = 0.3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      Seq("ann_range_search", "ann_range_rerank")
+        .map(name => s.read.parquet(s"$fixturesDir/$name.parquet")
+          .select(lit(name).as("method"), col("q_id"), col("c_id")))
+        .reduce(_.unionByName(_))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_found"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_true"))
+        .crossJoin(broadcast(nExact))
+        .withColumn("recall_permille", expr("(n_true * 1000) div n_exact"))
         .orderBy(col("method"))
     }),
 
@@ -5005,6 +5157,49 @@ object SparkEntry {
         |FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
         |WHERE id1 % 5 <> 0 AND id2 % 5 <> 0
         |ORDER BY id1, id2""".stripMargin,
+    // the one ANN oracle DuckDB computes ITSELF (list_cosine_similarity
+    // over the same parquet — no fixture): measured sf0.01 margins are
+    // 1.3e-4 to the threshold and 2e-8 to the nearest 6-dp rounding
+    // boundary, both far beyond cross-engine double noise
+    "ann_range_exact" ->
+      """SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) >= CAST(0.3 AS DOUBLE)
+        |ORDER BY q_id, c_id""".stripMargin,
+    fixture("ann_range_search", "q_id, c_id"),
+    fixture("ann_range_rerank", "q_id, c_id"),
+    // closed-form: seen counts from the base tables; the drop policy
+    // replayed over the committed minhash fixture under the incremental
+    // restriction (id1 % 5 = 0 OR id2 % 5 = 0 — the same invariant
+    // minhash_incremental gates); every referential invariant a literal 0
+    "catalog_consistency_report" ->
+      s"""WITH pairs AS (
+        |  SELECT id1, id2
+        |  FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |  WHERE id1 % 5 = 0 OR id2 % 5 = 0),
+        |sym AS (
+        |  SELECT id1 AS cand, id2 AS other FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs),
+        |dropped AS (
+        |  SELECT DISTINCT cand FROM sym
+        |  WHERE cand % 5 = 0 AND (other % 5 <> 0 OR other < cand))
+        |SELECT metric, value FROM (
+        |  SELECT 'seen_docs' AS metric,
+        |    (SELECT count(*) FROM documents) AS value
+        |  UNION ALL SELECT 'seen_embeddings',
+        |    (SELECT count(*) FROM embeddings)
+        |  UNION ALL SELECT 'served_vectors',
+        |    (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM dropped)
+        |  UNION ALL SELECT 'dropped_by_policy',
+        |    (SELECT count(*) FROM dropped)
+        |  UNION ALL SELECT 'ann_not_in_emb', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'emb_not_in_dedup', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'dropped_still_served', CAST(0 AS BIGINT))
+        |ORDER BY metric""".stripMargin,
     fixture("i1_distinct_counts", "source"),
     fixture("ann_lsh_topk", "q_id, rank"),
     fixture("ann_ivf_topk", "q_id, rank"),
@@ -5839,6 +6034,29 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
         |       // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS recall_permille
+        |FROM approx a LEFT JOIN exact e USING (q_id, c_id)
+        |GROUP BY method ORDER BY method""".stripMargin,
+
+    // the exact range recomputed in DuckDB itself (same cosine as the
+    // ann_range_exact oracle) — an independent check that the range
+    // tiers admit no false pairs (n_true = n_found) per tier
+    "ann_range_recall" ->
+      s"""WITH exact AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+        |    AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) >= CAST(0.3 AS DOUBLE)),
+        |approx AS (
+        |  SELECT 'ann_range_search' AS method, q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_range_search.parquet')
+        |  UNION ALL SELECT 'ann_range_rerank', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_range_rerank.parquet'))
+        |SELECT method, COUNT(*) AS n_found,
+        |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+        |       // (SELECT COUNT(*) FROM exact) AS BIGINT) AS recall_permille
         |FROM approx a LEFT JOIN exact e USING (q_id, c_id)
         |GROUP BY method ORDER BY method""".stripMargin,
 

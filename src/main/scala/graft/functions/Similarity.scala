@@ -247,6 +247,60 @@ object Similarity {
     TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
   }
 
+  /** RADIUS (range) SEARCH, exact tier: every corpus vector within
+    * `cosine >= minCos` of each query — the retrieval shape for "all
+    * near-duplicate candidates", where top-k's fixed k either truncates
+    * dense neighborhoods or pads sparse ones. Unlike top-k, range search
+    * needs NO global ranking: the threshold is a per-row predicate, so
+    * the plan is scan → broadcast-join → filter with no window, no TopK
+    * aggregation, and no exchange beyond the scan — the corpus never
+    * shuffles and the surviving pair set is output-sized, not
+    * |Q|·|C|-sized. Ties/ordering are the caller's concern (gates order
+    * by (q_id, c_id)); `cos` is rounded to 6 like the top-k tiers.
+    * Self-pairs are excluded inside the join condition so they never
+    * reach scoring. */
+  def cosineRange(queries: DataFrame, corpus: DataFrame,
+      minCos: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineFast(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Range search over a BUILT IVF index (the scale tier): each query
+    * scores exact cosines against only its `nProbe` probed inverted
+    * lists, then the threshold filters. Plans zero training jobs and the
+    * corpus-side lists never re-shuffle (the probe join is an equi-join
+    * on `cent_id`).
+    *
+    * LOSSLESS AT FULL PROBE: the inverted lists PARTITION the corpus
+    * (one nearest-centroid assignment per vector), so at
+    * `nProbe = nCentroids` every (query, vector) pair is scored exactly
+    * once and the result set equals [[cosineRange]] bit-for-bit — the
+    * closed-form equivalence RangeSearchSpec gates. At partial probe the
+    * result is a SUBSET of the exact set with identical `cos` values on
+    * surviving pairs (same cast, same scorer): recall decays only by
+    * un-probed lists, never by score drift. */
+  def ivfRangeIndexed(queries: DataFrame, index: IvfIndex, minCos: Double,
+      nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val probes = probeCentroids(q, index.centroids, nProbe)
+    probes.join(index.inverted, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineFast(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Coarse-quantizer Lloyd training, shared by [[ivfTopK]] and
     * [[ivfPqTopK]]. Seeds are the nCentroids rows with the SMALLEST
     * `(murmur3(c_id), c_id)` — a deterministic pseudo-random sample:
@@ -1419,6 +1473,17 @@ object Similarity {
     * the artifact cache. */
   def ivfPqTopKIndexed(queries: DataFrame, index: IvfPqIndex, k: Int,
       nProbe: Int = 4): DataFrame = {
+    val scored = ivfPqAdcScored(queries, index, nProbe)
+    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
+  }
+
+  /** The ADC scoring stage of [[ivfPqTopKIndexed]], factored so the top-k
+    * and RANGE entry points share it bit-for-bit (committed fixtures
+    * depend on the exact nano-unit arithmetic): per probed (query,
+    * candidate) pair, the integer-decomposed approximate cosine rounded
+    * to the output's 6-dp granularity. */
+  private def ivfPqAdcScored(queries: DataFrame, index: IvfPqIndex,
+      nProbe: Int): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
     val m = index.m
     val q = queries.select(col("vec_id").as("q_id"),
@@ -1466,7 +1531,37 @@ object Similarity {
             / (col("qnorm")
                * sqrt((col("un2_e9") + col("x_sum")).cast("double") / 1e9)))
           .otherwise(lit(0.0)), 6).as("cos"))
-    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
+    scored
+  }
+
+  /** RANGE SEARCH over the COMPRESSED index — the 100 TB radius shape:
+    * the ADC scan shortlists every probed pair whose APPROXIMATE cosine
+    * clears `minCos - slack` (raw vectors untouched — the scan reads
+    * codes and broadcast tables only), then ONLY those candidates probe
+    * the raw corpus once for the exact cosine, and the true threshold
+    * filters on it. Two containment guarantees, both spec-gated:
+    * result ⊆ [[cosineRange]] with IDENTICAL cos on every surviving pair
+    * (the verify stage runs the exact scorer, so quantization can lose
+    * candidates but never admit false pairs or drift a score); and at
+    * full probe with `slack >= 2` (every probed pair becomes a
+    * candidate — ADC cosines live in [-1-ε, 1+ε]) the result EQUALS
+    * brute force, the closed-form proof that only the shortlist is
+    * approximate. `slack` trades recall against verify fan-out exactly
+    * like rerank depth does for top-k; size it from the measured ADC
+    * error in [[ivfPqIndexHealth]]. */
+  def ivfPqRangeIndexed(queries: DataFrame, index: IvfPqIndex,
+      minCos: Double, nProbe: Int = 4, slack: Double = 0.05): DataFrame = {
+    val cand = ivfPqAdcScored(queries, index, nProbe)
+      .filter(col("cos") >= lit(minCos - slack))
+      .select(col("q_id"), col("c_id"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    broadcast(cand.join(broadcast(q), Seq("q_id")))
+      .join(index.corpus, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosineFast(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
   }
 
   /** Per-subspace nearest-centroid assignment (codebook broadcast; min-

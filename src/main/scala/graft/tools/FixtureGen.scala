@@ -37,7 +37,8 @@ object FixtureGen {
     "ann_filtered_search", "ann_auto_geometry", "dedup_index_health",
     "ann_auto_rerank", "ingest_pipeline", "ingest_pipeline_policy",
     "ann_index_remove", "retention_pipeline", "embdedup_index_health",
-    "ingest_pipeline_nofire", "ann_warm_rebuild")
+    "ingest_pipeline_nofire", "ann_warm_rebuild", "ann_range_search",
+    "ann_range_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -29,7 +29,9 @@ class SetupBoundarySpec extends AnyFunSuite {
     "minhash_incremental", "dedup_index_health", "dedup_quarantine",
     "dedup_quarantine_budget", "minhash_incremental_quarantined",
     "dedup_operating_report", "embdedup_incremental", "embdedup_index_health",
-    "embdedup_quarantine", "embdedup_quarantine_budget")
+    "embdedup_quarantine", "embdedup_quarantine_budget",
+    "ann_range_exact", "ann_range_search", "ann_range_rerank",
+    "ann_range_recall")
 
   test("after the bench setup phase, serving queries build zero artifacts") {
     GraftCaches.unpersistAll(blocking = true)

@@ -654,4 +654,72 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.unpersistAll()
     graft.GraftCaches.releaseArtifacts(blocking = true)
   }
+
+  test("cosineRange: complete and exclusive at the threshold, self excluded") {
+    // hand-built 2-d unit vectors at known angles to the query (1,0):
+    // cos = 0.9, 0.5, 0.31, 0.29, -0.2 — the 0.31/0.29 pair brackets the
+    // 0.3 threshold so completeness AND exclusivity are both exercised
+    def at(c: Double) = Seq(c.toFloat, math.sqrt(1 - c * c).toFloat)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, at(0.9)), (2L, at(0.5)),
+      (3L, at(0.31)), (4L, at(0.29)), (5L, at(-0.2)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineRange(vecs.filter(col("vec_id") === 0L),
+        vecs, minCos = 0.3)
+      .orderBy(col("c_id")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L),
+      "exactly the pairs at cos >= 0.3, no self-pair")
+    assert(got.forall(_.getDouble(2) >= 0.3 - 5e-7))
+  }
+
+  test("ivfRangeIndexed: lossless at full probe, subset with identical cos at partial") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.cosineRange(queries, emb, minCos = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "threshold too tight — the test would be vacuous")
+    val index = Similarity.ivfIndexFor(emb, nCentroids = 8, lloydIters = 1)
+    // full probe: the inverted lists partition the corpus, so probing all
+    // of them scores every pair exactly once — bit-identical to brute force
+    val full = Similarity.ivfRangeIndexed(queries, index, minCos = 0.25,
+        nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == exact, "full-probe IVF range must equal brute force")
+    // partial probe: a subset, and every surviving pair carries the SAME
+    // cos the exact tier computed (same cast, same scorer — no drift)
+    val part = Similarity.ivfRangeIndexed(queries, index, minCos = 0.25,
+        nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(part.keySet.subsetOf(exact.keySet))
+    assert(part.forall { case (k, v) => exact(k) == v })
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
+
+  test("ivfPqRangeIndexed: never admits false pairs; slack>=2 at full probe = brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.cosineRange(queries, emb, minCos = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    val index = Similarity.buildIvfPqIndex(emb, nCentroids = 8,
+      coarseIters = 1, m = 8, ksub = 16, pqIters = 1)
+    // operating point: quantization may LOSE candidates, never admit a
+    // below-threshold pair or drift a surviving score (exact verify)
+    val op = Similarity.ivfPqRangeIndexed(queries, index, minCos = 0.25,
+        nProbe = 2, slack = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(op.keySet.subsetOf(exact.keySet))
+    assert(op.forall { case (k, v) => exact(k) == v })
+    // slack >= 2 admits every probed pair as a candidate (ADC cosines
+    // live in [-1-eps, 1+eps]), so at full probe only the exact verify
+    // decides — closed-form equality with brute force
+    val full = Similarity.ivfPqRangeIndexed(queries, index, minCos = 0.25,
+        nProbe = 8, slack = 2.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == exact,
+      "full probe + all-admitting slack must reduce to the exact range")
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
 }
