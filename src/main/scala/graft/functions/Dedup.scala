@@ -803,13 +803,25 @@ object Dedup {
     * on the driver — the bound is a THRESHOLD (every size ≤ bound
     * stays), so a larger size may never be admitted past an unaffordable
     * smaller one. */
-  def quarantineBudgetBound(index: DedupIndex, maxCandidatePairs: Long): Long = {
+  def quarantineBudgetBound(index: DedupIndex, maxCandidatePairs: Long): Long =
+    budgetBoundFromHistogram(
+      index.bands.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
+        .orderBy(col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))),
+      maxCandidatePairs)
+
+  /** The budget arithmetic shared by [[quarantineBudgetBound]] and
+    * [[embQuarantineBudgetBound]]: a strict cumulative-prefix scan over
+    * an ASCENDING bucket-size histogram — the bound is a THRESHOLD
+    * (every size ≤ bound stays), so a larger size may never be admitted
+    * past an unaffordable smaller one. Driver-side over a frame whose
+    * cardinality is the number of DISTINCT bucket sizes (a few hundred
+    * rows on any corpus). */
+  private[graft] def budgetBoundFromHistogram(hist: Seq[(Long, Long)],
+      maxCandidatePairs: Long): Long = {
     require(maxCandidatePairs >= 0L)
-    val hist = index.bands.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
-      .orderBy(col("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     var budget = maxCandidatePairs
     var bound = 1L
     var fits = true
@@ -1463,23 +1475,14 @@ object Dedup {
     * (cardinality = distinct sizes), strict cumulative-prefix scan by
     * ascending size on the driver. */
   def embQuarantineBudgetBound(index: EmbIndex,
-      maxCandidatePairs: Long): Long = {
-    require(maxCandidatePairs >= 0L)
-    val hist = index.vecs.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
-      .orderBy(col("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    var budget = maxCandidatePairs
-    var bound = 1L
-    var fits = true
-    for ((n, buckets) <- hist if fits) {
-      val cost = buckets * (n * (n - 1) / 2)
-      if (cost <= budget) { budget -= cost; bound = n }
-      else fits = false
-    }
-    bound
-  }
+      maxCandidatePairs: Long): Long =
+    budgetBoundFromHistogram(
+      index.vecs.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
+        .orderBy(col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))),
+      maxCandidatePairs)
 
   /** PAGERANK over an undirected pair graph (`id1`,`id2` — e.g. the
     * near-dup pair set): importance weighting for cluster

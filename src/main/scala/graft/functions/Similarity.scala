@@ -1276,7 +1276,15 @@ object Similarity {
       imbalanceMaxPermille: Long = 4000L): (IvfPqIndex, Int, Boolean, Boolean) = {
     require(geometryFactor > 1.0, "a factor ≤ 1 rebuilds on every call")
     val n = index.corpus.count()
-    val ncHave = index.centroids.count().toInt
+    // count AND max id in one pass: fresh GROW ids must mint past the
+    // LARGEST existing cent_id, not the centroid COUNT — after a SHRINK
+    // the surviving ids are non-contiguous, and count-based minting
+    // would collide with survivors (duplicate cent_id rows silently
+    // corrupting lists, cross-terms, and ADC scores on the next fire)
+    val centStats = index.centroids
+      .agg(count(lit(1)).as("nc"), max(col("cent_id")).as("mx")).head()
+    val ncHave = centStats.getLong(0).toInt
+    val maxCentId = if (centStats.isNullAt(1)) -1 else centStats.getInt(1)
     val (ncWant, npWant) = autoGeometry(n)
     val geomStale = ncWant >= geometryFactor * ncHave ||
       ncHave >= geometryFactor * ncWant
@@ -1306,8 +1314,21 @@ object Similarity {
         .agg(count(lit(1)).as("nn"))
         .orderBy(col("nn").desc, col("cent_id").asc)
         .limit(k).collect().map(_.getInt(0)).toSeq.sorted
+      // fresh-id ranks come from the DRIVER-side split list (already
+      // collected — k ints), not a window: an unpartitioned row_number
+      // is the exact shape the plan audit bans. The SAME k-row frame is
+      // the join side of every split-membership filter below: broadcast
+      // semi-/anti-joins keep the plan free of k-literal `isin` lists
+      // (at 100 TB geometry a fire can split thousands of lists — a
+      // literal list that size bloats every plan that embeds it)
+      val sp = index.corpus.sparkSession
+      val ranks = {
+        import sp.implicits._
+        splitIds.zipWithIndex.toDF("old_cent", "rnk")
+      }
+      val splitFrame = ranks.select(col("old_cent").as("cent_id"))
       val members = index.assigned
-        .filter(col("cent_id").isin(splitIds: _*))
+        .join(broadcast(splitFrame), Seq("cent_id"), "left_semi")
         .withColumnRenamed("cent_id", "old_cent")
         .join(index.corpus, Seq("c_id"))
         .select(col("old_cent"), col("c_id"), col("cv"))
@@ -1329,19 +1350,12 @@ object Similarity {
         .agg(max(struct(col("d"), col("c_id").as("id"), col("cv").as("v"))).as("hi"),
           first(col("loV")).as("loV"))
         .select(col("old_cent"), col("loV"), col("hi.v").as("hiV"))
-      // fresh-id ranks come from the DRIVER-side split list (already
-      // collected — k ints), not a window: an unpartitioned row_number
-      // is the exact shape the plan audit bans
-      val sp = index.corpus.sparkSession
-      val ranks = {
-        import sp.implicits._
-        splitIds.zipWithIndex.toDF("old_cent", "rnk")
-      }
       // one confined Lloyd step: nearer seed wins; ties (duplicate-heavy
       // lists — the exact boilerplate clusters that GET hot) split by id
       // hash parity so neither half collapses empty. The lo half keeps
       // the old cent_id (cross-term/list identity stays stable), the hi
-      // half takes a fresh id past ncHave
+      // half takes a fresh id past the largest EXISTING id (survivor ids
+      // are non-contiguous after a SHRINK; see `maxCentId` above)
       val sideAssigned = members.join(broadcast(seeds), Seq("old_cent"))
         .withColumn("dLo", lit(1.0) - cosineFast(col("cv"), col("loV")))
         .withColumn("dHi", lit(1.0) - cosineFast(col("cv"), col("hiV")))
@@ -1350,7 +1364,7 @@ object Similarity {
           .otherwise(pmod(hash(col("c_id")), lit(2)).cast("int")))
         .join(broadcast(ranks), Seq("old_cent"))
         .withColumn("cent_id", when(col("side") === 0, col("old_cent"))
-          .otherwise(lit(ncHave) + col("rnk")).cast("int"))
+          .otherwise(lit(maxCentId + 1) + col("rnk")).cast("int"))
         .select(col("cent_id"), col("c_id"), col("cv"))
         .persistTracked()
       val newCentroids = sideAssigned
@@ -1361,10 +1375,10 @@ object Similarity {
         .select(col("cent_id"), col("dims.m").as("centroid"))
         .localCheckpointTracked()
       val centroids2 = graft.GraftCaches.persistedArtifact(
-        index.centroids.filter(!col("cent_id").isin(splitIds: _*))
+        index.centroids.join(broadcast(splitFrame), Seq("cent_id"), "left_anti")
           .unionByName(newCentroids))
       val assigned2 = graft.GraftCaches.persistedArtifact(
-        index.assigned.filter(!col("cent_id").isin(splitIds: _*))
+        index.assigned.join(broadcast(splitFrame), Seq("cent_id"), "left_anti")
           .unionByName(sideAssigned.select(col("cent_id"), col("c_id"))))
       // re-code ONLY the moved members: residual vs the new centroid
       // through the frozen codebook — untouched codes stay bit-for-bit
@@ -1378,31 +1392,37 @@ object Similarity {
         index.codes.join(members.select(col("c_id")), Seq("c_id"), "left_anti")
           .unionByName(newCodes))
       val crossTerms2 = index.crossTerms
-        .filter(!col("ut_cent_id").isin(splitIds: _*))
+        .join(broadcast(splitFrame.select(col("cent_id").as("ut_cent_id"))),
+          Seq("ut_cent_id"), "left_anti")
         .unionByName(crossTermRows(newCentroids, index.codebook, index.m))
         .localCheckpointTracked()
       codes2.count(); assigned2.count(); centroids2.count()
       (IvfPqIndex(index.corpus, centroids2, assigned2, index.codebook,
         codes2, crossTerms2, index.m), npWant, true, true)
     } else graft.GraftCaches.inArtifactScope {
-      // SHRINK: merge the k coldest lists into their nearest survivors
+      // SHRINK: merge the k coldest lists into their nearest survivors.
+      // The k coldest ids stay a k-row FRAME (no driver collect, no
+      // isin-literal plan): broadcast semi-/anti-joins carry the
+      // membership through every filter below — at 100 TB geometry a
+      // mass deletion can drop thousands of lists
       val k = ncHave - ncWant
-      val dropIds = index.centroids.select(col("cent_id"))
+      val dropFrame = index.centroids.select(col("cent_id"))
         .join(index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("nn")),
           Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("nn"), lit(0L)).as("nn"))
         .orderBy(col("nn").asc, col("cent_id").asc)
-        .limit(k).collect().map(_.getInt(0)).toSeq.sorted
+        .limit(k).select(col("cent_id"))
+        .localCheckpointTracked()
       val survivors = graft.GraftCaches.persistedArtifact(
-        index.centroids.filter(!col("cent_id").isin(dropIds: _*)))
+        index.centroids.join(broadcast(dropFrame), Seq("cent_id"), "left_anti"))
       val moved = index.assigned
-        .filter(col("cent_id").isin(dropIds: _*))
+        .join(broadcast(dropFrame), Seq("cent_id"), "left_semi")
         .join(index.corpus, Seq("c_id"))
         .select(col("c_id"), col("cv"))
         .persistTracked()
       val reassigned = assignNearest(moved, survivors).persistTracked()
       val assigned2 = graft.GraftCaches.persistedArtifact(
-        index.assigned.filter(!col("cent_id").isin(dropIds: _*))
+        index.assigned.join(broadcast(dropFrame), Seq("cent_id"), "left_anti")
           .unionByName(reassigned.select(col("cent_id"), col("c_id"))))
       val resid = reassigned.join(broadcast(survivors), Seq("cent_id"))
         .select(col("c_id"),
@@ -1414,7 +1434,8 @@ object Similarity {
         index.codes.join(moved.select(col("c_id")), Seq("c_id"), "left_anti")
           .unionByName(newCodes))
       val crossTerms2 = index.crossTerms
-        .filter(!col("ut_cent_id").isin(dropIds: _*))
+        .join(broadcast(dropFrame.select(col("cent_id").as("ut_cent_id"))),
+          Seq("ut_cent_id"), "left_anti")
         .localCheckpointTracked()
       codes2.count(); assigned2.count(); survivors.count()
       (IvfPqIndex(index.corpus, survivors, assigned2, index.codebook,
@@ -1556,7 +1577,13 @@ object Similarity {
       .select(col("q_id"), col("c_id"))
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    broadcast(cand.join(broadcast(q), Seq("q_id")))
+    // no broadcast hint on the candidate side: a range result is
+    // OUTPUT-sized (dense neighborhoods / low minCos / large slack make
+    // the shortlist arbitrarily big), so forcing it into a broadcast
+    // caps the workload at driver memory — AQE picks the join strategy
+    // from the shortlist's measured size instead. Only the query frame
+    // (|Q|-bounded by contract) keeps its hint.
+    cand.join(broadcast(q), Seq("q_id"))
       .join(index.corpus, Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         cosineFast(col("qv"), col("cv")).as("cos"))

@@ -125,6 +125,9 @@ object IngestServing {
       compactWidthFactor: Double = 4.0,
       embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
       embTargetBucket: Long = 32L): StreamingQuery = {
+    // enforce (don't just document) the lock-identity contract: the
+    // aux refs this stream rolls must always ride the same dedupRef
+    ServingLocks.register(dedupRef, (annOpRef +: embRef.toSeq): _*)
     val writer = spark.readStream
       .schema(ingestSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

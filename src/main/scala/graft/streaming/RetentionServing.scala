@@ -81,6 +81,9 @@ object RetentionServing {
       compactMinRowsPerPartition: Long = 0L,
       embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
       embTargetBucket: Long = 32L): StreamingQuery = {
+    // enforce (don't just document) the lock-identity contract: the
+    // aux refs this stream rolls must always ride the same dedupRef
+    ServingLocks.register(dedupRef, (annOpRef +: embRef.toSeq): _*)
     val writer = spark.readStream
       .schema(tombstoneSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -655,6 +655,54 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts(blocking = true)
   }
 
+  test("warm rebuild: shrink-then-grow lifecycle mints fresh ids past the max surviving cent_id (no collisions)") {
+    // the standing-index lifecycle the docstring advertises: a SHRINK
+    // leaves survivor ids NON-CONTIGUOUS (coldest lists drop by count,
+    // not by id), so a later GROW that minted fresh ids at the centroid
+    // COUNT would collide with survivors — duplicate cent_id rows
+    // silently corrupting lists, cross-terms, and ADC scores
+    def mkV(i: Long) = Seq.tabulate(8)(d =>
+      (((i * 31 + d * 7) % 101).toDouble - 50.0) / 50.0)
+    val emb = (0L until 100L).map(i => (i, mkV(i))).toDF("vec_id", "embedding")
+    val wide = Similarity.buildIvfPqIndex(emb, nCentroids = 33,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val (shrunk, _, fS, wS) = Similarity.ivfPqRebuildWarmStart(wide,
+      m = 4, ksub = 8)
+    assert(fS && wS && shrunk.centroids.count() == 16)
+    val survivorIds = shrunk.centroids.collect().map(_.getInt(0)).toSet
+    assert(survivorIds.max >= 16,
+      "fixture must leave a survivor id at/above the centroid count, " +
+        "or the collision this test guards against is unreachable")
+    // grow the corpus 5×: autoGeometry(500) = 22 > 1.3·16 fires a warm
+    // GROW of 6 splits over the shrink-survivor index
+    val more = (100L until 500L).map(i => (i, mkV(i)))
+      .toDF("vec_id", "embedding")
+    val grown0 = Similarity.ivfPqIndexAppend(shrunk, more)
+    val (grown, np, fG, wG) = Similarity.ivfPqRebuildWarmStart(grown0,
+      m = 4, ksub = 8)
+    assert(fG && wG && np == 5, "append drift must fire the warm grow")
+    // the collision regression: every cent_id unique, fresh ids strictly
+    // past the largest survivor id, and the partition stays exact
+    val centIds = grown.centroids.collect().map(_.getInt(0)).toSeq
+    assert(centIds.size == 22 && centIds.distinct.size == 22,
+      s"duplicate cent_id rows after shrink-then-grow: ${centIds.sorted}")
+    assert((centIds.toSet -- survivorIds).forall(_ > survivorIds.max),
+      "fresh ids must mint past the max surviving id")
+    assert(grown.assigned.count() == 500 &&
+      grown.assigned.select(col("c_id")).distinct().count() == 500)
+    assert(grown.codes.count() == 500L * 4 &&
+      grown.crossTerms.count() == 22L * shrunk.codebook.count())
+    // assigned lists reference existing centroids only
+    assert(grown.assigned.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).toSet.subsetOf(centIds.toSet))
+    // serving shape holds over the twice-warm index
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val rows = Similarity.ivfPqTopKIndexed(q, grown, 3, nProbe = np).collect()
+    assert(rows.length == q.count() * 3)
+    graft.GraftCaches.unpersistAll()
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
+
   test("cosineRange: complete and exclusive at the threshold, self excluded") {
     // hand-built 2-d unit vectors at known angles to the query (1,0):
     // cos = 0.9, 0.5, 0.31, 0.29, -0.2 — the 0.31/0.29 pair brackets the

@@ -984,4 +984,25 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("ServingLocks: an aux standing ref pinned to one dedupRef rejects a different lock identity") {
+    // the serialized-roll contract is enforced at CONSTRUCTION, not by
+    // comment: foreachBatch bodies lock on the dedupRef instance, so an
+    // annOpRef/embRef shared across streams built with DIFFERENT
+    // dedupRefs would race its get()/set() — that misconfiguration must
+    // throw before any stream starts
+    val dedupA = new Object
+    val dedupB = new Object
+    val annRef = new Object
+    val embRef = new Object
+    graft.streaming.ServingLocks.register(dedupA, annRef, embRef)
+    // re-registering under the SAME lock identity is idempotent
+    graft.streaming.ServingLocks.register(dedupA, annRef)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.ServingLocks.register(dedupB, embRef)
+    }
+    assert(err.getMessage.contains("dedupRef"))
+    // a FRESH aux ref is free to ride a different dedupRef
+    graft.streaming.ServingLocks.register(dedupB, new Object)
+  }
 }
