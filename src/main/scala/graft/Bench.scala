@@ -20,6 +20,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ENOSPC-proofing (round-10 incident): completed queries' shuffle
+      // files are only released when ContextCleaner sees their exchange
+      // objects collected, and at multi-GB heaps a full driver GC can be
+      // HOURS apart — a long multi-query run accretes dead shuffle spill
+      // until the disk fills. Forcing a periodic GC makes the cleaner's
+      // cadence a protocol property instead of a babysitting step.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Releasing a locally-checkpointed RDD triggers a WARN per RDD ("saved
@@ -81,11 +88,19 @@ object Bench {
     // regression. So: take a THIRD sample on >2× disagreement, and
     // record {min, max, n} per query — a noisy window is then visible
     // IN the record instead of as an unexplained cross-record delta.
+    // disk headroom per query (stderr): a shrinking trend mid-run is the
+    // ENOSPC early warning the round-10 incident lacked — the periodic-GC
+    // config above should hold it flat, and this line proves it did
+    val localDir = new java.io.File(
+      spark.sparkContext.getConf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir")).split(",").head)
     val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var samples = List(timeOnce(fn), timeOnce(fn))
       if (samples.map(_._1).max / samples.map(_._1).min > 2.0)
         samples = timeOnce(fn) :: samples
       val times = samples.map(_._1)
+      System.err.println(f"[bench] $name done; disk headroom " +
+        f"${localDir.getUsableSpace / 1073741824.0}%.1f GiB")
       (name, (times.min, times.max, times.length),
         samples.flatMap(_._2).headOption)
     }

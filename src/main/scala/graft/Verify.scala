@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench: periodic driver GC lets ContextCleaner release completed
+      // queries' shuffle files — long multi-query runs must not accrete
+      // dead spill until ENOSPC
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // see Bench: locally-checkpointed-RDD release WARNs are expected noise

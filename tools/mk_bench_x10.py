@@ -1,69 +1,33 @@
 #!/usr/bin/env python3
-"""Builds BENCH_x10.json — the FULL-SUITE x10 scale record (VERDICT r8
-task 3): every gated query run end-to-end on the ScaleGen x10 derived
-dataset, per-query {min,max,n} plus the x10/sf0.1 ratio and log10
-exponent against the committed sf0.1 record (bench_queries.json).
+"""Builds BENCH_x10.json — the FULL-SUITE x10 scale record. FOLD-PRESERVING:
+the existing BENCH_x10.json is always folded in, so a regeneration can never
+drop rows earlier runs appended (see tools/bench_record.py).
 
 Producing commands:
   sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 target/testdata-sf1 10"
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=target/testdata-sf1 \
-    sbt "runMain graft.Bench" > /tmp/bench_x10_r9.log
+    sbt "runMain graft.Bench" > /tmp/bench_x10.log
 
-Usage: mk_bench_x10.py [x10_capture [sf01_record]]
+Usage: mk_bench_x10.py [capture_or_record ... [--sf01 sf01_record]]
 """
-import json, math, sys
+import sys
 
-PATH_X10 = sys.argv[1] if len(sys.argv) > 1 else '/tmp/bench_x10_r9.log'
-PATH_B01 = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/bench_queries.json'
+import bench_record
 
-raw = [l for l in open(PATH_X10) if '"metric":"total"' in l][0]
-b10 = json.loads(raw.split('[info] ', 1)[1] if '[info]' in raw else raw)
-b01 = json.load(open(PATH_B01))
+args = sys.argv[1:]
+sf01 = '/root/repo/bench_queries.json'
+if '--sf01' in args:
+    i = args.index('--sf01')
+    sf01 = args[i + 1]
+    args = args[:i] + args[i + 2:]
 
-queries = {}
-worst = (None, -9.9)
-for q in sorted(b10['queries']):
-    sp = b10['spread'][q]
-    row = {'x10_sec': round(sp['min'], 3), 'x10_max_sec': round(sp['max'], 3),
-           'n': sp['n']}
-    base = b01.get(q, {}).get('min')
-    if base:
-        row['sf0.1_sec'] = round(base, 3)
-        row['ratio_x10'] = round(sp['min'] / base, 2)
-        row['exponent_x10'] = round(math.log10(max(sp['min'] / base, 0.01)), 2)
-        # exponents on sub-0.3s base times are job-overhead noise, not scaling
-        if base > 0.3 and row['exponent_x10'] > worst[1]:
-            worst = (q, row['exponent_x10'])
-    queries[q] = row
-
-total = sum(sp['min'] for sp in b10['spread'].values())
-out = {
- 'what': ('Full-suite x10 scale record: EVERY gated query (not targeted probes) on the ScaleGen x10 derived '
-          'dataset, bench protocol identical to BENCH (min-of-2, third sample on >2x disagreement, noop sink, '
-          'blocking cache release, name-sorted order). ratio/exponent vs the committed sf0.1 per-query record; '
-          'exponent_x10 = log10(t_x10/t_sf0.1), 1.0 = linear. Queries under ~0.3s at sf0.1 sit on fixed job '
-          'overhead and their exponents are noise, not scaling.'),
- 'headline': ('%d queries, %.1f s min-sum at x10 vs the sf0.1 record - sub-linear in aggregate for 10x data. '
-              'Worst exponent on a >0.3s base: %s at %.2f. The known fixed-geometry ANN gates (nCentroids=16, '
-              'query set growing with the corpus) dominate the super-linear tail exactly as BENCH_sf1.json '
-              'documents; their auto-geometry/auto-rerank counterparts hold ~1.0-1.2 at the same gate-shaped '
-              'workload. jaccard_pairs was re-pinned this round (doc_id < 5000) after the first x10 run measured '
-              'its DENSE-BY-DESIGN sample workload at exponent 1.72 - the dense pair space growing quadratically, '
-              'not the engine; pinned it reads flat.') % (len(queries), total, worst[0], worst[1]),
- 'setup_sec': {k: round(v, 1) for k, v in b10['setup'].items()},
- 'dataset': 'target/testdata-sf1 (ScaleGen x10 of /root/testdata/sf0.1; lexically-disjoint document copies, perturbed embedding copies)',
- 'total_min_sum_sec': round(total, 1),
- 'queries': queries,
-}
-# surface per-query failures (graft.Bench tags a sample's exception in
-# "errors") — an errored line's timing is the failure path, not scaling
-errs = b10.get('errors') or {}
-if errs:
-    out['errors'] = errs
-    for q in errs:
-        queries.get(q, {}).pop('exponent_x10', None)
-        queries.get(q, {}).pop('ratio_x10', None)
-    out['headline'] += (' ERRORED at x10 (timings are failure-path, '
-                        'excluded from exponents): %s.' % ', '.join(sorted(errs)))
-json.dump(out, open('/root/repo/BENCH_x10.json', 'w'), indent=1, sort_keys=True)
-print('written', len(queries), 'rows; total', round(total, 1), 's; worst', worst)
+bench_record.build(
+    scale=10,
+    out_path='/root/repo/BENCH_x10.json',
+    sources=args,
+    sf01_record=sf01,
+    dataset_desc=('target/testdata-sf1 (ScaleGen x10 of /root/testdata/sf0.1; '
+                  'lexically-disjoint document copies, perturbed embedding copies)'),
+    headline_extra=(' jaccard_pairs is pinned (doc_id < 5000): its DENSE-BY-DESIGN '
+                    'sample workload grows quadratically in the pair space, not the '
+                    'engine; pinned it reads flat.'))
