@@ -2294,6 +2294,43 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
+    // FIXED-|Q| SCALE TWINS — the measurement that retires a prose
+    // argument: every other ANN gate's query set is `vec_id % 50 = 0`,
+    // so |Q| grows WITH the corpus and the gates' scale exponents read
+    // |Q|-growth × per-query cost convolved together (a perfectly
+    // linear-per-query scan shows 2.0/decade). These twins pin the
+    // query set to `vec_id < 2000` — ScaleGen shifts copy ids by 10M,
+    // so the predicate selects the SAME 2000 sf0.1 vectors at ×10/×30/
+    // ×100 — and their BENCH_x* exponents are therefore the PER-QUERY
+    // serving cost curve directly: the auto tier's probed-rows ≈ N^¾
+    // story as a number, beside the pinned-16 contrast whose per-query
+    // cost is linear by construction. Fixture-gated like the tiers they
+    // twin (same engines, same bit-stable training).
+    "ann_auto_topk_fixedq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKAuto(emb.filter(col("vec_id") < 2000), emb, 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "ann_auto_rerank_fixedq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKAutoRerank(emb.filter(col("vec_id") < 2000), emb, 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // the fixed-geometry contrast twin: nCentroids pinned at 16 while
+    // the corpus grows — per-query cost LINEAR in N by construction, the
+    // upper curve the auto twins are measured against. Shares the
+    // (16,1,16,32,1) memo entry with ann_ivfpq_topk (no extra training).
+    "ann_ivfpq_topk_fixedq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 2000), emb, 5,
+          nCentroids = 16, nProbe = 4, coarseIters = 1,
+          m = 16, ksub = 32, pqIters = 1)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------
     // REBUILD POLICY — closes the append→drift loop: the 80%-trained
     // index (nCentroids=16) grows by the 20% batch, then
     // ivfPqRebuildIfStale reads the grown corpus count, finds
@@ -2582,7 +2619,32 @@ object SparkEntry {
         .filter(col("metric").isin(
           "imbalance_permille", "adc_err_micro_avg", "adc_err_micro_max"))
         .select(lit("index").as("method"), col("metric"), col("value"))
-      perMethod.unionByName(filteredRow).unionByName(indexRows)
+      // the RANGE tiers' measured recall/size beside the top-k tiers' —
+      // one report spans both retrieval shapes (the radius ladder's
+      // committed fixtures against the exact range recomputed live,
+      // same construction as ann_range_recall)
+      val rangeExact = Similarity.cosineRange(queries, emb, minCos = 0.3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("rhit"))
+      val nRangeExact = rangeExact.agg(count(lit(1)).as("n_exact"))
+      val rangeRows =
+        Seq("ann_range_search", "ann_range_rerank")
+          .map(name => s.read.parquet(s"$fixturesDir/$name.parquet")
+            .select(lit(name).as("method"), col("q_id"), col("c_id")))
+          .reduce(_.unionByName(_))
+          .join(rangeExact, Seq("q_id", "c_id"), "left")
+          .groupBy(col("method"))
+          .agg(count(lit(1)).as("__n_found"),
+            sum(coalesce(col("rhit"), lit(0L))).as("__n_true"))
+          .crossJoin(broadcast(nRangeExact))
+          .select(col("method"), explode(array(
+            struct(lit("range_found").as("metric"),
+              col("__n_found").as("value")),
+            struct(lit("range_recall_permille").as("metric"),
+              expr("(__n_true * 1000) div n_exact").as("value")))).as("r"))
+          .select(col("method"), col("r.metric").as("metric"),
+            col("r.value").as("value"))
+      perMethod.unionByName(filteredRow).unionByName(rangeRows)
+        .unionByName(indexRows)
         .orderBy(col("method"), col("metric"))
     }),
 
@@ -5233,6 +5295,9 @@ object SparkEntry {
     fixture("dedup_index_health", "metric, key"),
     fixture("embdedup_index_health", "metric, key"),
     fixture("ann_auto_rerank", "q_id, rank"),
+    fixture("ann_auto_topk_fixedq", "q_id, rank"),
+    fixture("ann_auto_rerank_fixedq", "q_id, rank"),
+    fixture("ann_ivfpq_topk_fixedq", "q_id, rank"),
     fixture("ingest_pipeline", "q_id, rank"),
     fixture("ingest_pipeline_policy", "q_id, rank"),
     // the routine-day no-fire twin: frozen-quantizer appends are
@@ -5388,12 +5453,27 @@ object SparkEntry {
         |    CAST((SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
         |         // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS value
         |  FROM read_parquet('$fixturesDir/ann_filtered_search.parquet') a
-        |  LEFT JOIN fexact e USING (q_id, c_id))
+        |  LEFT JOIN fexact e USING (q_id, c_id)),
+        |rexact AS (
+        |  SELECT q_id, c_id FROM scored WHERE cos >= CAST(0.3 AS DOUBLE)),
+        |rapprox AS (
+        |  SELECT 'ann_range_search' AS method, q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_range_search.parquet')
+        |  UNION ALL SELECT 'ann_range_rerank', q_id, c_id
+        |    FROM read_parquet('$fixturesDir/ann_range_rerank.parquet')),
+        |rrows AS (
+        |  SELECT method, COUNT(*) AS n_found,
+        |    SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS n_true
+        |  FROM rapprox a LEFT JOIN rexact e USING (q_id, c_id)
+        |  GROUP BY method)
         |SELECT method, metric, value FROM (
         |  SELECT method, 'recall_permille' AS metric, recall_permille AS value FROM pm
         |  UNION ALL SELECT method, 'mrr_micro', mrr_micro FROM pm
         |  UNION ALL SELECT method, 'ndcg_micro', ndcg_micro FROM pm
         |  UNION ALL SELECT method, metric, value FROM frow
+        |  UNION ALL SELECT method, 'range_found', CAST(n_found AS BIGINT) FROM rrows
+        |  UNION ALL SELECT method, 'range_recall_permille',
+        |    CAST((n_true * 1000) // (SELECT COUNT(*) FROM rexact) AS BIGINT) FROM rrows
         |  UNION ALL SELECT 'index' AS method, metric, value
         |    FROM read_parquet('$fixturesDir/ann_index_health.parquet')
         |    WHERE metric IN ('imbalance_permille', 'adc_err_micro_avg', 'adc_err_micro_max'))
