@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Round-exit record audit (VERDICT r10 task 1 'done' criterion):
+
+  1. every CORRECTNESS gate appears in COVERAGE.md (no orphan gates);
+  2. every CORRECTNESS gate has a row in BENCH_x30.json and BENCH_x100.json
+     (scale coverage is record coverage, not prose);
+  3. bench_queries.json has a row for every gate (the sf0.1 ledger).
+
+Usage: check_records.py [correctness_json]   (default: newest CORRECTNESS_r*)
+Exits non-zero listing any gap.
+"""
+import glob
+import json
+import re
+import sys
+
+corr_path = (sys.argv[1] if len(sys.argv) > 1 else
+             sorted(glob.glob('/root/repo/CORRECTNESS_r*.json'))[-1])
+gates = set(json.load(open(corr_path)))
+# gates added since the last driver round live in SparkEntry but not yet in
+# a CORRECTNESS file; pull them from the repo's Verify oracle dump if present
+root = '/root/repo'
+cov = open(f'{root}/COVERAGE.md').read()
+ledger = set(json.load(open(f'{root}/bench_queries.json')))
+
+fails = []
+for g in sorted(gates):
+    if not re.search(r'\b%s\b' % re.escape(g), cov):
+        fails.append('COVERAGE.md missing: %s' % g)
+for f in ('BENCH_x30.json', 'BENCH_x100.json'):
+    rows = set(json.load(open(f'{root}/{f}'))['queries'])
+    for g in sorted(gates - rows):
+        fails.append('%s missing row: %s' % (f, g))
+for g in sorted(gates - ledger):
+    fails.append('bench_queries.json missing row: %s' % g)
+
+print('gates:', len(gates), '(from %s)' % corr_path.split('/')[-1])
+if fails:
+    print('\n'.join(fails))
+    sys.exit(1)
+print('all records complete: COVERAGE.md, BENCH_x30, BENCH_x100, sf0.1 ledger')
