@@ -149,6 +149,11 @@ object GraftFunctions {
     WindowHashCounts(children(0), children(1))
   }
 
+  val adcFoldBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "graft_adc_fold(codes, tab)")
+    AdcFold(children(0), children(1))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window", builder, "built-in")
@@ -170,6 +175,8 @@ object GraftFunctions {
       "graft_window_hashes", windowHashesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_window_hash_counts", windowHashCountsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_adc_fold", adcFoldBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(LowerGraftWindow))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerGraftWindow

@@ -108,6 +108,34 @@ class CatalystSpec extends AnyFunSuite {
     assert(z == 0.0)
   }
 
+  test("graft_adc_fold (codegen) is bit-identical to the higher-order fold") {
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // m=16 subspaces, per-sub codebooks of VARYING width (retired
+    // codewords shrink a sub's table) — codes index within each width
+    val rows = (0 until 64).map { i =>
+      val widths = Seq.fill(16)(2 + rnd.nextInt(31))
+      val tab = widths.map(w => Seq.fill(w)(rnd.nextLong() % 1000000000L))
+      val codes = widths.map(w => rnd.nextInt(w))
+      (i.toLong, codes, tab)
+    }
+    val df = rows.toDF("id", "codes", "tab")
+    val hof = "aggregate(sequence(0, size(codes) - 1), 0L, (acc, s) -> " +
+      "acc + element_at(element_at(tab, s + 1), element_at(codes, s + 1) + 1))"
+    val diff = df.select(
+      call_function("graft_adc_fold", col("codes"), col("tab")).as("fast"),
+      expr(hof).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0L, "codegen ADC fold diverges from the HoF fold")
+    // scala-side reference on one row (guards both engine forms at once)
+    val r = rows.head
+    val expect = (0 until 16).map(s => r._3(s)(r._2(s))).sum
+    val got = df.filter(col("id") === 0L)
+      .select(call_function("graft_adc_fold", col("codes"), col("tab")))
+      .head().getLong(0)
+    assert(got == expect)
+  }
+
   test("graft_window_hash_counts: in-row RLE ≡ explode + groupBy on the raw hashes") {
     graft.plans.GraftFunctions.register(spark)
     val docs = Seq("abcabcabcabc", "xyxyxyxy", "short", "", "aaaaaaaaaa")
