@@ -534,6 +534,9 @@ object Similarity {
       assignNearestSub(csub, codebook)
         .select(col("c_id"), col("sub"), col("code")))
     codes.count(); c.count() // materialize inside the build
+    // the serving pivot is construction cost (setup/query boundary —
+    // see [[withServingPivot]]); shares the IVF-PQ pivot memo
+    pivotedCodesFrame(codes).count()
     PqIndex(c, codebook, codes, m)
   }
 
@@ -556,13 +559,34 @@ object Similarity {
     graft.plans.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
+    // PIVOTED PQ-ADC (same rewrite as [[ivfPqAdcScored]]): the per-query
+    // distance tables fold to array[sub][code] lookups (codebook cents
+    // are contiguous per sub, so a sorted collect is positional) and the
+    // score is a native-codegen projection over ONE row per (q, vector)
+    // pair — the normalized form joined m code rows per pair through a
+    // 2-key broadcast probe and a (q,c) hash aggregation. Integer sums
+    // reorder only: bit-identical cos, same unrounded ranking input.
     val dt = pqAdcTable(q, index.codebook, index.m)
-    val scored = index.codes
-      .join(broadcast(dt), col("sub") === col("dt_sub") && col("code") === col("dt_cent"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("ip_e9")).as("ip_sum"), sum(col("cn2_e9")).as("cn2_sum"),
+    val qtabs = dt
+      .groupBy(col("q_id"), col("dt_sub"))
+      .agg(array_sort(collect_list(struct(col("dt_cent"), col("ip_e9")))).as("ips"),
+        array_sort(collect_list(struct(col("dt_cent"), col("cn2_e9")))).as("cns"),
         first(col("qnorm")).as("qnorm"))
-      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("dt_sub"),
+        col("ips.ip_e9").as("ipArr"), col("cns.cn2_e9").as("cnArr"),
+        col("qnorm"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("dt_sub"), col("ipArr")))).as("ia"),
+        array_sort(collect_list(struct(col("dt_sub"), col("cnArr")))).as("ca"),
+        first(col("qnorm")).as("qnorm"))
+      .select(col("q_id"), col("ia.ipArr").as("ip_tab"),
+        col("ca.cnArr").as("cn2_tab"), col("qnorm"))
+    val scored = pivotedCodesFrame(index.codes)
+      .join(broadcast(qtabs), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        expr("graft_adc_fold(codes, ip_tab)").as("ip_sum"),
+        expr("graft_adc_fold(codes, cn2_tab)").as("cn2_sum"),
+        col("qnorm"))
       .select(col("q_id"), col("c_id"), pqCos)
     TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
   }
@@ -1550,12 +1574,15 @@ object Similarity {
     (System.identityHashCode(codes.sparkSession),
       codes.queryExecution.analyzed.semanticHash())
 
-  private def pivotedCodes(index: IvfPqIndex): DataFrame =
-    codesPivotMemo.getOrElseUpdate(codesPivotKey(index.codes),
+  private def pivotedCodesFrame(codes: DataFrame): DataFrame =
+    codesPivotMemo.getOrElseUpdate(codesPivotKey(codes),
       graft.GraftCaches.persistedArtifact(
-        index.codes.groupBy(col("c_id"))
+        codes.groupBy(col("c_id"))
           .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
           .select(col("c_id"), col("sc.code").as("codes"))))
+
+  private def pivotedCodes(index: IvfPqIndex): DataFrame =
+    pivotedCodesFrame(index.codes)
 
   private def ivfPqAdcScored(queries: DataFrame, index: IvfPqIndex,
       nProbe: Int): DataFrame = {
