@@ -1,0 +1,481 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Blocked exact-cosine scoring kernel — the GEMM-shaped fast path behind
+  * [[Similarity.cosineTopK]] / [[Similarity.hardNegatives]] /
+  * [[Similarity.cosineRange]] for integral-id frames.
+  *
+  * WHY mapPartitions HERE (the documented last resort): exact brute-force
+  * scoring is a dense matrix product — |C|·|Q| pairs of d-element dot
+  * products. The declarative form (broadcast nested-loop join + codegen'd
+  * fused-cosine expression) is plan-shape-optimal (corpus never shuffles,
+  * k-bounded partial ranking), but it MATERIALIZES every scored pair as a
+  * join row: measured ~160 ns/pair of row iteration against ~6 ns of
+  * useful arithmetic at d=64 — the ×100 record paid 134 s on the exact
+  * tier where the arithmetic costs ~2 s. No Catalyst operator expresses
+  * "stream one side once, keep a k-bounded accumulator per broadcast row",
+  * so this is the (d) case of the custom-operator ladder, the same call
+  * MLlib makes for its block-GEMM paths.
+  *
+  * Shape at scale (unchanged from the join form):
+  *   - the CORPUS NEVER SHUFFLES — one column-pruned scan, kernel runs
+  *     map-side per partition;
+  *   - the QUERY side broadcasts (an explicit `sparkContext.broadcast` of
+  *     the flattened query matrix — the same driver-memory class as the
+  *     `broadcast(q)` hint it replaces);
+  *   - the exchange carries O(|Q|·k·partitions) partial rows into the
+  *     existing exact merges ([[TopK.rankTopK]] / TopKPerKey) — identical
+  *     to the join path's partial aggregation.
+  *   - kernel working set is O(|Q|·(d + k)) per task. At 100 TB with
+  *     query sets beyond ~10⁶, `maxQueriesPerPass` splits the query matrix
+  *     into independent passes (disjoint query blocks union below the
+  *     merge; the corpus scan repeats per pass — linear, never quadratic).
+  *
+  * BIT-IDENTICAL by construction to the `graft_cosine` expression
+  * ([[graft.plans.ArrayCosineSimilarity]]): dot accumulates over
+  * `min(|a|,|b|)` elements in index order; each norm accumulates over its
+  * FULL vector in index order (tails count toward norms — IEEE addition
+  * sequences are identical, so the doubles are identical, so ranking and
+  * 6-place rounding downstream are identical); `denom = sqrt(nx)*sqrt(ny)`,
+  * cos = 0 when denom == 0. The top-k accumulator keeps an exact
+  * per-partition top-k under the global contract order (cos desc, id asc
+  * — a total order since (q,c) pairs are unique), so the merged global
+  * top-k equals the full scored set's. SimilaritySpec gates row-set
+  * equality against the join path on every variant.
+  */
+object BlockedExact {
+
+  /** One flattened query block, broadcast to the corpus scan. `offs` has
+    * nq+1 entries (CSR-style ragged layout — vectors may differ in
+    * length); `normSqrt(i)` = sqrt(Σ v²) over query i's full vector in
+    * index order. `labels` is null unless the caller is label-aware. */
+  private[graft] final case class QBlock(ids: Array[Long], offs: Array[Int],
+      flat: Array[Double], normSqrt: Array[Double], labels: Array[Long])
+
+  /** Partial top-k candidate row (pre-merge). */
+  private[graft] final case class ScoredPair(q_id: Long, c_id: Long, cos: Double)
+  /** Label-aware partial row ([[Similarity.hardNegatives]]). */
+  private[graft] final case class ScoredLabeled(q_id: Long, c_id: Long,
+      c_label: Long, cos: Double)
+
+  /** Corpus rows per cache tile: the query matrix streams from memory once
+    * per TILE of corpus rows instead of once per row (64 rows × 512 B ≈
+    * 32 KB of corpus resident in L1/L2 while |Q|·d·8 B streams past). */
+  private val Tile = 64
+
+  /** Default query-block size: 256 Ki queries ≈ 40 MB of heap state per
+    * task at k=10 — safely inside executor memory; larger query sets pay
+    * one extra corpus pass per block. */
+  val DefaultMaxQueriesPerPass: Int = 1 << 18
+
+  private def sqrtNormFull(v: Array[Double]): Double = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { val x = v(i); n += x * x; i += 1 }
+    math.sqrt(n)
+  }
+
+  /** dot over min-length prefix in index order — the expression's loop. */
+  private def dotPrefix(flat: Array[Double], off: Int, qLen: Int,
+      c: Array[Double]): Double = {
+    val n = math.min(qLen, c.length)
+    var d = 0.0; var i = 0
+    while (i < n) { d += flat(off + i) * c(i); i += 1 }
+    d
+  }
+
+  /** Collect + flatten the query side. `q` is pre-projected to
+    * (q_id long, qv array<double>[, q_label long]). Collecting here is the
+    * same driver-memory class as the `broadcast(q)` join hint this kernel
+    * replaces (broadcast also materializes the relation on the driver). */
+  private def collectBlock(q: DataFrame, labelAware: Boolean): Array[QBlock] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val rows: Array[(Long, Array[Double], Long)] =
+      if (labelAware)
+        q.select(col("q_id").as("_1"), col("qv").as("_2"), col("q_label").as("_3"))
+          .as[(Long, Array[Double], Long)].collect()
+      else
+        q.select(col("q_id").as("_1"), col("qv").as("_2"))
+          .as[(Long, Array[Double])].collect().map(t => (t._1, t._2, 0L))
+    val nq = rows.length
+    val ids = new Array[Long](nq)
+    val offs = new Array[Int](nq + 1)
+    val normSqrt = new Array[Double](nq)
+    val labels = if (labelAware) new Array[Long](nq) else null
+    var i = 0
+    while (i < nq) {
+      ids(i) = rows(i)._1
+      offs(i + 1) = offs(i) + rows(i)._2.length
+      normSqrt(i) = sqrtNormFull(rows(i)._2)
+      if (labelAware) labels(i) = rows(i)._3
+      i += 1
+    }
+    val flat = new Array[Double](offs(nq))
+    i = 0
+    while (i < nq) {
+      System.arraycopy(rows(i)._2, 0, flat, offs(i), rows(i)._2.length)
+      i += 1
+    }
+    Array(QBlock(ids, offs, flat, normSqrt, labels))
+  }
+
+  /** Split one collected block into ≤maxPerPass-sized sub-blocks. */
+  private def splitBlock(b: QBlock, maxPerPass: Int): Array[QBlock] = {
+    val nq = b.ids.length
+    if (nq <= maxPerPass) return Array(b)
+    (0 until nq by maxPerPass).map { start =>
+      val end = math.min(start + maxPerPass, nq)
+      val n = end - start
+      val offs = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { offs(i + 1) = offs(i) + (b.offs(start + i + 1) - b.offs(start + i)); i += 1 }
+      val flat = new Array[Double](offs(n))
+      System.arraycopy(b.flat, b.offs(start), flat, 0, offs(n))
+      QBlock(b.ids.slice(start, end), offs, flat,
+        b.normSqrt.slice(start, end),
+        if (b.labels == null) null else b.labels.slice(start, end))
+    }.toArray
+  }
+
+  // ------------------------------------------------------------- top-k
+  // Per-query bounded accumulator: a flattened array min-heap keyed by
+  // "badness" (cos asc, id desc) so the root is the eviction candidate.
+  // Entries are unique per (q, c), so (cos desc, id asc) is a TOTAL order
+  // and the per-partition top-k set is insertion-order-independent.
+
+  // true iff candidate (s1, i1) ranks WORSE than (s2, i2)
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  private final class Heaps(nq: Int, k: Int) {
+    val score = new Array[Double](nq * k)
+    val id = new Array[Long](nq * k)
+    val size = new Array[Int](nq)
+
+    def offer(qi: Int, cos: Double, cId: Long): Unit = {
+      val base = qi * k
+      val n = size(qi)
+      if (n < k) {
+        var j = n
+        score(base + j) = cos; id(base + j) = cId
+        while (j > 0 && worse(score(base + j), id(base + j),
+            score(base + (j - 1) / 2), id(base + (j - 1) / 2))) {
+          val p = (j - 1) / 2
+          val ts = score(base + j); val ti = id(base + j)
+          score(base + j) = score(base + p); id(base + j) = id(base + p)
+          score(base + p) = ts; id(base + p) = ti
+          j = p
+        }
+        size(qi) = n + 1
+      } else if (worse(score(base), id(base), cos, cId)) {
+        score(base) = cos; id(base) = cId
+        var j = 0
+        var done = false
+        while (!done) {
+          val l = 2 * j + 1; val r = l + 1
+          var w = j
+          if (l < k && worse(score(base + l), id(base + l), score(base + w), id(base + w))) w = l
+          if (r < k && worse(score(base + r), id(base + r), score(base + w), id(base + w))) w = r
+          if (w == j) done = true
+          else {
+            val ts = score(base + j); val ti = id(base + j)
+            score(base + j) = score(base + w); id(base + j) = id(base + w)
+            score(base + w) = ts; id(base + w) = ti
+            j = w
+          }
+        }
+      }
+    }
+  }
+
+  /** Tile-buffered corpus traversal: pulls up to [[Tile]] rows, hands each
+    * (query, tile) stripe to `perPair`. Norms are precomputed per corpus
+    * row (index order — identical accumulation to the fused expression). */
+  private def traverse(it: Iterator[(Long, Array[Double])], b: QBlock)(
+      perPair: (Int, Long, Array[Double], Double) => Unit): Unit = {
+    val nq = b.ids.length
+    val tileIds = new Array[Long](Tile)
+    val tileVecs = new Array[Array[Double]](Tile)
+    val tileNorms = new Array[Double](Tile)
+    while (it.hasNext) {
+      var t = 0
+      while (t < Tile && it.hasNext) {
+        val (cId, cv) = it.next()
+        tileIds(t) = cId; tileVecs(t) = cv; tileNorms(t) = sqrtNormFull(cv)
+        t += 1
+      }
+      var qi = 0
+      while (qi < nq) {
+        var u = 0
+        while (u < t) {
+          if (tileIds(u) != b.ids(qi)) // self-pairs never reach scoring
+            perPair(qi, tileIds(u), tileVecs(u), tileNorms(u))
+          u += 1
+        }
+        qi += 1
+      }
+    }
+  }
+
+  @inline private def cosOf(b: QBlock, qi: Int, cv: Array[Double],
+      cNormSqrt: Double): Double = {
+    val off = b.offs(qi)
+    val d = dotPrefix(b.flat, off, b.offs(qi + 1) - off, cv)
+    val denom = b.normSqrt(qi) * cNormSqrt
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  /** Per-partition exact top-k partials: (q_id, c_id, cos) rows, at most
+    * |Q|·k per partition, containing each query's partition-local top-k
+    * (a superset of its global top-k contribution). `q`/`c` pre-projected
+    * to (q_id/c_id long, qv/cv array<double>). */
+  private[graft] def topKPartials(q: DataFrame, c: DataFrame, k: Int,
+      maxQueriesPerPass: Int = DefaultMaxQueriesPerPass): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val blocks = splitBlock(collectBlock(q, labelAware = false).head, maxQueriesPerPass)
+    val corpus: Dataset[(Long, Array[Double])] =
+      c.select(col("c_id").as("_1"), col("cv").as("_2")).as[(Long, Array[Double])]
+    blocks.map { blk =>
+      val bc = spark.sparkContext.broadcast(blk)
+      corpus.mapPartitions { it =>
+        val b = bc.value
+        val nq = b.ids.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val heaps = new Heaps(nq, k)
+          traverse(it, b) { (qi, cId, cv, cNorm) =>
+            heaps.offer(qi, cosOf(b, qi, cv, cNorm), cId)
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until heaps.size(qi)).iterator.map { s =>
+              ScoredPair(b.ids(qi), heaps.id(qi * k + s), heaps.score(qi * k + s))
+            }
+          }
+        }
+      }.toDF("q_id", "c_id", "cos")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Label-aware partials for [[Similarity.hardNegatives]]: the different-
+    * label predicate runs INSIDE the kernel (same-label candidates never
+    * reach the heap), and the surviving rows carry `c_label` through to
+    * the TopKPerKey merge. */
+  private[graft] def hardNegativePartials(q: DataFrame, c: DataFrame, k: Int,
+      maxQueriesPerPass: Int = DefaultMaxQueriesPerPass): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val blocks = splitBlock(collectBlock(q, labelAware = true).head, maxQueriesPerPass)
+    val corpus: Dataset[(Long, Array[Double], Long)] =
+      c.select(col("c_id").as("_1"), col("cv").as("_2"), col("c_label").as("_3"))
+        .as[(Long, Array[Double], Long)]
+    blocks.map { blk =>
+      val bc = spark.sparkContext.broadcast(blk)
+      corpus.mapPartitions { it =>
+        val b = bc.value
+        val nq = b.ids.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val heaps = new Heaps(nq, k)
+          val heapLabels = new Array[Long](nq * k)
+          val h = new LabeledHeaps(nq, k, heaps, heapLabels)
+          val tileIds = new Array[Long](Tile)
+          val tileVecs = new Array[Array[Double]](Tile)
+          val tileNorms = new Array[Double](Tile)
+          val tileLabels = new Array[Long](Tile)
+          while (it.hasNext) {
+            var t = 0
+            while (t < Tile && it.hasNext) {
+              val (cId, cv, cLabel) = it.next()
+              tileIds(t) = cId; tileVecs(t) = cv
+              tileNorms(t) = sqrtNormFull(cv); tileLabels(t) = cLabel
+              t += 1
+            }
+            var qi = 0
+            while (qi < nq) {
+              var u = 0
+              while (u < t) {
+                if (tileIds(u) != b.ids(qi) && tileLabels(u) != b.labels(qi))
+                  h.offer(qi, cosOf(b, qi, tileVecs(u), tileNorms(u)),
+                    tileIds(u), tileLabels(u))
+                u += 1
+              }
+              qi += 1
+            }
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until heaps.size(qi)).iterator.map { s =>
+              ScoredLabeled(b.ids(qi), heaps.id(qi * k + s),
+                heapLabels(qi * k + s), heaps.score(qi * k + s))
+            }
+          }
+        }
+      }.toDF("q_id", "c_id", "c_label", "cos")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[Heaps]] with an extra long payload (the candidate label) mirrored
+    * through every sift move. */
+  private final class LabeledHeaps(nq: Int, k: Int, val inner: Heaps,
+      labels: Array[Long]) {
+    def offer(qi: Int, cos: Double, cId: Long, cLabel: Long): Unit = {
+      val base = qi * k
+      val n = inner.size(qi)
+      val score = inner.score; val id = inner.id
+      if (n < k) {
+        var j = n
+        score(base + j) = cos; id(base + j) = cId; labels(base + j) = cLabel
+        while (j > 0 && worse(score(base + j), id(base + j),
+            score(base + (j - 1) / 2), id(base + (j - 1) / 2))) {
+          val p = (j - 1) / 2
+          swap(base, j, p)
+          j = p
+        }
+        inner.size(qi) = n + 1
+      } else if (worse(score(base), id(base), cos, cId)) {
+        score(base) = cos; id(base) = cId; labels(base) = cLabel
+        var j = 0
+        var done = false
+        while (!done) {
+          val l = 2 * j + 1; val r = l + 1
+          var w = j
+          if (l < k && worse(score(base + l), id(base + l), score(base + w), id(base + w))) w = l
+          if (r < k && worse(score(base + r), id(base + r), score(base + w), id(base + w))) w = r
+          if (w == j) done = true
+          else { swap(base, j, w); j = w }
+        }
+      }
+    }
+    private def swap(base: Int, a: Int, bIx: Int): Unit = {
+      val score = inner.score; val id = inner.id
+      val ts = score(base + a); val ti = id(base + a); val tl = labels(base + a)
+      score(base + a) = score(base + bIx); id(base + a) = id(base + bIx)
+      labels(base + a) = labels(base + bIx)
+      score(base + bIx) = ts; id(base + bIx) = ti; labels(base + bIx) = tl
+    }
+  }
+
+  /** Exact radius matches: every (q, c) pair with cos ≥ minCos, raw cos
+    * (callers round). Output-sized — no heap, matches stream out as
+    * found. */
+  private[graft] def rangePartials(q: DataFrame, c: DataFrame,
+      minCos: Double,
+      maxQueriesPerPass: Int = DefaultMaxQueriesPerPass): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val blocks = splitBlock(collectBlock(q, labelAware = false).head, maxQueriesPerPass)
+    val corpus: Dataset[(Long, Array[Double])] =
+      c.select(col("c_id").as("_1"), col("cv").as("_2")).as[(Long, Array[Double])]
+    blocks.map { blk =>
+      val bc = spark.sparkContext.broadcast(blk)
+      corpus.mapPartitions { it =>
+        val b = bc.value
+        val nq = b.ids.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
+          traverse(it, b) { (qi, cId, cv, cNorm) =>
+            val cos = cosOf(b, qi, cv, cNorm)
+            if (cos >= minCos) out += ScoredPair(b.ids(qi), cId, cos)
+          }
+          out.iterator
+        }
+      }.toDF("q_id", "c_id", "cos")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Pair row from the bucketed self-join kernel (raw cos; callers
+    * round). */
+  private[graft] final case class BucketPair(id1: Long, id2: Long, cosine: Double)
+
+  /** Within-bucket all-pairs exact cosine ≥ threshold — the kernel form of
+    * the LSH near-dup verify stage ([[Dedup.embeddingNearDups]]): the
+    * bucketed self-equi-join materializes Σ_b |b|² join rows each paying
+    * row-iteration overhead around one fused-cosine eval; here the corpus
+    * shuffles ONCE on `bucket` (the same exchange the join needed anyway),
+    * each bucket's rows buffer into primitive arrays, and an i<j tight
+    * loop streams surviving pairs out. Pair orientation is canonical
+    * (id1 < id2), bit-identical to the join's `cosineFast` either way —
+    * IEEE multiply is commutative and both accumulations run in index
+    * order. Input pre-projected to (bucket long, vec_id long,
+    * v array<double>); output pairs carry the RAW cosine.
+    *
+    * Memory: one bucket's rows live in task memory at a time — the LSH
+    * plane count bounds bucket fan-in the same way it bounds the join's
+    * per-bucket quadratic cost; the standing-catalog tier (quarantine +
+    * prefix-filter re-route) is the path for buckets that outgrow either
+    * form. */
+  private[graft] def bucketedSelfPairs(keyed: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.select(col("bucket").cast("long").as("_1"),
+        col("vec_id").cast("long").as("_2"), col("v").as("_3"))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var bucket = 0L
+        def flush(): Iterator[BucketPair] = {
+          val n = ids.length
+          if (n < 2) { ids.clear(); vecs.clear(); norms.clear(); return Iterator.empty }
+          val out = scala.collection.mutable.ArrayBuffer.empty[BucketPair]
+          var i = 0
+          while (i < n) {
+            val vi = vecs(i); val ni = norms(i); val idi = ids(i)
+            var j = i + 1
+            while (j < n) {
+              val vj = vecs(j)
+              val m = math.min(vi.length, vj.length)
+              var d = 0.0; var x = 0
+              while (x < m) { d += vi(x) * vj(x); x += 1 }
+              val denom = ni * norms(j)
+              val cos = if (denom == 0.0) 0.0 else d / denom
+              if (cos >= threshold) {
+                val idj = ids(j)
+                if (idi < idj) out += BucketPair(idi, idj, cos)
+                else out += BucketPair(idj, idi, cos)
+              }
+              j += 1
+            }
+            i += 1
+          }
+          ids.clear(); vecs.clear(); norms.clear()
+          out.iterator
+        }
+        new Iterator[Iterator[BucketPair]] {
+          private var pending: Iterator[BucketPair] = Iterator.empty
+          def hasNext: Boolean = it.hasNext || ids.nonEmpty
+          def next(): Iterator[BucketPair] = {
+            while (it.hasNext) {
+              val (b, id, v) = it.next()
+              if (ids.nonEmpty && b != bucket) {
+                val flushed = flush()
+                bucket = b; ids += id; vecs += v; norms += sqrtNormFull(v)
+                return flushed
+              }
+              bucket = b; ids += id; vecs += v; norms += sqrtNormFull(v)
+            }
+            flush()
+          }
+        }.flatten
+      }
+      .toDF("id1", "id2", "cosine")
+  }
+
+  /** True iff every listed column is an integral type (the kernel widens
+    * ids/labels to long; non-integral frames take the join path). */
+  private[graft] def integral(df: DataFrame, cols: String*): Boolean =
+    cols.forall(n => df.schema(n).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+}

@@ -1084,14 +1084,28 @@ object Dedup {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val keyed = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes))
-      .persistTracked() // both join sides
-    val a = keyed.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
-    val b = keyed.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
-    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-      .distinct()
+    if (BlockedExact.integral(keyed, "vec_id")) {
+      // kernel verify stage (BlockedExact.bucketedSelfPairs): the corpus
+      // shuffles once on bucket — the exchange the self-join needed anyway
+      // — and each bucket scores its pairs in a tight i<j loop instead of
+      // materializing Σ|b|² join rows. Bit-identical pairs/cosines
+      // (DedupSpec gates equality against the join form).
+      val idType = keyed.schema("vec_id").dataType
+      BlockedExact.bucketedSelfPairs(keyed, threshold)
+        .select(col("id1").cast(idType).as("id1"),
+          col("id2").cast(idType).as("id2"),
+          round(col("cosine"), 6).as("cosine"))
+        .distinct()
+    } else {
+      val kp = keyed.persistTracked() // both join sides
+      val a = kp.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
+      val b = kp.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
+      a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+        .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .distinct()
+    }
   }
 
   /** STANDING EMBEDDING CATALOG — the semantic-dedup mirror of
@@ -1384,14 +1398,24 @@ object Dedup {
     * arithmetic, so a pair carries one value on either path). */
   private def bucketSelfJoinPairs(vecs: DataFrame,
       threshold: Double): DataFrame = {
-    val v = vecs.persistTracked()
-    v.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
-      .join(v.select(col("bucket"), col("vec_id").as("id2"),
-        col("v").as("v2")), Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    if (BlockedExact.integral(vecs, "vec_id")) {
+      // kernel verify stage (see embeddingNearDups): one shuffle on
+      // bucket, tight i<j loops per bucket, bit-identical pairs
+      val idType = vecs.schema("vec_id").dataType
+      BlockedExact.bucketedSelfPairs(vecs, threshold)
+        .select(col("id1").cast(idType).as("id1"),
+          col("id2").cast(idType).as("id2"),
+          round(col("cosine"), 6).as("cosine"))
+    } else {
+      val v = vecs.persistTracked()
+      v.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
+        .join(v.select(col("bucket"), col("vec_id").as("id2"),
+          col("v").as("v2")), Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    }
   }
 
   /** CATALOG NEAR-DUP PAIRS WITH HOT-BUCKET QUARANTINE — the mitigation

@@ -56,14 +56,34 @@ object Similarity {
     * corpus never shuffles; ranking is a k-bounded partial aggregation
     * ([[TopK.rankTopK]]) so the exchange carries O(|Q|·k·partitions) rows,
     * never the full |Q|·|C| scored set.
+    *
+    * Integral-id frames take the BLOCKED KERNEL ([[BlockedExact]]): the
+    * same plan shape (unshuffled corpus scan, broadcast queries, k-bounded
+    * exchange) but the |Q|·|C| scored pairs are never materialized as join
+    * rows — a tiled mapPartitions GEMM with per-query bounded heaps,
+    * bit-identical to the join + `graft_cosine` form (SimilaritySpec gates
+    * the equality). Non-integral ids (string UUIDs etc.) keep the
+    * join-scored path with surrogate ranking.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+    if (BlockedExact.integral(queries, "vec_id") &&
+        BlockedExact.integral(corpus, "vec_id")) {
+      val qIdType = queries.schema("vec_id").dataType
+      val q = queries.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val c = corpus.select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val partials = BlockedExact.topKPartials(q, c, k)
+        .withColumn("q_id", col("q_id").cast(qIdType))
+      TopK.rankTopK(partials, k)
+    } else {
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+      val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+      TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+    }
   }
 
   /** [[cosineTopK]] with the ranking planned through the CUSTOM PLAN NODE
@@ -102,14 +122,35 @@ object Similarity {
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
-      col("embedding").cast("array<double>").as("qv"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-      col("embedding").cast("array<double>").as("cv"))
-    val scored = c.join(broadcast(q),
-        col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
-      .select(col("q_id"), col("c_id"), col("c_label"),
-        cosineFast(col("qv"), col("cv")).as("cos"))
+    val scored =
+      if (BlockedExact.integral(queries, "vec_id", "label") &&
+          BlockedExact.integral(corpus, "vec_id", "label")) {
+        // blocked kernel (see cosineTopK): the different-label predicate
+        // runs inside the kernel, so same-label candidates never reach
+        // the heap — the partials feed the same TopKPerKey merge.
+        val qIdType = queries.schema("vec_id").dataType
+        val cIdType = corpus.schema("vec_id").dataType
+        val cLabelType = corpus.schema("label").dataType
+        val q = queries.select(col("vec_id").cast("long").as("q_id"),
+          col("label").cast("long").as("q_label"),
+          col("embedding").cast("array<double>").as("qv"))
+        val c = corpus.select(col("vec_id").cast("long").as("c_id"),
+          col("label").cast("long").as("c_label"),
+          col("embedding").cast("array<double>").as("cv"))
+        BlockedExact.hardNegativePartials(q, c, k)
+          .withColumn("q_id", col("q_id").cast(qIdType))
+          .withColumn("c_id", col("c_id").cast(cIdType))
+          .withColumn("c_label", col("c_label").cast(cLabelType))
+      } else {
+        val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").cast("array<double>").as("qv"))
+        val c = corpus.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("embedding").cast("array<double>").as("cv"))
+        c.join(broadcast(q),
+            col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+          .select(col("q_id"), col("c_id"), col("c_label"),
+            cosineFast(col("qv"), col("cv")).as("cos"))
+      }
     graft.plans.TopKPerKey.topKPerKey(scored,
         keyCols = Seq("q_id"), orderBy = Seq(("cos", false), ("c_id", true)), k = k)
       .select(col("q_id"), col("rank"), col("c_id"), col("c_label"),
@@ -262,15 +303,31 @@ object Similarity {
   def cosineRange(queries: DataFrame, corpus: DataFrame,
       minCos: Double): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qv"))
-    val c = corpus.select(col("vec_id").as("c_id"),
-      col("embedding").cast("array<double>").as("cv"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        cosineFast(col("qv"), col("cv")).as("cos"))
-      .filter(col("cos") >= lit(minCos))
-      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+    if (BlockedExact.integral(queries, "vec_id") &&
+        BlockedExact.integral(corpus, "vec_id")) {
+      // blocked kernel (see cosineTopK): the threshold runs inside the
+      // kernel on the raw cosine, matches stream out output-sized.
+      val qIdType = queries.schema("vec_id").dataType
+      val cIdType = corpus.schema("vec_id").dataType
+      val q = queries.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val c = corpus.select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      BlockedExact.rangePartials(q, c, minCos)
+        .select(col("q_id").cast(qIdType).as("q_id"),
+          col("c_id").cast(cIdType).as("c_id"),
+          round(col("cos"), 6).as("cos"))
+    } else {
+      val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val c = corpus.select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          cosineFast(col("qv"), col("cv")).as("cos"))
+        .filter(col("cos") >= lit(minCos))
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+    }
   }
 
   /** Range search over a BUILT IVF index (the scale tier): each query

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BlockedExact, Dedup, Similarity, TopK}
+
+/** The blocked exact-cosine kernel (graft.functions.BlockedExact) must be
+  * BIT-IDENTICAL to the join + `graft_cosine` expression path it replaces
+  * for integral-id frames — same doubles, same ranking, same rounding.
+  * Every test compares full collected row sets (cos compared as exact
+  * Double values, not with tolerance).
+  */
+class BlockedExactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def embeddings: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** The legacy join-scored exact top-k (the path non-integral ids still
+    * take), reconstructed here as the reference oracle. */
+  private def joinTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+    TopK.rankTopK(scored, k, candidateIds = Some(c.select(col("c_id"))))
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Double)] =
+    df.select(col("q_id").cast("long"), col("rank").cast("long"),
+        col("c_id").cast("long"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("cosineTopK blocked path equals the join path bit-for-bit on real embeddings") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    val blocked = rows(Similarity.cosineTopK(queries, emb, 5))
+    val joined = rows(joinTopK(queries, emb, 5))
+    assert(blocked == joined)
+    assert(blocked.nonEmpty)
+  }
+
+  test("multi-block query splitting (maxQueriesPerPass=3) changes nothing") {
+    val emb = embeddings
+    val q = emb.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").cast("long").as("c_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val one = rows(TopK.rankTopK(
+      BlockedExact.topKPartials(q, c, 5, maxQueriesPerPass = Int.MaxValue), 5))
+    val many = rows(TopK.rankTopK(
+      BlockedExact.topKPartials(q, c, 5, maxQueriesPerPass = 3), 5))
+    assert(one == many && one.nonEmpty)
+  }
+
+  test("ties break id-asc and zero vectors score 0, exactly like the expression") {
+    // duplicate vectors force exact cos ties; a zero vector forces the
+    // denom==0 guard; vec 9 is a zero-vector QUERY (all its cosines 0 —
+    // the whole ranking is one big tie broken purely by id)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(2.0f, 0.0f, 0.0f)),  // cos=1 vs 0 — ties with 2
+      (2L, Seq(3.0f, 0.0f, 0.0f)),  // cos=1 vs 0 — ties with 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f)),  // zero vector: cos 0 everywhere
+      (9L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id").isin(0L, 9L))
+    val blocked = rows(Similarity.cosineTopK(queries, vecs, 4))
+    val joined = rows(joinTopK(queries, vecs, 4))
+    assert(blocked == joined)
+    // and the tie order is visible: query 0's rank-1/2 are ids 1 then 2
+    val q0 = Similarity.cosineTopK(queries, vecs, 4)
+      .filter(col("q_id") === 0L).orderBy("rank")
+      .select("c_id").as[Long].collect().toSeq
+    assert(q0.take(2) == Seq(1L, 2L))
+  }
+
+  test("ragged vector lengths: tail elements count toward norms, like the expression") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 2.0f)),
+      (1L, Seq(1.0f, 2.0f, 5.0f)),  // longer: tail 5.0 inflates only its norm
+      (2L, Seq(1.0f)),
+      (3L, Seq(0.5f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0L)
+    assert(rows(Similarity.cosineTopK(queries, vecs, 3)) ==
+      rows(joinTopK(queries, vecs, 3)))
+  }
+
+  test("hardNegatives blocked path equals the join path (label predicate in-kernel)") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    // join-path reference, reconstructed
+    graft.plans.GraftFunctions.register(spark)
+    val q = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+      .select(col("q_id"), col("c_id"), col("c_label"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+    val ref = graft.plans.TopKPerKey.topKPerKey(scored,
+        keyCols = Seq("q_id"), orderBy = Seq(("cos", false), ("c_id", true)), k = 5)
+      .select(col("q_id").cast("long"), col("rank").cast("long"),
+        col("c_id").cast("long"), col("c_label").cast("long"),
+        round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val got = Similarity.hardNegatives(queries, emb, 5)
+      .select(col("q_id").cast("long"), col("rank").cast("long"),
+        col("c_id").cast("long"), col("c_label").cast("long"), col("cos"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+    // schema preserved: c_label keeps the corpus label type
+    assert(Similarity.hardNegatives(queries, emb, 5).schema("c_label").dataType ==
+      emb.schema("label").dataType)
+  }
+
+  test("cosineRange blocked path equals the join path, threshold on the raw cosine") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    graft.plans.GraftFunctions.register(spark)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val ref = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= lit(0.25))
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Similarity.cosineRange(queries, emb, minCos = 0.25)
+      .select(col("q_id").cast("long"), col("c_id").cast("long"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("embeddingNearDups kernel path equals the bucketed self-join bit-for-bit") {
+    val emb = embeddings
+    val got = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+        nPlanes = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // join-path reference, reconstructed
+    graft.plans.GraftFunctions.register(spark)
+    val keyed = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), 4))
+    val a = keyed.select(col("bucket"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = keyed.select(col("bucket"), col("vec_id").as("id2"), col("v").as("v2"))
+    val ref = a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("empty query set yields an empty, well-typed frame") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") < 0)
+    val out = Similarity.cosineTopK(queries, emb, 5)
+    assert(out.columns.toSeq == Seq("q_id", "rank", "c_id", "cos"))
+    assert(out.isEmpty)
+  }
+}

@@ -33,8 +33,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
   }
 
-  test("ann_cosine_topk: the query side broadcasts (corpus scanned once, unshuffled)") {
-    assert(planOf("ann_cosine_topk").contains("BroadcastNestedLoopJoin"))
+  test("ann_cosine_topk: blocked kernel directly over the unshuffled corpus scan") {
+    val plan = planOf("ann_cosine_topk")
+    // the exact tier scores through the BlockedExact mapPartitions kernel:
+    // no join operator materializes |Q|x|C| scored pairs, and nothing may
+    // shuffle the corpus BELOW the kernel — the only exchanges are the
+    // k-bounded merge and the output sort
+    assert(plan.contains("MapPartitions"), "exact tier lost the blocked kernel")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "exact scoring must not materialize the |Q|x|C| pair set as join rows")
+    val belowKernel = plan.substring(plan.indexOf("MapPartitions"))
+    assert(!belowKernel.contains("Exchange"),
+      "the corpus must reach the kernel unshuffled, straight off the scan")
   }
 
   test("ANN rankers: no full-window exchange on the scored pair set") {
@@ -90,17 +100,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "native ranking must not fall back to a window")
   }
 
-  test("ann_hard_negatives: label filter inside the broadcast join, plan-node ranking") {
+  test("ann_hard_negatives: blocked kernel scoring, plan-node ranking") {
     val plan = planOf("ann_hard_negatives")
     assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
       "hard-negative ranking lost the custom physical operators")
-    assert(plan.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    // scoring rides the label-aware blocked kernel (the different-label
+    // predicate runs INSIDE it — same-label candidates never reach the
+    // heap), so no join operator and no corpus shuffle below the kernel
+    assert(plan.contains("MapPartitions"), "hard negatives lost the blocked kernel")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "scoring must not materialize the pair set as join rows")
+    val belowKernel = plan.substring(plan.indexOf("MapPartitions"))
+    assert(!belowKernel.contains("Exchange"),
+      "the corpus must reach the kernel unshuffled, straight off the scan")
     assert(!plan.contains("Window"), "ranking must not fall back to a window")
-    // the label inequality must sit in the join condition (same-label
-    // candidates dropped at the probe), not in a post-join Filter over
-    // the scored pair set
-    assert("BroadcastNestedLoopJoin[^\\n]*label".r.findFirstIn(plan).isDefined,
-      "label predicate must ride in the join condition")
   }
 
   test("minhash_incremental: serves from the cached standing catalog, never re-derives it") {
