@@ -468,6 +468,112 @@ object BlockedExact {
       .toDF("id1", "id2", "cosine")
   }
 
+  /** Cross-side pairs within equal keys — the kernel form of the bucket
+    * equi-join between a standing catalog and an incremental batch
+    * ([[Dedup.incrementalEmbeddingNearDups]]): the join materializes
+    * Σ_b |all_b|·|batch_b| rows; here both sides shuffle once on `key`
+    * (the exchanges the equi-join needed anyway), the RIGHT (batch) group
+    * buffers into primitive arrays per key, and the left side streams
+    * against it in tight loops. Emits canonical (id1 < id2) pairs with
+    * cos ≥ threshold, raw cosine, left-id ≠ right-id. Symmetric
+    * duplicates (both endpoints in both sides) surface exactly as the
+    * join surfaced them — the caller's `.distinct()` folds them the same
+    * way. Inputs pre-projected to (key long, id long, v array<double>). */
+  private[graft] def keyedCrossPairs(left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, Long, Array[Double])] =
+      df.select(col("key").as("_1"), col("id").as("_2"), col("v").as("_3"))
+        .as[(Long, Long, Array[Double])]
+        .groupByKey(_._1)
+    prep(left).cogroup(prep(right)) { (_, ls, rs) =>
+      val rIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val rNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      rs.foreach { case (_, id, v) =>
+        rIds += id; rVecs += v; rNorms += sqrtNormFull(v)
+      }
+      if (rIds.isEmpty) Iterator.empty
+      else ls.flatMap { case (_, lid, lv) =>
+        val nl = sqrtNormFull(lv)
+        val out = scala.collection.mutable.ArrayBuffer.empty[BucketPair]
+        var j = 0
+        while (j < rIds.length) {
+          if (rIds(j) != lid) {
+            val rv = rVecs(j)
+            val m = math.min(lv.length, rv.length)
+            var d = 0.0; var x = 0
+            while (x < m) { d += lv(x) * rv(x); x += 1 }
+            val denom = nl * rNorms(j)
+            val cos = if (denom == 0.0) 0.0 else d / denom
+            if (cos >= threshold) {
+              if (lid < rIds(j)) out += BucketPair(lid, rIds(j), cos)
+              else out += BucketPair(rIds(j), lid, cos)
+            }
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id1", "id2", "cosine")
+  }
+
+  /** The quarantine hot-tier cell join as a kernel
+    * ([[Dedup.embeddingNearDupsQuarantined]]): probe rows (each vector
+    * duplicated at jcell ∈ {cell, cell+1}) cogroup with anchor rows on
+    * (bucket, jcell); the anchor group buffers, probes stream, and the
+    * join's dedup predicate (`cell ≠ jcell || id1 < id2` — same-cell
+    * pairs once by id order, Δcell=1 pairs once via the +1 probe) runs
+    * per pair in-loop. Canonical (least, greatest) orientation, raw
+    * cosine ≥ threshold. Probe pre-projected to (bucket long, jcell long,
+    * cell long, id long, v); anchor to (bucket long, jcell long, id long,
+    * v). */
+  private[graft] def cellCrossPairs(probe: DataFrame, anchor: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val p = probe.select(col("bucket").as("_1"), col("jcell").as("_2"),
+        col("cell").as("_3"), col("id").as("_4"), col("v").as("_5"))
+      .as[(Long, Long, Long, Long, Array[Double])]
+      .groupByKey(r => (r._1, r._2))
+    val a = anchor.select(col("bucket").as("_1"), col("jcell").as("_2"),
+        col("id").as("_3"), col("v").as("_4"))
+      .as[(Long, Long, Long, Array[Double])]
+      .groupByKey(r => (r._1, r._2))
+    p.cogroup(a) { case ((_, jcell), ps, as) =>
+      val aIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val aVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val aNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+      as.foreach { case (_, _, id, v) =>
+        aIds += id; aVecs += v; aNorms += sqrtNormFull(v)
+      }
+      if (aIds.isEmpty) Iterator.empty
+      else ps.flatMap { case (_, _, cell, pid, pv) =>
+        val np = sqrtNormFull(pv)
+        val out = scala.collection.mutable.ArrayBuffer.empty[BucketPair]
+        var j = 0
+        while (j < aIds.length) {
+          val aid = aIds(j)
+          if (cell != jcell || pid < aid) {
+            val av = aVecs(j)
+            val m = math.min(pv.length, av.length)
+            var d = 0.0; var x = 0
+            while (x < m) { d += pv(x) * av(x); x += 1 }
+            val denom = np * aNorms(j)
+            val cos = if (denom == 0.0) 0.0 else d / denom
+            if (cos >= threshold) {
+              if (pid < aid) out += BucketPair(pid, aid, cos)
+              else out += BucketPair(aid, pid, cos)
+            }
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id1", "id2", "cosine")
+  }
+
   /** True iff every listed column is an integral type (the kernel widens
     * ids/labels to long; non-integral frames take the join path). */
   private[graft] def integral(df: DataFrame, cols: String*): Boolean =

@@ -1192,16 +1192,35 @@ object Dedup {
     val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
     val all = index.vecs.select(col("bucket"), col("vec_id"), col("v"))
       .unionByName(b)
-    all.join(b.select(col("bucket"), col("vec_id").as("vid2"),
-        col("v").as("v2")), Seq("bucket"))
-      .filter(col("vec_id") =!= col("vid2"))
-      .select(least(col("vec_id"), col("vid2")).as("id1"),
-        greatest(col("vec_id"), col("vid2")).as("id2"),
-        col("v"), col("v2"))
-      .withColumn("cosine", Similarity.cosineFast(col("v"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-      .distinct()
+    if (BlockedExact.integral(all, "vec_id")) {
+      // kernel verify stage (BlockedExact.keyedCrossPairs): both sides
+      // shuffle once on bucket — the exchanges the equi-join needed
+      // anyway — the batch group buffers per bucket and the standing
+      // side streams against it; bit-identical pairs, and the same
+      // trailing distinct folds the batch-batch symmetric duplicates.
+      val idType = all.schema("vec_id").dataType
+      BlockedExact.keyedCrossPairs(
+          all.select(col("bucket").cast("long").as("key"),
+            col("vec_id").cast("long").as("id"), col("v")),
+          b.select(col("bucket").cast("long").as("key"),
+            col("vec_id").cast("long").as("id"), col("v")),
+          threshold)
+        .select(col("id1").cast(idType).as("id1"),
+          col("id2").cast(idType).as("id2"),
+          round(col("cosine"), 6).as("cosine"))
+        .distinct()
+    } else {
+      all.join(b.select(col("bucket"), col("vec_id").as("vid2"),
+          col("v").as("v2")), Seq("bucket"))
+        .filter(col("vec_id") =!= col("vid2"))
+        .select(least(col("vec_id"), col("vid2")).as("id1"),
+          greatest(col("vec_id"), col("vid2")).as("id2"),
+          col("v"), col("v2"))
+        .withColumn("cosine", Similarity.cosineFast(col("v"), col("v2")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .distinct()
+    }
   }
 
   /** Append a batch into the standing catalog (generation roll as in
@@ -1483,13 +1502,34 @@ object Dedup {
       explode(array(col("cell"), col("cell") + 1)).as("jcell"))
     val anchor = cells.select(col("bucket"), col("vec_id").as("id2"),
       col("v").as("v2"), col("cell").as("jcell"))
-    val hotPairs = probe.join(anchor, Seq("bucket", "jcell"))
-      .filter(col("cell1") =!= col("jcell") || col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .select(least(col("id1"), col("id2")).as("id1"),
-        greatest(col("id1"), col("id2")).as("id2"),
-        round(col("cosine"), 6).as("cosine"))
+    val hotPairs =
+      if (BlockedExact.integral(cells, "vec_id")) {
+        // kernel form of the cell join (BlockedExact.cellCrossPairs):
+        // probes cogroup with anchors on (bucket, jcell) — the same
+        // exchanges the equi-join planned — with the dedup predicate and
+        // threshold in-loop; bit-identical pair set
+        val idType = cells.schema("vec_id").dataType
+        BlockedExact.cellCrossPairs(
+            probe.select(col("bucket").cast("long").as("bucket"),
+              col("jcell").cast("long").as("jcell"),
+              col("cell1").cast("long").as("cell"),
+              col("id1").cast("long").as("id"), col("v1").as("v")),
+            anchor.select(col("bucket").cast("long").as("bucket"),
+              col("jcell").cast("long").as("jcell"),
+              col("id2").cast("long").as("id"), col("v2").as("v")),
+            threshold)
+          .select(col("id1").cast(idType).as("id1"),
+            col("id2").cast(idType).as("id2"),
+            round(col("cosine"), 6).as("cosine"))
+      } else {
+        probe.join(anchor, Seq("bucket", "jcell"))
+          .filter(col("cell1") =!= col("jcell") || col("id1") < col("id2"))
+          .withColumn("cosine", Similarity.cosineFast(col("v1"), col("v2")))
+          .filter(col("cosine") >= threshold)
+          .select(least(col("id1"), col("id2")).as("id1"),
+            greatest(col("id1"), col("id2")).as("id2"),
+            round(col("cosine"), 6).as("cosine"))
+      }
     coldPairs.unionByName(hotPairs).distinct()
   }
 

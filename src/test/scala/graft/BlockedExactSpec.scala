@@ -165,6 +165,49 @@ class BlockedExactSpec extends AnyFunSuite {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("incrementalEmbeddingNearDups kernel path equals the bucket equi-join bit-for-bit") {
+    val emb = embeddings
+    val standing = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val ix = Dedup.buildEmbIndex(standing, col("vec_id"), col("embedding"), nPlanes = 4)
+    val got = Dedup.incrementalEmbeddingNearDups(ix, batch,
+        col("vec_id"), col("embedding"), threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // join-path reference, reconstructed over the identical staged frames
+    graft.plans.GraftFunctions.register(spark)
+    val b = batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), 4))
+    val all = ix.vecs.select(col("bucket"), col("vec_id"), col("v")).unionByName(
+      b.select(col("bucket"), col("vec_id"), col("v")))
+    val ref = all.join(b.select(col("bucket"), col("vec_id").as("vid2"),
+        col("v").as("v2")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("vid2"))
+      .select(least(col("vec_id"), col("vid2")).as("id1"),
+        greatest(col("vec_id"), col("vid2")).as("id2"),
+        Similarity.cosineFast(col("v"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
+  test("quarantined hot-cell kernel equals the plain within-bucket pair set") {
+    // maxBucket=1 quarantines EVERY bucket, so the whole result flows
+    // through the cell kernel; losslessness says it must still equal the
+    // plain near-dup set bit-for-bit
+    val emb = embeddings
+    val ix = Dedup.buildEmbIndex(emb, col("vec_id"), col("embedding"), nPlanes = 4)
+    val quar = Dedup.embeddingNearDupsQuarantined(ix, threshold = 0.3, maxBucket = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+        nPlanes = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(quar == plain && quar.nonEmpty)
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
   test("empty query set yields an empty, well-typed frame") {
     val emb = embeddings
     val queries = emb.filter(col("vec_id") < 0)
