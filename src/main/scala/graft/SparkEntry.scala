@@ -2625,6 +2625,7 @@ object SparkEntry {
       // same construction as ann_range_recall)
       val rangeExact = Similarity.cosineRange(queries, emb, minCos = 0.3)
         .select(col("q_id"), col("c_id"), lit(1L).as("rhit"))
+        .persistTracked() // two consumers: the recall join and the size agg
       val nRangeExact = rangeExact.agg(count(lit(1)).as("n_exact"))
       val rangeRows =
         Seq("ann_range_search", "ann_range_rerank")

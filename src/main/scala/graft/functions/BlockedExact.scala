@@ -480,44 +480,15 @@ object BlockedExact {
     * join surfaced them — the caller's `.distinct()` folds them the same
     * way. Inputs pre-projected to (key long, id long, v array<double>). */
   private[graft] def keyedCrossPairs(left: DataFrame, right: DataFrame,
-      threshold: Double): DataFrame = {
-    val spark = left.sparkSession
-    import spark.implicits._
-    def prep(df: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, Long, Array[Double])] =
-      df.select(col("key").as("_1"), col("id").as("_2"), col("v").as("_3"))
-        .as[(Long, Long, Array[Double])]
-        .groupByKey(_._1)
-    prep(left).cogroup(prep(right)) { (_, ls, rs) =>
-      val rIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val rVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-      val rNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
-      rs.foreach { case (_, id, v) =>
-        rIds += id; rVecs += v; rNorms += sqrtNormFull(v)
-      }
-      if (rIds.isEmpty) Iterator.empty
-      else ls.flatMap { case (_, lid, lv) =>
-        val nl = sqrtNormFull(lv)
-        val out = scala.collection.mutable.ArrayBuffer.empty[BucketPair]
-        var j = 0
-        while (j < rIds.length) {
-          if (rIds(j) != lid) {
-            val rv = rVecs(j)
-            val m = math.min(lv.length, rv.length)
-            var d = 0.0; var x = 0
-            while (x < m) { d += lv(x) * rv(x); x += 1 }
-            val denom = nl * rNorms(j)
-            val cos = if (denom == 0.0) 0.0 else d / denom
-            if (cos >= threshold) {
-              if (lid < rIds(j)) out += BucketPair(lid, rIds(j), cos)
-              else out += BucketPair(rIds(j), lid, cos)
-            }
-          }
-          j += 1
-        }
-        out
-      }
-    }.toDF("id1", "id2", "cosine")
-  }
+      threshold: Double): DataFrame =
+    sidedCrossPairs(
+      left.select(col("key").as("k1"), lit(0L).as("k2"), lit(0L).as("cell"),
+        col("id"), col("v")),
+      right.select(col("key").as("k1"), lit(0L).as("k2"), col("id"), col("v")),
+      threshold,
+      // left-id ≠ right-id; both orientations may arrive (union-overlap
+      // endpoints) — canonical emit + the caller's distinct fold them
+      (_, _, lid, rid) => lid != rid)
 
   /** The quarantine hot-tier cell join as a kernel
     * ([[Dedup.embeddingNearDupsQuarantined]]): probe rows (each vector
@@ -530,48 +501,83 @@ object BlockedExact {
     * cell long, id long, v); anchor to (bucket long, jcell long, id long,
     * v). */
   private[graft] def cellCrossPairs(probe: DataFrame, anchor: DataFrame,
-      threshold: Double): DataFrame = {
-    val spark = probe.sparkSession
+      threshold: Double): DataFrame =
+    sidedCrossPairs(
+      probe.select(col("bucket").as("k1"), col("jcell").as("k2"),
+        col("cell"), col("id"), col("v")),
+      anchor.select(col("bucket").as("k1"), col("jcell").as("k2"),
+        col("id"), col("v")),
+      threshold,
+      // the cell join's dedup predicate: same-cell pairs once by id
+      // order, Δcell=1 pairs once via the +1 probe (cell ≠ jcell)
+      (cell, jcell, pid, aid) => cell != jcell || pid < aid)
+
+  /** Shared engine for [[keyedCrossPairs]]/[[cellCrossPairs]]: both sides
+    * union with a side tag, shuffle ONCE on the (k1, k2) key — the same
+    * exchange the equi-joins planned — and a within-partition row sort
+    * puts each key's RIGHT rows (side 0) before its LEFT rows (side 1),
+    * so the kernel buffers the right group and streams left rows against
+    * it with `pred(cellLeft, k2, leftId, rightId)` and the threshold
+    * in-loop. Rows stay in Tungsten format until the kernel (the earlier
+    * cogroup form serialized objects through its sort — measurably slower
+    * at every scale). Emits canonical (least, greatest) raw-cosine
+    * pairs. */
+  private def sidedCrossPairs(left: DataFrame, right: DataFrame,
+      threshold: Double,
+      pred: (Long, Long, Long, Long) => Boolean): DataFrame = {
+    val spark = left.sparkSession
     import spark.implicits._
-    val p = probe.select(col("bucket").as("_1"), col("jcell").as("_2"),
-        col("cell").as("_3"), col("id").as("_4"), col("v").as("_5"))
-      .as[(Long, Long, Long, Long, Array[Double])]
-      .groupByKey(r => (r._1, r._2))
-    val a = anchor.select(col("bucket").as("_1"), col("jcell").as("_2"),
-        col("id").as("_3"), col("v").as("_4"))
-      .as[(Long, Long, Long, Array[Double])]
-      .groupByKey(r => (r._1, r._2))
-    p.cogroup(a) { case ((_, jcell), ps, as) =>
-      val aIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val aVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-      val aNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
-      as.foreach { case (_, _, id, v) =>
-        aIds += id; aVecs += v; aNorms += sqrtNormFull(v)
-      }
-      if (aIds.isEmpty) Iterator.empty
-      else ps.flatMap { case (_, _, cell, pid, pv) =>
-        val np = sqrtNormFull(pv)
-        val out = scala.collection.mutable.ArrayBuffer.empty[BucketPair]
-        var j = 0
-        while (j < aIds.length) {
-          val aid = aIds(j)
-          if (cell != jcell || pid < aid) {
-            val av = aVecs(j)
-            val m = math.min(pv.length, av.length)
-            var d = 0.0; var x = 0
-            while (x < m) { d += pv(x) * av(x); x += 1 }
-            val denom = np * aNorms(j)
-            val cos = if (denom == 0.0) 0.0 else d / denom
-            if (cos >= threshold) {
-              if (pid < aid) out += BucketPair(pid, aid, cos)
-              else out += BucketPair(aid, pid, cos)
+    val r = right.select(col("k1").as("_1"), col("k2").as("_2"),
+      lit(0).as("_3"), lit(0L).as("_4"), col("id").as("_5"), col("v").as("_6"))
+    val l = left.select(col("k1").as("_1"), col("k2").as("_2"),
+      lit(1).as("_3"), col("cell").as("_4"), col("id").as("_5"), col("v").as("_6"))
+    r.unionByName(l)
+      .repartition(col("_1"), col("_2"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .as[(Long, Long, Int, Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val rIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val rVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val rNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var k1 = 0L; var k2 = 0L; var open = false
+        new Iterator[Iterator[BucketPair]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Iterator[BucketPair] = {
+            val (a, b, side, cell, id, v) = it.next()
+            if (!open || a != k1 || b != k2) {
+              rIds.clear(); rVecs.clear(); rNorms.clear()
+              k1 = a; k2 = b; open = true
+            }
+            if (side == 0) {
+              rIds += id; rVecs += v; rNorms += sqrtNormFull(v)
+              Iterator.empty
+            } else if (rIds.isEmpty) Iterator.empty
+            else {
+              val nl = sqrtNormFull(v)
+              val out = scala.collection.mutable.ArrayBuffer.empty[BucketPair]
+              var j = 0
+              while (j < rIds.length) {
+                val rid = rIds(j)
+                if (pred(cell, b, id, rid)) {
+                  val rv = rVecs(j)
+                  val m = math.min(v.length, rv.length)
+                  var d = 0.0; var x = 0
+                  while (x < m) { d += v(x) * rv(x); x += 1 }
+                  val denom = nl * rNorms(j)
+                  val cos = if (denom == 0.0) 0.0 else d / denom
+                  if (cos >= threshold) {
+                    if (id < rid) out += BucketPair(id, rid, cos)
+                    else out += BucketPair(rid, id, cos)
+                  }
+                }
+                j += 1
+              }
+              out.iterator
             }
           }
-          j += 1
-        }
-        out
+        }.flatten
       }
-    }.toDF("id1", "id2", "cosine")
+      .toDF("id1", "id2", "cosine")
   }
 
   /** True iff every listed column is an integral type (the kernel widens
