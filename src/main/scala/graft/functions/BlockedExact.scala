@@ -580,6 +580,135 @@ object BlockedExact {
       .toDF("id1", "id2", "cosine")
   }
 
+  /** One broadcast probe block: the distinct query matrix (same layout as
+    * [[QBlock]]) plus, per centroid id, the indexes of the queries
+    * probing it. */
+  private[graft] final case class ProbeBlock(ids: Array[Long], offs: Array[Int],
+      flat: Array[Double], normSqrt: Array[Double],
+      centQueries: Map[Long, Array[Int]])
+
+  private def collectProbes(probes: DataFrame): ProbeBlock = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val rows = probes.select(col("q_id").as("_1"), col("cent_id").as("_2"),
+        col("qv").as("_3"))
+      .as[(Long, Long, Array[Double])].collect()
+    val qIdx = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val cents = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    rows.foreach { case (qid, cent, qv) =>
+      val ix = qIdx.getOrElseUpdate(qid, { vecs += qv; vecs.length - 1 })
+      cents.getOrElseUpdate(cent, scala.collection.mutable.ArrayBuffer.empty) += ix
+    }
+    val nq = vecs.length
+    val ids = qIdx.keys.toArray
+    val offs = new Array[Int](nq + 1)
+    val normSqrt = new Array[Double](nq)
+    var i = 0
+    while (i < nq) {
+      offs(i + 1) = offs(i) + vecs(i).length
+      normSqrt(i) = sqrtNormFull(vecs(i))
+      i += 1
+    }
+    val flat = new Array[Double](offs(nq))
+    i = 0
+    while (i < nq) { System.arraycopy(vecs(i), 0, flat, offs(i), vecs(i).length); i += 1 }
+    ProbeBlock(ids, offs, flat, normSqrt,
+      cents.map { case (c, b) => c -> b.toArray }.toMap)
+  }
+
+  /** IVF probed-list exact scoring as a kernel
+    * ([[Similarity.ivfTopKIndexed]]): the probes→lists expansion join
+    * materialized |Q|·nProbe·(N/nc) candidate rows; here the probe table
+    * broadcasts as a cent→queries map — the SAME broadcast the join hint
+    * shipped — and the kernel streams the UNSHUFFLED inverted-lists scan,
+    * scoring each member only against the queries probing its list into
+    * per-query bounded heaps. Partials feed the unchanged
+    * [[TopK.rankTopK]] merge; the inverted lists partition the corpus, so
+    * each (q, c) pair is scored at most once globally and the
+    * per-partition top-k is an exact partial. Probes pre-projected to
+    * (q_id long, cent_id long, qv array<double>); inverted to
+    * (cent_id long, c_id long, cv array<double>). */
+  private[graft] def probedTopKPartials(probes: DataFrame,
+      inverted: DataFrame, k: Int): DataFrame = {
+    val spark = inverted.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectProbes(probes))
+    inverted.select(col("cent_id").as("_1"), col("c_id").as("_2"),
+        col("cv").as("_3"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nq = b.ids.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val heaps = new Heaps(nq, k)
+          it.foreach { case (cent, cId, cv) =>
+            b.centQueries.get(cent) match {
+              case Some(qIdxs) =>
+                val ny = sqrtNormFull(cv)
+                var u = 0
+                while (u < qIdxs.length) {
+                  val qi = qIdxs(u)
+                  if (b.ids(qi) != cId) {
+                    val off = b.offs(qi)
+                    val d = dotPrefix(b.flat, off, b.offs(qi + 1) - off, cv)
+                    val denom = b.normSqrt(qi) * ny
+                    heaps.offer(qi, if (denom == 0.0) 0.0 else d / denom, cId)
+                  }
+                  u += 1
+                }
+              case None => ()
+            }
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until heaps.size(qi)).iterator.map { s =>
+              ScoredPair(b.ids(qi), heaps.id(qi * k + s), heaps.score(qi * k + s))
+            }
+          }
+        }
+      }.toDF("q_id", "c_id", "cos")
+  }
+
+  /** Radius variant of [[probedTopKPartials]] ([[Similarity
+    * .ivfRangeIndexed]]): same probed traversal, matches with
+    * cos ≥ minCos stream out output-sized (raw cosine; callers round). */
+  private[graft] def probedRangePairs(probes: DataFrame,
+      inverted: DataFrame, minCos: Double): DataFrame = {
+    val spark = inverted.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectProbes(probes))
+    inverted.select(col("cent_id").as("_1"), col("c_id").as("_2"),
+        col("cv").as("_3"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val b = bc.value
+        if (b.ids.isEmpty) Iterator.empty
+        else it.flatMap { case (cent, cId, cv) =>
+          b.centQueries.get(cent) match {
+            case Some(qIdxs) =>
+              val ny = sqrtNormFull(cv)
+              val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
+              var u = 0
+              while (u < qIdxs.length) {
+                val qi = qIdxs(u)
+                if (b.ids(qi) != cId) {
+                  val off = b.offs(qi)
+                  val d = dotPrefix(b.flat, off, b.offs(qi + 1) - off, cv)
+                  val denom = b.normSqrt(qi) * ny
+                  val cos = if (denom == 0.0) 0.0 else d / denom
+                  if (cos >= minCos) out += ScoredPair(b.ids(qi), cId, cos)
+                }
+                u += 1
+              }
+              out
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("q_id", "c_id", "cos")
+  }
+
   /** True iff every listed column is an integral type (the kernel widens
     * ids/labels to long; non-integral frames take the join path). */
   private[graft] def integral(df: DataFrame, cols: String*): Boolean =

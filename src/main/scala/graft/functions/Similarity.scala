@@ -282,10 +282,28 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
     val probes = probeCentroids(q, index.centroids, nProbe)
-    val scored = probes.join(index.inverted, Seq("cent_id"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
-    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
+    if (BlockedExact.integral(queries, "vec_id") &&
+        BlockedExact.integral(index.inverted, "c_id")) {
+      // probed kernel (BlockedExact.probedTopKPartials): the probe table
+      // broadcasts as a cent→queries map — the same broadcast the join
+      // hint shipped — and each UNSHUFFLED list member scores only
+      // against the queries probing its list; no candidate join rows.
+      // Bit-identical (SimilaritySpec / the oracle gates).
+      val qIdType = queries.schema("vec_id").dataType
+      val partials = BlockedExact.probedTopKPartials(
+          probes.select(col("q_id").cast("long").as("q_id"),
+            col("cent_id").cast("long").as("cent_id"), col("qv")),
+          index.inverted.select(col("cent_id").cast("long").as("cent_id"),
+            col("c_id").cast("long").as("c_id"), col("cv")),
+          k)
+        .withColumn("q_id", col("q_id").cast(qIdType))
+      TopK.rankTopK(partials, k)
+    } else {
+      val scored = probes.join(index.inverted, Seq("cent_id"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+      TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
+    }
   }
 
   /** RADIUS (range) SEARCH, exact tier: every corpus vector within
@@ -350,12 +368,28 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
     val probes = probeCentroids(q, index.centroids, nProbe)
-    probes.join(index.inverted, Seq("cent_id"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        cosineFast(col("qv"), col("cv")).as("cos"))
-      .filter(col("cos") >= lit(minCos))
-      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+    if (BlockedExact.integral(queries, "vec_id") &&
+        BlockedExact.integral(index.inverted, "c_id")) {
+      // probed kernel, radius form (see ivfTopKIndexed)
+      val qIdType = queries.schema("vec_id").dataType
+      val cIdType = index.inverted.schema("c_id").dataType
+      BlockedExact.probedRangePairs(
+          probes.select(col("q_id").cast("long").as("q_id"),
+            col("cent_id").cast("long").as("cent_id"), col("qv")),
+          index.inverted.select(col("cent_id").cast("long").as("cent_id"),
+            col("c_id").cast("long").as("c_id"), col("cv")),
+          minCos)
+        .select(col("q_id").cast(qIdType).as("q_id"),
+          col("c_id").cast(cIdType).as("c_id"),
+          round(col("cos"), 6).as("cos"))
+    } else {
+      probes.join(index.inverted, Seq("cent_id"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          cosineFast(col("qv"), col("cv")).as("cos"))
+        .filter(col("cos") >= lit(minCos))
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"))
+    }
   }
 
   /** Coarse-quantizer Lloyd training, shared by [[ivfTopK]] and
@@ -399,6 +433,11 @@ object Similarity {
   /** Per-query nProbe nearest coarse centroids. A window is fine HERE:
     * the scored set is |Q|·nCentroids with nCentroids a small constant,
     * unlike corpus-sized rankings which use TopK.rankTopK. */
+  /** Test hook: the probe-selection stage alone (BlockedExactSpec
+    * reconstructs the join-scored serve against the kernel's). */
+  private[graft] def probeCentroidsForTest(q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = probeCentroids(q, centroids, nProbe)
+
   private def probeCentroids(q: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("cent_id").asc)

@@ -208,6 +208,40 @@ class BlockedExactSpec extends AnyFunSuite {
     graft.GraftCaches.unpersistAll(blocking = true)
   }
 
+  test("ivfTopKIndexed probed kernel equals the probes-join path bit-for-bit") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    val ix = Similarity.ivfIndexFor(emb, nCentroids = 4, lloydIters = 1)
+    val got = rows(Similarity.ivfTopKIndexed(queries, ix, 3, nProbe = 2))
+    // join-path reference, reconstructed over the same built index
+    graft.plans.GraftFunctions.register(spark)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val probes = Similarity.probeCentroidsForTest(q, ix.centroids, 2)
+    val scored = probes.join(ix.inverted, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+    val ref = rows(TopK.rankTopK(scored, 3,
+      candidateIds = Some(ix.corpus.select(col("c_id")))))
+    assert(got == ref && got.nonEmpty)
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
+  test("ivfRangeIndexed probed kernel stays lossless at full probe (≡ exact range)") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    val ix = Similarity.ivfIndexFor(emb, nCentroids = 4, lloydIters = 1)
+    val got = Similarity.ivfRangeIndexed(queries, ix, minCos = 0.25, nProbe = 4)
+      .select(col("q_id").cast("long"), col("c_id").cast("long"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineRange(queries, emb, minCos = 0.25)
+      .select(col("q_id").cast("long"), col("c_id").cast("long"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exact && got.nonEmpty)
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
   test("empty query set yields an empty, well-typed frame") {
     val emb = embeddings
     val queries = emb.filter(col("vec_id") < 0)

@@ -56,16 +56,24 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains("Window"), s"$name ranks via a window exchange")
       assert(plan.contains("ObjectHashAggregate"), s"$name lost the k-bounded aggregation")
     }
-    // ivf keeps exactly one window: probe selection over |Q|·nCentroids
-    // rows (constant-bounded); the corpus-sized ranking must not add one.
+    // ivf serves through the probed kernel: the probe table broadcasts as
+    // a cent→queries map (probe selection runs in its own collect job, so
+    // no window survives in the served plan), the inverted lists reach
+    // the kernel UNSHUFFLED, and ranking stays the k-bounded aggregation.
     val ivf = planOf("ann_ivf_topk")
     assert("\\bWindow\\b".r.findAllIn(ivf).length <= 2, "ivf grew a ranking window")
     assert(ivf.contains("ObjectHashAggregate"), "ivf lost the k-bounded aggregation")
-    // the cent_id candidate join has nCentroids distinct keys — a shuffle
-    // join on it would funnel the corpus through 16 reducers; the tiny
-    // probe side must broadcast, the inverted lists stay unshuffled
+    assert(ivf.contains("MapPartitions"), "ivf lost the probed kernel")
     assert(!ivf.contains("SortMergeJoin"),
-      "ivf serving must broadcast the probe side, never sort-merge the corpus")
+      "ivf serving must never sort-merge the corpus")
+    // no exchange between the kernel and its scan (the cached index's
+    // stored BUILD plan inside InMemoryRelation may carry exchanges —
+    // that's build cost, not serving; cut at the scan boundary)
+    val ivfBelowKernel = ivf.substring(ivf.indexOf("MapPartitions"))
+    val ivfScanAt = Seq("InMemoryTableScan", "FileScan")
+      .map(ivfBelowKernel.indexOf).filter(_ >= 0).min
+    assert(!ivfBelowKernel.substring(0, ivfScanAt).contains("Exchange"),
+      "the inverted lists must reach the kernel unshuffled")
     // pq keeps only the ksub-bounded seed window; scoring must be the
     // broadcast distance-table equi-join + k-bounded aggregation.
     val pq = planOf("ann_pq_topk")
