@@ -709,6 +709,75 @@ object BlockedExact {
       }.toDF("q_id", "c_id", "cos")
   }
 
+  /** Broadcast per-query ADC tables ([[Similarity.pqTopKIndexed]]):
+    * `ip(q)(sub)(code)` / `cn2(q)(sub)(code)` integer nano-unit tables
+    * plus the query norm. */
+  private[graft] final case class AdcBlock(ids: Array[Long],
+      ip: Array[Array[Array[Long]]], cn2: Array[Array[Array[Long]]],
+      qnorm: Array[Double])
+
+  /** Plain-PQ ADC scoring as a kernel: the pivoted projection evaluated
+    * one row per (q, c) pair — `graft_adc_fold` is a tight codegen loop,
+    * but the |Q|·|C| row stream around it still dominates. The kernel
+    * broadcasts the per-query tables (collected from the same pivot
+    * aggregation the broadcast join shipped), streams the UNSHUFFLED
+    * pivoted-codes scan, and folds both integer sums per pair in-loop.
+    * Integer addition is exactly associative, so the sums — and the
+    * reconstructed cosine, same guard and arithmetic as the `pqCos`
+    * column — are bit-identical however the work is grouped. Partials
+    * feed the unchanged k-bounded merge. `qtabs` pre-projected to
+    * (q_id long, ip_tab array<array<long>>, cn2_tab array<array<long>>,
+    * qnorm double); codes to (c_id long, codes array<int>). */
+  private[graft] def adcTopKPartials(qtabs: DataFrame, pivotedCodes: DataFrame,
+      k: Int): DataFrame = {
+    val spark = pivotedCodes.sparkSession
+    import spark.implicits._
+    val rows = qtabs
+      .select(col("q_id").as("_1"), col("ip_tab").as("_2"),
+        col("cn2_tab").as("_3"), col("qnorm").as("_4"))
+      .as[(Long, Array[Array[Long]], Array[Array[Long]], Double)].collect()
+    val block = AdcBlock(rows.map(_._1), rows.map(_._2), rows.map(_._3),
+      rows.map(_._4))
+    val bc = spark.sparkContext.broadcast(block)
+    pivotedCodes.select(col("c_id").as("_1"), col("codes").as("_2"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nq = b.ids.length
+        if (nq == 0 || !it.hasNext) Iterator.empty
+        else {
+          val heaps = new Heaps(nq, k)
+          it.foreach { case (cId, codes) =>
+            var qi = 0
+            while (qi < nq) {
+              if (b.ids(qi) != cId) {
+                val ip = b.ip(qi); val cn = b.cn2(qi)
+                var ipSum = 0L; var cnSum = 0L
+                var s = 0
+                while (s < codes.length) {
+                  val code = codes(s)
+                  ipSum += ip(s)(code); cnSum += cn(s)(code)
+                  s += 1
+                }
+                val qn = b.qnorm(qi)
+                val cos =
+                  if (cnSum > 0L && qn > 0.0)
+                    (ipSum.toDouble / 1e9) / (qn * math.sqrt(cnSum.toDouble / 1e9))
+                  else 0.0
+                heaps.offer(qi, cos, cId)
+              }
+              qi += 1
+            }
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until heaps.size(qi)).iterator.map { s =>
+              ScoredPair(b.ids(qi), heaps.id(qi * k + s), heaps.score(qi * k + s))
+            }
+          }
+        }
+      }.toDF("q_id", "c_id", "cos")
+  }
+
   /** True iff every listed column is an integral type (the kernel widens
     * ids/labels to long; non-integral frames take the join path). */
   private[graft] def integral(df: DataFrame, cols: String*): Boolean =

@@ -653,17 +653,57 @@ object Similarity {
     * Plans zero training jobs. */
   def pqTopKIndexed(queries: DataFrame, index: PqIndex, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
+    val qtabs = pqQueryTables(queries, index)
+    if (BlockedExact.integral(queries, "vec_id") &&
+        BlockedExact.integral(index.corpus, "c_id")) {
+      // ADC kernel (BlockedExact.adcTopKPartials): the per-query tables
+      // broadcast as collected arrays — the same pivot aggregation the
+      // join hint shipped — and both integer folds run in-loop over the
+      // unshuffled pivoted-codes scan; exact 64-bit sums, bit-identical
+      // cosine (BlockedExactSpec / the oracle gates).
+      val qIdType = queries.schema("vec_id").dataType
+      val partials = BlockedExact.adcTopKPartials(
+          qtabs.select(col("q_id").cast("long").as("q_id"),
+            col("ip_tab"), col("cn2_tab"), col("qnorm")),
+          pivotedCodesFrame(index.codes)
+            .select(col("c_id").cast("long").as("c_id"), col("codes")),
+          k)
+        .withColumn("q_id", col("q_id").cast(qIdType))
+      TopK.rankTopK(partials, k)
+    } else pqTopKIndexedJoinPath(qtabs, index, k)
+  }
+
+  /** The pivoted-projection join serve (the path non-integral ids take).
+    * Test hook [[pqTopKIndexedJoinPathForTest]] forces it on integral
+    * frames so BlockedExactSpec can pin kernel ≡ join on one index. */
+  private def pqTopKIndexedJoinPath(qtabs: DataFrame, index: PqIndex,
+      k: Int): DataFrame = {
+    val scored = pivotedCodesFrame(index.codes)
+      .join(broadcast(qtabs), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        expr("graft_adc_fold(codes, ip_tab)").as("ip_sum"),
+        expr("graft_adc_fold(codes, cn2_tab)").as("cn2_sum"),
+        col("qnorm"))
+      .select(col("q_id"), col("c_id"), pqCos)
+    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
+  }
+
+  private[graft] def pqTopKIndexedJoinPathForTest(queries: DataFrame,
+      index: PqIndex, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    pqTopKIndexedJoinPath(pqQueryTables(queries, index), index, k)
+  }
+
+  /** PIVOTED PQ-ADC query tables (same rewrite as [[ivfPqAdcScored]]):
+    * the per-query distance tables fold to array[sub][code] lookups
+    * (codebook cents are contiguous per sub, so a sorted collect is
+    * positional). Integer sums reorder only: bit-identical cos, same
+    * unrounded ranking input. */
+  private def pqQueryTables(queries: DataFrame, index: PqIndex): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
-    // PIVOTED PQ-ADC (same rewrite as [[ivfPqAdcScored]]): the per-query
-    // distance tables fold to array[sub][code] lookups (codebook cents
-    // are contiguous per sub, so a sorted collect is positional) and the
-    // score is a native-codegen projection over ONE row per (q, vector)
-    // pair — the normalized form joined m code rows per pair through a
-    // 2-key broadcast probe and a (q,c) hash aggregation. Integer sums
-    // reorder only: bit-identical cos, same unrounded ranking input.
     val dt = pqAdcTable(q, index.codebook, index.m)
-    val qtabs = dt
+    dt
       .groupBy(col("q_id"), col("dt_sub"))
       .agg(array_sort(collect_list(struct(col("dt_cent"), col("ip_e9")))).as("ips"),
         array_sort(collect_list(struct(col("dt_cent"), col("cn2_e9")))).as("cns"),
@@ -677,14 +717,6 @@ object Similarity {
         first(col("qnorm")).as("qnorm"))
       .select(col("q_id"), col("ia.ipArr").as("ip_tab"),
         col("ca.cnArr").as("cn2_tab"), col("qnorm"))
-    val scored = pivotedCodesFrame(index.codes)
-      .join(broadcast(qtabs), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        expr("graft_adc_fold(codes, ip_tab)").as("ip_sum"),
-        expr("graft_adc_fold(codes, cn2_tab)").as("cn2_sum"),
-        col("qnorm"))
-      .select(col("q_id"), col("c_id"), pqCos)
-    TopK.rankTopK(scored, k, candidateIds = Some(index.corpus.select(col("c_id"))))
   }
 
   private def pqDsubOf(v: Column, m: Int) = floor(size(v) / m).cast("int")

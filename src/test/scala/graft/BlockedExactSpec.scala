@@ -242,6 +242,20 @@ class BlockedExactSpec extends AnyFunSuite {
     graft.GraftCaches.unpersistAll(blocking = true)
   }
 
+  test("pqTopKIndexed ADC kernel equals the pivoted-projection join bit-for-bit") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    // same oracle trick as SimilaritySpec's PQ degeneracy pin: with
+    // lloydIters=0 and huge ksub every vector is its own codeword, so
+    // BOTH paths must also equal exact search — but here we compare the
+    // two ADC paths against each other at a real compressed geometry
+    val ix = Similarity.pqIndexFor(emb, m = 4, ksub = 8, lloydIters = 1)
+    val got = rows(Similarity.pqTopKIndexed(queries, ix, 5))
+    val ref = rows(Similarity.pqTopKIndexedJoinPathForTest(queries, ix, 5))
+    assert(got == ref && got.nonEmpty)
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
   test("empty query set yields an empty, well-typed frame") {
     val emb = embeddings
     val queries = emb.filter(col("vec_id") < 0)
