@@ -132,27 +132,38 @@ object Bench {
       // weeks of samples once (round 9) — so read the prior record and merge:
       // min of mins, max of maxes, n summed; setup floats take the min.
       val path = java.nio.file.Paths.get("bench_queries.json")
-      val prior: Map[String, Either[Double, (Double, Double, Int)]] =
+      // row shape: (min, max, n, last) — `last` is the MOST RECENT full
+      // run's min-of-samples, NOT folded: fold-by-min is the durable
+      // contention-proof record, but it masks deliberate current-state
+      // costs (e.g. a kernel's fixed overhead a later round removed), so
+      // round-over-round comparisons read `last` while scale exponents
+      // keep reading `min`.
+      val objRe = (""""([^"]+)"\s*:\s*\{\s*"min"\s*:\s*([-0-9.eE]+)\s*,\s*""" +
+        """"max"\s*:\s*([-0-9.eE]+)\s*,\s*"n"\s*:\s*(\d+)""" +
+        """(?:\s*,\s*"last"\s*:\s*([-0-9.eE]+))?\s*\}""").r
+      val prior: Map[String, Either[Double, (Double, Double, Int, Option[Double])]] =
         if (java.nio.file.Files.exists(path)) {
           val text = java.nio.file.Files.readString(path)
-          val objRe = """"([^"]+)"\s*:\s*\{\s*"min"\s*:\s*([-0-9.eE]+)\s*,\s*"max"\s*:\s*([-0-9.eE]+)\s*,\s*"n"\s*:\s*(\d+)\s*\}""".r
           val fltRe = """"(setup:[^"]+)"\s*:\s*([-0-9.eE]+)""".r
           val objs = objRe.findAllMatchIn(text).map(m =>
-            m.group(1) -> Right[Double, (Double, Double, Int)](
-              (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toInt))).toMap
+            m.group(1) -> Right[Double, (Double, Double, Int, Option[Double])](
+              (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toInt,
+                Option(m.group(5)).map(_.toDouble)))).toMap
           val flts = fltRe.findAllMatchIn(text).map(m =>
-            m.group(1) -> Left[Double, (Double, Double, Int)](m.group(2).toDouble)).toMap
+            m.group(1) -> Left[Double, (Double, Double, Int, Option[Double])](
+              m.group(2).toDouble)).toMap
           objs ++ flts
         } else Map.empty
       // an errored query's samples never enter the ledger — a failure-path
       // duration folded as a "min" would be indistinguishable from a real
       // speedup; its prior record survives via the untouched pass-through
       val errored = errors.map(_._1).toSet
-      val mergedQ: Map[String, (Double, Double, Int)] =
+      val mergedQ: Map[String, (Double, Double, Int, Option[Double])] =
         results.filterNot { case (k, _) => errored(k) }.map { case (k, (mn, mx, n)) =>
           prior.get(k) match {
-            case Some(Right((pmn, pmx, pn))) => k -> ((math.min(pmn, mn), math.max(pmx, mx), pn + n))
-            case _ => k -> ((mn, mx, n))
+            case Some(Right((pmn, pmx, pn, _))) =>
+              k -> ((math.min(pmn, mn), math.max(pmx, mx), pn + n, Some(mn)))
+            case _ => k -> ((mn, mx, n, Some(mn)))
           }
         }.toMap
       val mergedS: Map[String, Double] =
@@ -168,13 +179,17 @@ object Bench {
       // drop history)
       val untouched = prior.filterNot { case (k, _) =>
         mergedQ.contains(k) || mergedS.contains(k) }
+      def objLine(k: String, mn: Double, mx: Double, n: Int,
+          last: Option[Double]): String = {
+        val lastPart = last.map(v => f""", "last": $v%.6f""").getOrElse("")
+        f""""$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n$lastPart}"""
+      }
       val lines =
-        (mergedQ.map { case (k, (mn, mx, n)) =>
-            k -> f""""$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n}""" } ++
+        (mergedQ.map { case (k, (mn, mx, n, last)) =>
+            k -> objLine(k, mn, mx, n, last) } ++
          mergedS.map { case (k, v) => k -> f""""$k": $v%.6f""" } ++
          untouched.map {
-           case (k, Right((mn, mx, n))) =>
-             k -> f""""$k": {"min": $mn%.6f, "max": $mx%.6f, "n": $n}"""
+           case (k, Right((mn, mx, n, last))) => k -> objLine(k, mn, mx, n, last)
            case (k, Left(v)) => k -> f""""$k": $v%.6f"""
          }).toSeq.sortBy(_._1).map("  " + _._2)
       java.nio.file.Files.writeString(path, lines.mkString("{\n", ",\n", "\n}\n"))

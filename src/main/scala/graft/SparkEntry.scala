@@ -663,12 +663,18 @@ object SparkEntry {
 
     // ---------------------------------------------------------------
     // North-star: embedding-cosine near-duplicate pairs via hyperplane-LSH
-    // buckets (fixture-gated: bucket hashing is engine-specific).
+    // buckets (fixture-gated: bucket hashing is engine-specific), at the
+    // SCALE-ADAPTIVE plane count (Dedup.autoPlanes — bucket occupancy held
+    // at a constant target, so in-bucket verify is linear per decade
+    // instead of the pinned-p quadratic that measured exp 0.98 at ×100).
+    // At gate scale the derivation resolves to exactly the committed
+    // nPlanes=4 geometry, so the committed fixture stays the oracle —
+    // the dedup_auto_banding trick on the embedding tier.
     "embedding_neardups" -> ((s, dir) => {
       // synthetic random embeddings top out near cos 0.46 — 0.3 keeps the
       // candidate-verify path non-trivially exercised
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir),
-          col("vec_id"), col("embedding"), nPlanes = 4, threshold = 0.3)
+      Dedup.embeddingNearDupsAuto(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), threshold = 0.3)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -1737,6 +1743,22 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)), everyN = 64)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // IMAGE NEAR-DUP DEDUP over REAL PNG payloads — the multimodal mandate
+    // at the same first-class depth as the text tier: a deterministic
+    // synthetic PNG corpus (groups of 8 consecutive ids share a base
+    // pattern; members add member-scaled pixel noise — real encoder, real
+    // bytes) flows decode → 8×8 perceptual hash (aHash, exact integer
+    // thresholding) → the SAME 4×16-bit banded machinery as simhash_pairs
+    // → exact-Hamming verify. Fixture-gated (PNG encode + hash are
+    // engine-specific); group size is constant so candidate work is
+    // linear in N at every scale.
+    "mm_phash_neardups" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngMedia(
+        Tables.documents(s, dir).select(col("doc_id")))
+      Multimodal.phashNearDups(media, maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
     }),
 
     // ---------------------------------------------------------------
@@ -5087,6 +5109,10 @@ object SparkEntry {
     fixture("e13_bf_score", "image_id"),
     fixture("g2_dense_segment", "image_id"),
     fixture("mm_media_features", "media_id"),
+    // real-PNG perceptual-hash near-dups: PNG encode + aHash + banding are
+    // engine-specific, so the committed fixture is the oracle (bit-stable:
+    // integer hash thresholds, exact Hamming verify)
+    fixture("mm_phash_neardups", "id1, id2"),
     fixture("m5_dense_kernels", "image_id"),
     fixture("minhash_lsh_pairs", "id1, id2"),
     // incremental ≡ full-run restricted to batch-touching pairs — the

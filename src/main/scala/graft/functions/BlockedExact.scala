@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import scala.collection.concurrent.TrieMap
+
 /** Blocked exact-cosine scoring kernel — the GEMM-shaped fast path behind
   * [[Similarity.cosineTopK]] / [[Similarity.hardNegatives]] /
   * [[Similarity.cosineRange]] for integral-id frames.
@@ -70,6 +72,74 @@ object BlockedExact {
     * one extra corpus pass per block. */
   val DefaultMaxQueriesPerPass: Int = 1 << 18
 
+  // --------------------------------------------------- serving-route budgets
+  /** Default cap on the kernel's driver-side query collect, in DOUBLES
+    * (|Q|·d): 2²⁸ doubles ≈ 2 GiB. The broadcast-join hint the kernel
+    * replaced had the same driver-memory class, but it failed late and
+    * unpredictably; the kernel enforces the bound UP FRONT — above it the
+    * entry points take the shuffled join path, whose memory is
+    * executor-distributed. Override per session via the
+    * `graft.kernel.maxQueryDoubles` conf. */
+  val DefaultMaxQueryDoubles: Long = 1L << 28
+
+  /** Default small-corpus cutover, in corpus ROWS: below it the kernel's
+    * fixed overhead (the eager collect job + the kernel job graph,
+    * measured 0.3–1.3 s per exact pass at sf0.1 — BENCH_NOTES_r11) costs
+    * more than the join-row iteration it saves, so the entry points serve
+    * through the join path. 10⁴ sits between the sf0.1 gate corpora
+    * (2×10³, where the join path wins) and the ×10 scale corpora (2×10⁴,
+    * where the kernel's measured wins start). Override via the
+    * `graft.kernel.minCorpusRows` conf (tests pin it to 0 to audit kernel
+    * plan shapes on sf0.001 fixtures). */
+  val DefaultMinCorpusRows: Long = 10000L
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  /** Memoized route probes: the eligibility decision runs real (thin,
+    * bounded) jobs, and serving gates re-pose the same frames many times
+    * per session — keyed by the ANALYZED plan's semantic hash like the
+    * index memos, cleared with the artifact tier. */
+  private val probeMemo = TrieMap.empty[(Int, Int, String), Long]
+  graft.GraftCaches.onArtifactRelease(() => probeMemo.clear())
+
+  private def memoProbe(df: DataFrame, tag: String)(job: => Long): Long =
+    probeMemo.getOrElseUpdate(
+      (System.identityHashCode(df.sparkSession),
+        df.queryExecution.analyzed.semanticHash(), tag), job)
+
+  /** Total doubles in the query side's vector column — one thin aggregate
+    * over `qv` only (column-pruned; linear in |Q|, which is exactly the
+    * quantity being bounded). */
+  private[graft] def queryDoubles(qVecs: DataFrame): Long =
+    memoProbe(qVecs, "qdoubles") {
+      qVecs.agg(coalesce(sum(size(col("qv")).cast("long")), lit(0L)))
+        .head().getLong(0)
+    }
+
+  /** True iff the corpus has at least `n` rows — a `limit(n)` count, so
+    * the probe reads at most n thin rows however large the corpus is
+    * (never a full-corpus count to make a routing decision). */
+  private[graft] def corpusAtLeast(c: DataFrame, n: Long): Boolean =
+    n <= 0L || memoProbe(c, s"atleast$n") {
+      c.select(lit(1).as("one")).limit(n.toInt).count()
+    } >= n
+
+  /** The SIZE gate of the kernel route (the type gate is [[integral]]):
+    * the corpus is big enough that the kernel's fixed overhead pays for
+    * itself, AND the query matrix fits the driver-collect budget. The
+    * fallback is therefore size-triggered, not only type-triggered — a
+    * |Q|-proportional workload can never capsize the driver, it degrades
+    * to the executor-distributed join path. NOTE these probes run real
+    * jobs at DataFrame-CONSTRUCTION time (see the eager-evaluation note
+    * on [[Similarity.cosineTopK]]). `qVecs` carries a single `qv`
+    * array column. */
+  private[graft] def kernelEligible(qVecs: DataFrame, corpus: DataFrame): Boolean =
+    corpusAtLeast(corpus,
+      confLong(corpus, "graft.kernel.minCorpusRows", DefaultMinCorpusRows)) &&
+    queryDoubles(qVecs) <=
+      confLong(qVecs, "graft.kernel.maxQueryDoubles", DefaultMaxQueryDoubles)
+
   private def sqrtNormFull(v: Array[Double]): Double = {
     var n = 0.0; var i = 0
     while (i < v.length) { val x = v(i); n += x * x; i += 1 }
@@ -86,9 +156,11 @@ object BlockedExact {
   }
 
   /** Collect + flatten the query side. `q` is pre-projected to
-    * (q_id long, qv array<double>[, q_label long]). Collecting here is the
-    * same driver-memory class as the `broadcast(q)` join hint this kernel
-    * replaces (broadcast also materializes the relation on the driver). */
+    * (q_id long, qv array<double>[, q_label long]). Driver memory here is
+    * BOUNDED by construction: every entry point routes through
+    * [[kernelEligible]], which measures |Q|·d first and falls back to the
+    * executor-distributed join path above the `graft.kernel.maxQueryDoubles`
+    * budget — this collect only ever sees a frame already inside it. */
   private def collectBlock(q: DataFrame, labelAware: Boolean): Array[QBlock] = {
     val spark = q.sparkSession
     import spark.implicits._
@@ -145,9 +217,16 @@ object BlockedExact {
   // Entries are unique per (q, c), so (cos desc, id asc) is a TOTAL order
   // and the per-partition top-k set is insertion-order-independent.
 
-  // true iff candidate (s1, i1) ranks WORSE than (s2, i2)
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // true iff candidate (s1, i1) ranks WORSE than (s2, i2). Scores compare
+  // via Double.compare — the TOTAL order (NaN greatest, -0.0 < 0.0) the
+  // downstream TopKByScore/TopKPerKey merges sort with; raw IEEE < / ==
+  // would let a NaN or -0.0 cosine survive/evict differently in this
+  // per-partition prefilter than in the merge on pathological inputs.
+  // On normal doubles the two orders agree, so results are unchanged.
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private final class Heaps(nq: Int, k: Int) {
     val score = new Array[Double](nq * k)
@@ -358,8 +437,11 @@ object BlockedExact {
   }
 
   /** Exact radius matches: every (q, c) pair with cos ≥ minCos, raw cos
-    * (callers round). Output-sized — no heap, matches stream out as
-    * found. */
+    * (callers round). Output-sized AND emission-streamed: matches leave
+    * the task per corpus TILE (≤ |Q|·Tile rows buffered at once), never
+    * accumulated for a whole partition — a low minCos over a large
+    * partition must not concentrate its result set in task heap (the
+    * join form it replaced streamed matches; this keeps that property). */
   private[graft] def rangePartials(q: DataFrame, c: DataFrame,
       minCos: Double,
       maxQueriesPerPass: Int = DefaultMaxQueriesPerPass): DataFrame = {
@@ -374,14 +456,34 @@ object BlockedExact {
         val b = bc.value
         val nq = b.ids.length
         if (nq == 0 || !it.hasNext) Iterator.empty
-        else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
-          traverse(it, b) { (qi, cId, cv, cNorm) =>
-            val cos = cosOf(b, qi, cv, cNorm)
-            if (cos >= minCos) out += ScoredPair(b.ids(qi), cId, cos)
+        else new Iterator[Iterator[ScoredPair]] {
+          private val tileIds = new Array[Long](Tile)
+          private val tileVecs = new Array[Array[Double]](Tile)
+          private val tileNorms = new Array[Double](Tile)
+          def hasNext: Boolean = it.hasNext
+          def next(): Iterator[ScoredPair] = {
+            var t = 0
+            while (t < Tile && it.hasNext) {
+              val (cId, cv) = it.next()
+              tileIds(t) = cId; tileVecs(t) = cv; tileNorms(t) = sqrtNormFull(cv)
+              t += 1
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
+            var qi = 0
+            while (qi < nq) {
+              var u = 0
+              while (u < t) {
+                if (tileIds(u) != b.ids(qi)) { // self-pairs never reach scoring
+                  val cos = cosOf(b, qi, tileVecs(u), tileNorms(u))
+                  if (cos >= minCos) out += ScoredPair(b.ids(qi), tileIds(u), cos)
+                }
+                u += 1
+              }
+              qi += 1
+            }
+            out.iterator
           }
-          out.iterator
-        }
+        }.flatten
       }.toDF("q_id", "c_id", "cos")
     }.reduce(_.unionByName(_))
   }
@@ -430,16 +532,21 @@ object BlockedExact {
             val vi = vecs(i); val ni = norms(i); val idi = ids(i)
             var j = i + 1
             while (j < n) {
-              val vj = vecs(j)
-              val m = math.min(vi.length, vj.length)
-              var d = 0.0; var x = 0
-              while (x < m) { d += vi(x) * vj(x); x += 1 }
-              val denom = ni * norms(j)
-              val cos = if (denom == 0.0) 0.0 else d / denom
-              if (cos >= threshold) {
-                val idj = ids(j)
-                if (idi < idj) out += BucketPair(idi, idj, cos)
-                else out += BucketPair(idj, idi, cos)
+              // duplicate vec_ids in one bucket must not emit an (id, id)
+              // self-pair — the join path's strict id1 < id2 filter drops
+              // them, and the caller's distinct() would not
+              val idj = ids(j)
+              if (idi != idj) {
+                val vj = vecs(j)
+                val m = math.min(vi.length, vj.length)
+                var d = 0.0; var x = 0
+                while (x < m) { d += vi(x) * vj(x); x += 1 }
+                val denom = ni * norms(j)
+                val cos = if (denom == 0.0) 0.0 else d / denom
+                if (cos >= threshold) {
+                  if (idi < idj) out += BucketPair(idi, idj, cos)
+                  else out += BucketPair(idj, idi, cos)
+                }
               }
               j += 1
             }
@@ -598,7 +705,20 @@ object BlockedExact {
     val cents = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
     rows.foreach { case (qid, cent, qv) =>
-      val ix = qIdx.getOrElseUpdate(qid, { vecs += qv; vecs.length - 1 })
+      // probe frames repeat each q_id once per probed centroid with the
+      // SAME vector by construction, so folding to one entry per q_id is
+      // exact. A q_id arriving with a DIFFERENT vector means the caller's
+      // query frame carries duplicate ids — fail fast rather than rank a
+      // mixture (the join path would silently interleave both vectors'
+      // candidates under one key).
+      val ix = qIdx.get(qid) match {
+        case Some(i) =>
+          require(java.util.Arrays.equals(vecs(i), qv),
+            s"duplicate query id $qid with differing vectors — query ids " +
+              "must be unique per vector")
+          i
+        case None => qIdx.put(qid, vecs.length); vecs += qv; vecs.length - 1
+      }
       cents.getOrElseUpdate(cent, scala.collection.mutable.ArrayBuffer.empty) += ix
     }
     val nq = vecs.length

@@ -1108,6 +1108,36 @@ object Dedup {
     }
   }
 
+  /** [[embeddingNearDups]] with the plane count DERIVED from the corpus —
+    * the batch form of the geometry [[rebuildEmbIndexIfStale]] already
+    * derives for the standing catalog, closing the one pinned-geometry
+    * hole left in the index families (a FIXED p makes in-bucket verify
+    * Θ(N²/2^p) — plain quadratic per decade; measured exp 0.98 at ×100
+    * with p=4, the r11 suite's worst). One thin count, then the standard
+    * pipeline at [[autoPlanes]]'s occupancy-held geometry: expected
+    * bucket rows stay ≤ targetBucket, so verify work is Θ(N·target) —
+    * linear per decade, the same derive-don't-pin rule as
+    * [[autoBanding]] and [[Similarity.autoGeometry]].
+    *
+    * At gate scale (500 vectors) the derivation resolves to exactly the
+    * committed nPlanes=4 geometry, so the `embedding_neardups` gate's
+    * oracle is the committed full-run fixture itself — the equivalence IS
+    * the gate (the `dedup_auto_banding` trick); the scale records measure
+    * the verify-cost curve where the geometries diverge (×10/×30/×100).
+    *
+    * RECALL TRADE, stated not hidden: a true pair at cosine threshold t
+    * survives p planes with probability (1 − θ(t)/π)^p — each extra plane
+    * multiplies candidate recall by the collision probability, exactly as
+    * MinHash banding trades recall for candidate mass. Recall-critical
+    * corpora hold p lower and route the resulting hot buckets through the
+    * quarantine tier ([[embeddingNearDupsQuarantined]]), which bounds the
+    * quadratic cell instead of thinning candidates. */
+  def embeddingNearDupsAuto(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double = 0.95, targetBucket: Long = 32L): DataFrame = {
+    val n = emb.filter(vec.isNotNull).count()
+    embeddingNearDups(emb, id, vec, autoPlanes(n, targetBucket), threshold)
+  }
+
   /** STANDING EMBEDDING CATALOG — the semantic-dedup mirror of
     * [[DedupIndex]], completing the incremental story across all three
     * near-dup modalities (MinHash catalog, ANN index, and now

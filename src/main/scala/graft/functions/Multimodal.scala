@@ -58,6 +58,14 @@ object Multimodal {
   /** Per-partition batched feature extraction (the mapInPandas shape in
     * Scala: one iterator pass, setup amortized per partition). Emits a flat
     * feature row per media item.
+    *
+    * The decode seam is REAL-FIRST: image-kind payloads try the repo's own
+    * PNG/ImageIO decoder ([[graft.kernels.Png.decodeGray]]) and emit true
+    * (width, height, mean pixel) on success; only non-decodable payloads
+    * (and non-image kinds) fall back to the deterministic stub, so the
+    * same pipeline serves both real ingests and the codec-free fixture
+    * tables. The mean is exact integer arithmetic (Σpx / n as a double
+    * division at the end) — partition-independent.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -68,10 +76,138 @@ object Multimodal {
       // per-partition setup (codec init) would go here
       it.map { case (id, kind, payload) =>
         val bytes = if (payload == null) Array.emptyByteArray else payload
-        val (w, h, mean) = stubDecodeImage(bytes)
-        (id, kind, bytes.length.toLong, w, h, mean)
+        val real =
+          if (kind == "image") graft.kernels.Png.decodeGray(bytes) else None
+        real match {
+          case Some((px, h, w)) =>
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i); i += 1 }
+            val mean = if (px.length == 0) 0.0 else s.toDouble / px.length
+            (id, kind, bytes.length.toLong, w, h, mean)
+          case None =>
+            val (w, h, mean) = stubDecodeImage(bytes)
+            (id, kind, bytes.length.toLong, w, h, mean)
+        }
       }
     }.toDF("media_id", "kind", "n_bytes", "width", "height", "mean_px")
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) of a decoded grayscale image: bilinear
+    * resize to the 8×8 grid, then bit i = (cell i brighter than the grid
+    * mean). The comparison is exact integer arithmetic (64·px > Σpx), so
+    * the hash is bit-stable on any engine. Near-duplicate images — same
+    * content re-encoded, lightly noised, resized — keep most bits, so
+    * Hamming distance is the dedup metric ([[phashNearDups]]). */
+  def aHash64(px: Array[Int], h: Int, w: Int): Long = {
+    val g = graft.kernels.ImageKernels.resizeBilinear(px, h, w, 8, 8)
+    var sum = 0L; var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    var bits = 0L; i = 0
+    while (i < 64) { if (64L * g(i) > sum) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash): bilinear resize to 8×9, bit (r,c) =
+    * (pixel brighter than its right neighbour) — gradient direction, which
+    * survives global brightness shifts that move every aHash cell
+    * together. Emitted beside aHash so callers can band on either. */
+  def dHash64(px: Array[Int], h: Int, w: Int): Long = {
+    val g = graft.kernels.ImageKernels.resizeBilinear(px, h, w, 8, 9)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) bits |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** PERCEPTUAL HASHES over PNG payloads: decode → 8×8/8×9 grid → aHash +
+    * dHash, one narrow mapPartitions (no shuffle; codec state amortized
+    * per partition). Non-decodable payloads DROP (C3 drop-on-failure
+    * shape) — a hash of undecodable bytes would poison the near-dup
+    * banding downstream. */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          graft.kernels.Png.decodeGray(payload).map { case (px, h, w) =>
+            (id, aHash64(px, h, w), dHash64(px, h, w))
+          }
+        }
+      }
+      .toDF("media_id", "ahash", "dhash")
+  }
+
+  /** IMAGE NEAR-DUPLICATE PAIRS — the multimodal leg of the near-dup
+    * family, riding the SAME banded machinery as text SimHash
+    * ([[Dedup.simHashPairs]]): decode → perceptual hash (aHash), block on
+    * 4 16-bit sub-bands (pigeonhole guarantees recall for Hamming ≤ 3;
+    * near misses past that surface through the other bands), verify on
+    * exact Hamming distance ≤ `maxHamming`. Candidates only exist inside
+    * shared bands — never an all-pairs image comparison — and the hash
+    * stage runs at scan speed map-side, so the shape holds at 100 TB of
+    * payloads exactly as the text tier does. */
+  def phashNearDups(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.simHashPairs(
+      perceptualHashes(media)
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
+      maxHamming)
+
+  /** Deterministic synthetic PNG corpus from a doc-id frame — the
+    * codec-free stand-in for a real image ingest (the container ships no
+    * camera data): consecutive ids in groups of `groupSize` share a blocky
+    * base pattern, and each member past the first flips a deterministic,
+    * member-scaled fraction of pixels — so every group is a near-dup
+    * cluster with one clean base, the ground shape an image-dedup pipeline
+    * exists to find. Payloads are REAL PNGs (the repo's own encoder), so
+    * everything downstream of ingest — decode, resize, hashing — exercises
+    * the production code path, not a stub. Group count scales with the
+    * corpus while group size stays constant: candidate work per group is
+    * O(groupSize²) and the total is linear in N at every scale. */
+  def syntheticPngMedia(docIds: DataFrame, side: Int = 32,
+      groupSize: Int = 8): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    docIds.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val g = id / groupSize
+          val m = (id % groupSize).toInt
+          val px = new Array[Int](side * side)
+          var r = 0
+          while (r < side) {
+            var c = 0
+            while (c < side) {
+              // 4×4-cell blocky base pattern keyed by the GROUP id
+              val base = (mix(g * 1000003L + (r / 4) * 131L + (c / 4)) & 0xFF).toInt
+              // member m replaces ~m/64 of its pixels with independent noise
+              val roll = mix(id * 0x5DEECE66DL + r * 8191L + c)
+              px(r * side + c) =
+                if (m > 0 && java.lang.Long.remainderUnsigned(roll, 64L) < m)
+                  ((roll >>> 32) & 0xFF).toInt
+                else base
+              c += 1
+            }
+            r += 1
+          }
+          graft.kernels.Png.encodeGray(px, side, side).map(bytes => (id, bytes))
+        }
+      }
+      .toDF("media_id", "payload")
   }
 
   /** REAL image resize over PNG-encoded payloads: decode → bilinear resize

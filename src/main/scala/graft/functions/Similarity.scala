@@ -63,12 +63,25 @@ object Similarity {
     * rows — a tiled mapPartitions GEMM with per-query bounded heaps,
     * bit-identical to the join + `graft_cosine` form (SimilaritySpec gates
     * the equality). Non-integral ids (string UUIDs etc.) keep the
-    * join-scored path with surrogate ranking.
+    * join-scored path with surrogate ranking — and so do SIZE-ineligible
+    * frames ([[BlockedExact.kernelEligible]]): a query matrix past the
+    * driver-collect budget, or a corpus too small for the kernel's fixed
+    * overhead to pay for itself, serves through the join path with
+    * identical results (BlockedExactSpec pins both fallbacks).
+    *
+    * EAGER-EVALUATION NOTE (applies to every kernel-routed entry point in
+    * this module): the route probes and the kernel's query collect run
+    * Spark jobs at DataFrame-CONSTRUCTION time, so upstream errors and
+    * their cost surface when the entry point is CALLED — the join path is
+    * fully lazy. Callers that need laziness (speculative plan assembly)
+    * should defer the call itself.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     if (BlockedExact.integral(queries, "vec_id") &&
-        BlockedExact.integral(corpus, "vec_id")) {
+        BlockedExact.integral(corpus, "vec_id") &&
+        BlockedExact.kernelEligible(
+          queries.select(col("embedding").as("qv")), corpus)) {
       val qIdType = queries.schema("vec_id").dataType
       val q = queries.select(col("vec_id").cast("long").as("q_id"),
         col("embedding").cast("array<double>").as("qv"))
@@ -95,13 +108,39 @@ object Similarity {
     * cos rounded to 6), and any id type works directly — the operator
     * never moves ids through an aggregation buffer, so there is no
     * integral restriction and no surrogate mapping.
+    *
+    * SCORING rides the same route ladder as [[cosineTopK]]: eligible
+    * integral-id frames score through the blocked kernel (the plan node
+    * is what this entry point demonstrates — the MERGE — not the |Q|·|C|
+    * join-row materialization the kernel retired); everything else keeps
+    * the broadcast-join + codegen-cosine form. Kernel partials are
+    * per-partition top-k SUPERSETS under the plan node's exact order
+    * (cos desc, c_id asc — total, since (q, c) pairs are unique), so the
+    * node's partial/final merge over them equals its merge over the full
+    * scored set bit for bit.
     */
   def cosineTopKNative(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+    val scored =
+      if (BlockedExact.integral(queries, "vec_id") &&
+          BlockedExact.integral(corpus, "vec_id") &&
+          BlockedExact.kernelEligible(
+            queries.select(col("embedding").as("qv")), corpus)) {
+        val qIdType = queries.schema("vec_id").dataType
+        val cIdType = corpus.schema("vec_id").dataType
+        val q = queries.select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        val c = corpus.select(col("vec_id").cast("long").as("c_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        BlockedExact.topKPartials(q, c, k)
+          .withColumn("q_id", col("q_id").cast(qIdType))
+          .withColumn("c_id", col("c_id").cast(cIdType))
+      } else {
+        val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+        val c = corpus.select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("cv"))
+        c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .select(col("q_id"), col("c_id"), cosineFast(col("qv"), col("cv")).as("cos"))
+      }
     graft.plans.TopKPerKey.topKPerKey(scored,
         keyCols = Seq("q_id"), orderBy = Seq(("cos", false), ("c_id", true)), k = k)
       .select(col("q_id"), col("rank"), col("c_id"), round(col("cos"), 6).as("cos"))
@@ -124,7 +163,9 @@ object Similarity {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val scored =
       if (BlockedExact.integral(queries, "vec_id", "label") &&
-          BlockedExact.integral(corpus, "vec_id", "label")) {
+          BlockedExact.integral(corpus, "vec_id", "label") &&
+          BlockedExact.kernelEligible(
+            queries.select(col("embedding").as("qv")), corpus)) {
         // blocked kernel (see cosineTopK): the different-label predicate
         // runs inside the kernel, so same-label candidates never reach
         // the heap — the partials feed the same TopKPerKey merge.
@@ -283,7 +324,8 @@ object Similarity {
       col("embedding").cast("array<double>").as("qv"))
     val probes = probeCentroids(q, index.centroids, nProbe)
     if (BlockedExact.integral(queries, "vec_id") &&
-        BlockedExact.integral(index.inverted, "c_id")) {
+        BlockedExact.integral(index.inverted, "c_id") &&
+        BlockedExact.kernelEligible(q.select(col("qv")), index.corpus)) {
       // probed kernel (BlockedExact.probedTopKPartials): the probe table
       // broadcasts as a cent→queries map — the same broadcast the join
       // hint shipped — and each UNSHUFFLED list member scores only
@@ -322,7 +364,9 @@ object Similarity {
       minCos: Double): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     if (BlockedExact.integral(queries, "vec_id") &&
-        BlockedExact.integral(corpus, "vec_id")) {
+        BlockedExact.integral(corpus, "vec_id") &&
+        BlockedExact.kernelEligible(
+          queries.select(col("embedding").as("qv")), corpus)) {
       // blocked kernel (see cosineTopK): the threshold runs inside the
       // kernel on the raw cosine, matches stream out output-sized.
       val qIdType = queries.schema("vec_id").dataType
@@ -369,7 +413,8 @@ object Similarity {
       col("embedding").cast("array<double>").as("qv"))
     val probes = probeCentroids(q, index.centroids, nProbe)
     if (BlockedExact.integral(queries, "vec_id") &&
-        BlockedExact.integral(index.inverted, "c_id")) {
+        BlockedExact.integral(index.inverted, "c_id") &&
+        BlockedExact.kernelEligible(q.select(col("qv")), index.corpus)) {
       // probed kernel, radius form (see ivfTopKIndexed)
       val qIdType = queries.schema("vec_id").dataType
       val cIdType = index.inverted.schema("c_id").dataType
@@ -654,8 +699,12 @@ object Similarity {
   def pqTopKIndexed(queries: DataFrame, index: PqIndex, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
     val qtabs = pqQueryTables(queries, index)
+    // the size gate measures the RAW query vectors (the ADC tables are a
+    // small constant factor — m·ksub·2 longs per query — of the same |Q|)
     if (BlockedExact.integral(queries, "vec_id") &&
-        BlockedExact.integral(index.corpus, "c_id")) {
+        BlockedExact.integral(index.corpus, "c_id") &&
+        BlockedExact.kernelEligible(
+          queries.select(col("embedding").as("qv")), index.corpus)) {
       // ADC kernel (BlockedExact.adcTopKPartials): the per-query tables
       // broadcast as collected arrays — the same pivot aggregation the
       // join hint shipped — and both integer folds run in-loop over the

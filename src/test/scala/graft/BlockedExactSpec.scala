@@ -256,6 +256,88 @@ class BlockedExactSpec extends AnyFunSuite {
     graft.GraftCaches.unpersistAll(blocking = true)
   }
 
+  test("size fallback: a query matrix past the driver budget serves the join path, same rows") {
+    // the fallback must be SIZE-triggered, not only type-triggered: with a
+    // 1-double budget the integral-id frame must route to the join path
+    // (no kernel MapPartitions in the plan) and return the identical rows
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    val kernelRows = rows(Similarity.cosineTopK(queries, emb, 5))
+    spark.conf.set("graft.kernel.maxQueryDoubles", "1")
+    try {
+      val fb = Similarity.cosineTopK(queries, emb, 5)
+      assert(!fb.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "a query side past the budget must fall back to the join path")
+      assert(rows(fb) == kernelRows && kernelRows.nonEmpty)
+    } finally spark.conf.set("graft.kernel.maxQueryDoubles",
+      BlockedExact.DefaultMaxQueryDoubles.toString)
+  }
+
+  test("small-corpus cutover: below minCorpusRows the join path serves, same rows") {
+    // production default: a corpus too small for the kernel's fixed
+    // overhead to pay for itself serves through the join path (the test
+    // session pins the cutover to 0 so the other suites audit the kernel)
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    val kernelRows = rows(Similarity.cosineTopK(queries, emb, 5))
+    spark.conf.set("graft.kernel.minCorpusRows", "1000000")
+    try {
+      val fb = Similarity.cosineTopK(queries, emb, 5)
+      assert(!fb.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "a small corpus must serve through the join path")
+      assert(rows(fb) == kernelRows && kernelRows.nonEmpty)
+    } finally spark.conf.set("graft.kernel.minCorpusRows", "0")
+  }
+
+  test("cosineTopKNative kernel scoring equals the join-scored plan-node path bit-for-bit") {
+    val emb = embeddings
+    val queries = emb.filter(col("vec_id") % 8 === 0)
+    def native() = Similarity.cosineTopKNative(queries, emb, 5)
+      .select(col("q_id").cast("long"), col("rank").cast("long"),
+        col("c_id").cast("long"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val kernel = native()
+    assert(Similarity.cosineTopKNative(queries, emb, 5)
+      .queryExecution.executedPlan.toString.contains("MapPartitions"))
+    spark.conf.set("graft.kernel.minCorpusRows", "1000000") // force join path
+    try {
+      val joined = native()
+      assert(kernel == joined && kernel.nonEmpty)
+    } finally spark.conf.set("graft.kernel.minCorpusRows", "0")
+  }
+
+  test("embeddingNearDupsAuto resolves to the fixed-plane result at gate scale") {
+    // the gate-scale corpus (500 vectors) derives autoPlanes(500) = 4 —
+    // exactly the committed fixture geometry, so the auto batch form and
+    // the pinned form are the same query here (DedupTextSpec pins the
+    // autoPlanes derivation itself)
+    assert(Dedup.autoPlanes(500L) == 4)
+    val emb = embeddings
+    val auto = Dedup.embeddingNearDupsAuto(emb, col("vec_id"), col("embedding"),
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"),
+        nPlanes = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
+  test("bucketedSelfPairs never emits a self-pair for duplicate ids in one bucket") {
+    // two rows sharing vec_id 7 with identical vectors land in one bucket;
+    // the join path's strict id1 < id2 drops the (7,7) pair — the kernel
+    // must too (ADVICE r11). The (7, 8) near-identical pair must survive.
+    val vecs = Seq(
+      (7L, Seq(1.0f, 0.5f, 0.25f)),
+      (7L, Seq(1.0f, 0.5f, 0.25f)),
+      (8L, Seq(1.0f, 0.5f, 0.26f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(vecs, col("vec_id"), col("embedding"),
+        nPlanes = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!got.exists(p => p._1 == p._2), s"self-pair leaked: $got")
+    assert(got.map(p => (p._1, p._2)) == Set((7L, 8L)))
+  }
+
   test("empty query set yields an empty, well-typed frame") {
     val emb = embeddings
     val queries = emb.filter(col("vec_id") < 0)

@@ -100,11 +100,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "auto-geometry serving must broadcast probes/tables like the fixed tier")
   }
 
-  test("ann_cosine_topk_native: ranks through the custom plan-node pair, not a window") {
+  test("ann_cosine_topk_native: kernel scoring merged through the custom plan-node pair") {
     val plan = planOf("ann_cosine_topk_native")
     assert(plan.contains("GraftTopKPerKeyFinal") && plan.contains("GraftTopKPerKeyPartial"),
       "native ANN ranking lost the custom physical operators")
-    assert(plan.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    // scoring rides the blocked kernel (the plan node demonstrates the
+    // MERGE; it must not carry a |Q|x|C| join-row workload to do so)
+    assert(plan.contains("MapPartitions"), "native ANN lost the blocked kernel")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "scoring must not materialize the pair set as join rows")
+    val belowKernel = plan.substring(plan.indexOf("MapPartitions"))
+    assert(!belowKernel.contains("Exchange"),
+      "the corpus must reach the kernel unshuffled, straight off the scan")
     assert(!plan.contains("Window"), "native ranking must not fall back to a window")
   }
 
