@@ -466,6 +466,42 @@ object Dedup {
     DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
   }
 
+  /** DELTA APPEND — [[dedupIndexAppend]] without the corpus-sized cache
+    * copy. The copy form persists + counts the FULL unioned member frames
+    * per batch: an O(standing) re-materialization that the ×30 ingest
+    * probe measured as per-batch latency creeping 27→39 s over 16 batches
+    * (BENCH_INGEST_x30.json) — at 100 TB that makes daily ingest cost
+    * track corpus size. Here only the BATCH's frames materialize (eager
+    * artifact-tier checkpoints — batch-sized), and the new generation's
+    * members are LAZY UNIONS over the old generation's caches: serving
+    * scans read the standing cache plus one small delta cache per append.
+    * Content is identical to the copy form (same staging, same rows), so
+    * every serving result is unchanged (StreamingSpec pins delta-stream ≡
+    * copy-stream end to end).
+    *
+    * LIFECYCLE TRADE, stated not hidden: generations now SHARE cached
+    * frames, so the caller must NOT release a superseded handle after the
+    * roll (unpersisting a shared parent degrades every successor to
+    * source re-reads). Chained generations release when a policy cuts
+    * standalone frames (compaction checkpoints fresh copies; a re-band
+    * cuts fresh bands) or with the artifact tier. Union depth grows one
+    * per append until the compaction policy fires — the LSM trade,
+    * bounded by the same width detector as the copy path. */
+  def dedupIndexAppendDelta(index: DedupIndex, batch: DataFrame, id: Column,
+      text: Column): DedupIndex = graft.GraftCaches.inArtifactScope {
+    val (bStaged, bBands) = stageBatch(index, batch, id, text)
+    // the batch frames re-materialize as ARTIFACT-tier checkpoints:
+    // stageBatch's working-tier persists die at the caller's end-of-batch
+    // unpersistAll, but these rows are now generation members (a plain
+    // re-persist would be ignored by the cache manager — same canonical
+    // plan — and then released with the working tier)
+    val dStaged = graft.GraftCaches.checkpointed(bStaged)
+    val dBands = graft.GraftCaches.checkpointed(bBands)
+    DedupIndex(index.staged.unionByName(dStaged),
+      index.bands.unionByName(dBands),
+      index.numHashes, index.nBands, index.shingleK)
+  }
+
   /** RETENTION DELETE — shrink the standing catalog without a rebuild
     * (the dedup mirror of [[Similarity.ivfPqIndexRemove]], completing
     * the same lifecycle: right-to-be-forgotten / takedown events must
@@ -1261,6 +1297,18 @@ object Dedup {
     val vecs = graft.GraftCaches.persistedArtifact(index.vecs.unionByName(b))
     vecs.count()
     EmbIndex(vecs, index.nPlanes)
+  }
+
+  /** DELTA APPEND on the embedding catalog — [[dedupIndexAppendDelta]]'s
+    * contract on the semantic tier: only the staged batch checkpoints
+    * (artifact tier, batch-sized); the new generation is a lazy union
+    * over the old generation's cache. Same lifecycle trade (no release
+    * of superseded handles until a standalone cut). */
+  def embIndexAppendDelta(index: EmbIndex, batch: DataFrame, id: Column,
+      vec: Column): EmbIndex = graft.GraftCaches.inArtifactScope {
+    val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
+    EmbIndex(index.vecs.unionByName(graft.GraftCaches.checkpointed(b)),
+      index.nPlanes)
   }
 
   /** RETENTION DELETE on the standing embedding catalog — the broadcast

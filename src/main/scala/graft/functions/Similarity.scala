@@ -1080,6 +1080,70 @@ object Similarity {
           index.crossTerms, index.m))
     }
 
+  /** DELTA APPEND — [[ivfPqIndexAppend]] without the corpus-sized cache
+    * copy. The copy form persists + counts the FULL unioned
+    * corpus/assigned/codes per batch AND re-pivots the whole code table
+    * for the ADC scorer — an O(standing) re-materialization per append
+    * that the ×30 ingest probe measured as per-batch latency creeping
+    * 27→39 s over 16 batches (BENCH_INGEST_x30.json). Here only the
+    * BATCH's frames materialize (eager artifact-tier checkpoints:
+    * vectors, assignments, codes, and the delta's own serving pivot —
+    * all batch-sized), the new generation's members are LAZY UNIONS over
+    * the old generation's caches, and the serving-pivot memo is seeded
+    * with `old pivot ∪ delta pivot` — valid because appended ids are
+    * fresh (the same id-hygiene guards as the copy form), so no c_id
+    * group straddles the union. Identical content, identical serving
+    * results (StreamingSpec pins delta ≡ copy end to end).
+    *
+    * LIFECYCLE TRADE (see [[Dedup.dedupIndexAppendDelta]]): generations
+    * share cached frames — do NOT release a superseded handle after the
+    * roll; chains release when a rebuild/compaction cuts standalone
+    * frames or with the artifact tier. Union depth grows one per append
+    * until the compaction policy fires. */
+  def ivfPqIndexAppendDelta(index: IvfPqIndex, newVectors: DataFrame): IvfPqIndex =
+    graft.GraftCaches.inArtifactScope {
+      graft.plans.GraftFunctions.register(index.corpus.sparkSession)
+      val ncRaw = newVectors.select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      // same id-hygiene guards as the copy append (duplicate ids would sum
+      // both copies' ADC terms into one corrupted cosine; fresh ids are
+      // also what makes the pivot union below exact)
+      val batchDups = ncRaw.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      require(batchDups == 0L,
+        s"ivfPqIndexAppendDelta: $batchDups vec_id(s) appear more than once " +
+          "in the append batch — dedup the batch first")
+      val clashes = ncRaw.select(col("c_id"))
+        .join(index.corpus.select(col("c_id")), Seq("c_id")).count()
+      require(clashes == 0L,
+        s"ivfPqIndexAppendDelta: $clashes appended vec_id(s) already exist " +
+          "in the index — appends must carry fresh ids")
+      val nc = graft.GraftCaches.checkpointed(ncRaw)
+      val assignedDelta = graft.GraftCaches.checkpointed(
+        assignNearest(nc, index.centroids))
+      val resid = assignedDelta.join(broadcast(index.centroids), Seq("cent_id"))
+        .select(col("c_id"),
+          zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
+      val codesDelta = graft.GraftCaches.checkpointed(
+        assignNearestSub(pqSubVectors(resid, index.m), index.codebook)
+          .select(col("c_id"), col("sub"), col("code")))
+      val corpus = index.corpus.unionByName(nc)
+      val assigned = index.assigned
+        .unionByName(assignedDelta.select(col("cent_id"), col("c_id")))
+      val codes = index.codes.unionByName(codesDelta)
+      // serving pivot for the new generation: old generation's memoized
+      // pivot ∪ the delta's own pivot (batch-sized groupBy) — never a
+      // full-code-table re-aggregation
+      val deltaPivot = graft.GraftCaches.checkpointed(
+        codesDelta.groupBy(col("c_id"))
+          .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+          .select(col("c_id"), col("sc.code").as("codes")))
+      codesPivotMemo.put(codesPivotKey(codes),
+        pivotedCodesFrame(index.codes).unionByName(deltaPivot))
+      IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
+        index.crossTerms, index.m)
+    }
+
   /** RETENTION DELETE — shrink a built index without retraining (FAISS
     * `remove_ids` semantics, the missing half of the freshness story:
     * appends grow a standing index daily, but right-to-be-forgotten /

@@ -112,6 +112,17 @@ object IngestServing {
     * policy-fired rebuild and must match the standing index's build
     * parameters (quantizer shape is not stored in [[Similarity.IvfPqIndex]]
     * beyond `m`); `geometryFactor` is the drift bound. */
+  /** `deltaAppends = true` switches the three index rolls onto the
+    * DELTA-APPEND path ([[Dedup.dedupIndexAppendDelta]] /
+    * [[Similarity.ivfPqIndexAppendDelta]] / [[Dedup.embIndexAppendDelta]]):
+    * per-batch append cost becomes batch-sized (the copy form re-persists
+    * the full standing frames every batch — the measured 27→39 s latency
+    * creep in BENCH_INGEST_x30.json), at the lifecycle trade documented on
+    * those methods: superseded generation handles are NOT released after
+    * a roll (their caches are shared by the successor's lazy unions);
+    * chained generations release when a policy cuts standalone frames or
+    * with the artifact tier. Serving results are identical either way
+    * (StreamingSpec pins it). */
   def startIngestStream(spark: SparkSession, batchDir: String,
       dedupRef: AtomicReference[Dedup.DedupIndex],
       annOpRef: AtomicReference[(Similarity.IvfPqIndex, Int)],
@@ -124,7 +135,8 @@ object IngestServing {
       compactMaxPartitions: Option[Int] = None,
       compactWidthFactor: Double = 4.0,
       embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
-      embTargetBucket: Long = 32L): StreamingQuery = {
+      embTargetBucket: Long = 32L,
+      deltaAppends: Boolean = false): StreamingQuery = {
     // enforce (don't just document) the lock-identity contract: the
     // aux refs this stream rolls must always ride the same dedupRef
     ServingLocks.register(dedupRef, (annOpRef +: embRef.toSeq): _*)
@@ -166,8 +178,10 @@ object IngestServing {
         // mirror of the ANN rebuild below (on fire, re-banding reuses the
         // catalog's staged frame, so only the band projection recomputes;
         // release the superseded band frame alone, the staged is shared)
-        val grownDedup = Dedup.dedupIndexAppend(dedupIx, docs,
-          col("doc_id"), col("text"))
+        val grownDedup =
+          if (deltaAppends)
+            Dedup.dedupIndexAppendDelta(dedupIx, docs, col("doc_id"), col("text"))
+          else Dedup.dedupIndexAppend(dedupIx, docs, col("doc_id"), col("text"))
         val (rebandedDedup, rebanded) =
           Dedup.rebuildCatalogIfStale(grownDedup, threshold)
         // COMPACTION POLICY when no reband fired: every append
@@ -180,14 +194,23 @@ object IngestServing {
           else Dedup.compactDedupIndexIfFragmented(grownDedup,
             compactMaxPartitions, compactWidthFactor)._1
         dedupRef.set(servedDedup)
-        Dedup.releaseDedupIndex(dedupIx)
-        if (rebanded) grownDedup.bands.unpersist(false)
-        else if (servedDedup ne grownDedup) Dedup.releaseDedupIndex(grownDedup)
+        // copy-append mode rolls are self-contained: the superseded
+        // generation's frames are full standalone copies, released here.
+        // DELTA mode must not release them — the successor's lazy unions
+        // read the superseded generation's caches (the documented trade);
+        // chains release at a standalone cut / artifact-tier release.
+        if (!deltaAppends) {
+          Dedup.releaseDedupIndex(dedupIx)
+          if (rebanded) grownDedup.bands.unpersist(false)
+          else if (servedDedup ne grownDedup) Dedup.releaseDedupIndex(grownDedup)
+        }
         // roll the ANN generation on the SURVIVORS (accepted-corpus
         // semantics), then let the rebuild policy pick the geometry; when
         // it passes through, the compaction policy bounds scheduling width
         val (annIx, _) = annOpRef.get()
-        val grownAnn = Similarity.ivfPqIndexAppend(annIx, survivors)
+        val grownAnn =
+          if (deltaAppends) Similarity.ivfPqIndexAppendDelta(annIx, survivors)
+          else Similarity.ivfPqIndexAppend(annIx, survivors)
         val (rebuiltAnn, np, rebuilt) = Similarity.ivfPqRebuildIfStale(grownAnn,
           m, ksub, coarseIters, pqIters, geometryFactor)
         val served =
@@ -195,8 +218,10 @@ object IngestServing {
           else Similarity.compactIvfPqIndexIfFragmented(grownAnn,
             compactMaxPartitions, compactWidthFactor)._1
         annOpRef.set((served, np))
-        Similarity.releaseIndexData(annIx)
-        if (rebuilt || (served ne grownAnn)) Similarity.releaseIndexData(grownAnn)
+        if (!deltaAppends) {
+          Similarity.releaseIndexData(annIx)
+          if (rebuilt || (served ne grownAnn)) Similarity.releaseIndexData(grownAnn)
+        }
         // roll the EMBEDDING catalog on the whole batch (seen-corpus
         // semantics, like the dedup catalog — semantic near-dup checks
         // must see everything that has arrived), then the plane policy
@@ -207,9 +232,11 @@ object IngestServing {
         // micro-batch.
         embRef.foreach { ref =>
           val embIx = ref.get()
-          val grownEmb = Dedup.embIndexAppend(embIx,
-            batch.select(col("doc_id").as("vec_id"), col("embedding")),
-            col("vec_id"), col("embedding"))
+          val embBatch = batch.select(col("doc_id").as("vec_id"), col("embedding"))
+          val grownEmb =
+            if (deltaAppends)
+              Dedup.embIndexAppendDelta(embIx, embBatch, col("vec_id"), col("embedding"))
+            else Dedup.embIndexAppend(embIx, embBatch, col("vec_id"), col("embedding"))
           val (rebuiltEmb, rebucketed) =
             Dedup.rebuildEmbIndexIfStale(grownEmb, embTargetBucket)
           val servedEmb =
@@ -217,8 +244,10 @@ object IngestServing {
             else Dedup.compactEmbIndexIfFragmented(grownEmb,
               compactMaxPartitions, compactWidthFactor)._1
           ref.set(servedEmb)
-          Dedup.releaseEmbIndex(embIx)
-          if (servedEmb ne grownEmb) Dedup.releaseEmbIndex(grownEmb)
+          if (!deltaAppends) {
+            Dedup.releaseEmbIndex(embIx)
+            if (servedEmb ne grownEmb) Dedup.releaseEmbIndex(grownEmb)
+          }
         }
         graft.GraftCaches.unpersistAll()
         ()

@@ -37,7 +37,11 @@ import graft.streaming.IngestServing
   */
 object IngestProbe {
   def main(args: Array[String]): Unit = {
-    val nBatches = args.headOption.map(_.toInt).getOrElse(16)
+    // usage: IngestProbe [nBatches] [delta] — `delta` routes the stream's
+    // index rolls through the delta-append path (batch-sized appends); the
+    // default measures the copy-on-append baseline
+    val nBatches = args.filterNot(_ == "delta").headOption.map(_.toInt).getOrElse(16)
+    val delta = args.contains("delta")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -78,7 +82,8 @@ object IngestProbe {
     val dedupRef = new AtomicReference(dedup0)
     val annOpRef = new AtomicReference((ann0, np0))
     val q = IngestServing.startIngestStream(spark, batchDir, dedupRef, annOpRef,
-      threshold = 0.5, pairsOutDir = pairsDir, maxFilesPerTrigger = 1)
+      threshold = 0.5, pairsOutDir = pairsDir, maxFilesPerTrigger = 1,
+      deltaAppends = delta)
     val t0 = System.nanoTime()
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -98,7 +103,8 @@ object IngestProbe {
     val batchesJson = progress.map { case (id, rows, sec) =>
       f"""{"batch":$id,"rows":$rows,"sec":$sec%.3f}""" }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"ingest_probe","sf":"$sfDir","n_batches":${progress.length},""" +
+      f"""{"metric":"ingest_probe","mode":"${if (delta) "delta" else "copy"}",""" +
+      f""""sf":"$sfDir","n_batches":${progress.length},""" +
       f""""wall_sec":$wall%.1f,"median_first_half_sec":$m1%.3f,""" +
       f""""median_second_half_sec":$m2%.3f,"trend_ratio":${if (m1 > 0) m2 / m1 else 0.0}%.3f,""" +
       f""""batches":$batchesJson}""")

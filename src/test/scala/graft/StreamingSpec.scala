@@ -1005,4 +1005,61 @@ class StreamingSpec extends AnyFunSuite {
     // a FRESH aux ref is free to ride a different dedupRef
     graft.streaming.ServingLocks.register(dedupB, new Object)
   }
+
+  test("delta-append ingest stream serves identically to copy-on-append") {
+    // the delta path changes only the CACHING LAYOUT (batch-sized
+    // checkpointed deltas + lazy unions + a seeded pivot union) — pair
+    // files and post-drain ANN serving must equal the copy path's bit for
+    // bit, including across a mid-stream policy-fired rebuild (the auto
+    // geometry of ~450 vectors fires on batch 1 against the 4-centroid
+    // standing index, so batch 2 delta-appends onto a rebuilt standalone
+    // base)
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.IngestServing
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def runMode(delta: Boolean): (Set[(Long, Long)], Set[(Long, Long, Long, Double)]) = {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(spark, dir)
+      val ingest = docs.join(emb.withColumnRenamed("vec_id", "doc_id")
+        .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+      val corpus = ingest.filter(col("doc_id") % 5 =!= 0)
+      val dedup0 = Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val ann0 = Similarity.buildIvfPqIndex(
+        corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+        nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+      val batchDir = Files.createTempDirectory("ingest_delta_in").toString
+      val pairsDir = Files.createTempDirectory("ingest_delta_out").toString + "/pairs"
+      val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+      val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+      ingest.filter(col("doc_id") % 10 === 0).coalesce(1).write.mode("append").parquet(batchDir)
+      ingest.filter(col("doc_id") % 10 === 5).coalesce(1).write.mode("append").parquet(batchDir)
+      val q = IngestServing.startIngestStream(spark, batchDir, dedupRef, annOpRef,
+        threshold = 0.5, pairsOutDir = pairsDir, m = 4, ksub = 8,
+        deltaAppends = delta)
+      try {
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"deltaAppends=$delta: ${q.exception}")
+      } finally q.stop()
+      val pairs = spark.read.parquet(pairsDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (ix, np) = annOpRef.get()
+      val served = Similarity.ivfPqTopKIndexed(
+          emb.filter(col("vec_id") % 50 === 0), ix, 3, np)
+        .select(col("q_id").cast("long"), col("rank").cast("long"),
+          col("c_id").cast("long"), col("cos"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      GraftCaches.unpersistAll(blocking = true)
+      GraftCaches.releaseArtifacts(blocking = true)
+      (pairs, served)
+    }
+    val (copyPairs, copyServed) = runMode(delta = false)
+    val (deltaPairs, deltaServed) = runMode(delta = true)
+    assert(copyPairs == deltaPairs && copyPairs.nonEmpty,
+      s"pair files diverge: ${copyPairs.diff(deltaPairs)} vs ${deltaPairs.diff(copyPairs)}")
+    assert(copyServed == deltaServed && copyServed.nonEmpty,
+      "post-drain ANN serving diverges between append modes")
+  }
 }
