@@ -272,6 +272,17 @@ object SparkEntry {
       }
       GraftCaches.unpersistAll(blocking = true)
       ()
+    }),
+    // the synthetic PNG corpus the image-dedup gates read (build resolves
+    // through the media memo): PNG ENCODE throughput is this setup line;
+    // the mm_phash_* query lines then measure the dedup operator itself
+    // (decode → hash → band → verify), mirroring production's
+    // ingest-once/dedup-many split
+    "mm_media_corpus_build" -> ((s: SparkSession, dir: String) => {
+      Multimodal.syntheticMediaFor(
+        Tables.documents(s, dir).select(col("doc_id")))
+      GraftCaches.unpersistAll(blocking = true)
+      ()
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1524,6 +1535,44 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // SimHash HOT-BAND QUARANTINE (Dedup.simHashPairsQuarantined): the
+    // Hamming-tier port of dedup_quarantine — band buckets over the bound
+    // leave the in-band self-join (the join that goes quadratic on a
+    // boilerplate-heavy corpus: one shared 16-bit window across n docs is
+    // an n²/2-pair key) and their members resolve through the
+    // distinct-hash collapse, EXACTLY reproducing the plain run at every
+    // bound (identical hashes share all band memberships, so buckets are
+    // hot or cold together and the collapse tier re-finds every withheld
+    // band-sharing pair). Equality ⇒ the committed simhash_pairs fixture
+    // is the oracle verbatim; bound 2 forces real traffic through both
+    // the cold join and the collapse tier at this SF.
+    "simhash_quarantine" -> ((s, dir) => {
+      Dedup.simHashPairsQuarantined(
+          Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
+          maxHamming = 10, maxBucket = 2L)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SimHash QUARANTINE BUDGET POLICY (Dedup.simHashPairsBudget — the
+    // derive-don't-pin stance of dedup_quarantine_budget on the Hamming
+    // tier): the bound comes from a candidate-pair budget over the
+    // band-bucket histogram, not a hand-picked constant. The in-gate
+    // require pins that the budget actually excludes buckets at this SF
+    // (a bound at the hottest size would make the gate a silent no-op);
+    // the fallback is exact, so the fixture stays the equality oracle.
+    "simhash_quarantine_budget" -> ((s, dir) => {
+      val sims = GraftCaches.persisted(
+        Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")))
+      val (pairs, bound) = Dedup.simHashPairsBudget(sims, maxHamming = 10,
+        maxCandidatePairs = 2000L)
+      val hottest = Dedup.simHashQuarantineBound(sims, Long.MaxValue)
+      require(bound < hottest,
+        s"simhash_quarantine_budget gate: the 2000-pair budget admitted " +
+          s"every bucket (bound=$bound, hottest=$hottest) — the gate " +
+          "would silently test a no-op")
+      pairs.orderBy(col("id1"), col("id2"))
+    }),
+
     // ---------------------------------------------------------------
     // North-star: LSH-bucketed ANN (fixture-gated; scale path for huge query sets).
     "ann_lsh_topk" -> ((s, dir) => {
@@ -1745,19 +1794,45 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // IMAGE NEAR-DUP DEDUP over REAL PNG payloads — the multimodal mandate
-    // at the same first-class depth as the text tier: a deterministic
-    // synthetic PNG corpus (groups of 8 consecutive ids share a base
-    // pattern; members add member-scaled pixel noise — real encoder, real
-    // bytes) flows decode → 8×8 perceptual hash (aHash, exact integer
-    // thresholding) → the SAME 4×16-bit banded machinery as simhash_pairs
-    // → exact-Hamming verify. Fixture-gated (PNG encode + hash are
-    // engine-specific); group size is constant so candidate work is
-    // linear in N at every scale.
+    // IMAGE NEAR-DUP DEDUP over REAL MIXED-FORMAT payloads — the
+    // multimodal mandate at the same first-class depth as the text tier:
+    // a deterministic synthetic corpus (groups of 8 consecutive ids share
+    // a base pattern; members add member-scaled pixel noise — real
+    // encoders, real bytes; members 2/5/7 transcode to JPEG/GIF/BMP so
+    // every sniff+decode arm runs end to end, JPEG adding the organic
+    // lossy-re-encode duplicate class) flows decode → 8×8/8×9 perceptual
+    // hashes → the UNION of both
+    // hashes' 4×16-bit band sets (aHash bands 0–3, dHash bands 4–7 —
+    // dHash bands recover brightness-shifted near-dups whose aHash cells
+    // all move; MultimodalSpec measures the recall gap) → min-Hamming
+    // verify. Fixture-gated (PNG encode + hashes are engine-specific);
+    // group size is constant so candidate work is linear in N at every
+    // scale. The corpus itself is a bench-SETUP artifact
+    // (`mm_media_corpus_build`) so this line measures the dedup operator
+    // (decode→hash→band→verify), not encoder throughput.
     "mm_phash_neardups" -> ((s, dir) => {
-      val media = Multimodal.syntheticPngMedia(
+      val media = Multimodal.syntheticMediaFor(
         Tables.documents(s, dir).select(col("doc_id")))
       Multimodal.phashNearDups(media, maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // IMAGE tier HOT-BAND QUARANTINE — the phash twin of
+    // simhash_quarantine, where the bound bites first on a real corpus
+    // (boilerplate assets hash identically across millions of pages →
+    // one band bucket → a quadratic join key). Band buckets over the
+    // bound leave the self-join; members resolve via the distinct-hash
+    // collapse (Dedup.bandedHashPairs). The quarantine is EXACT at every
+    // bound, so the committed full-run fixture is the equality oracle;
+    // bound 4 sits below the 8-member group size, so the groups' shared
+    // band buckets (5–8 members wherever ≥5 hashes agree on a 16-bit
+    // window) actually route through the collapse tier at this SF
+    // (MultimodalSpec pins the planted-clone case).
+    "mm_phash_quarantine" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaFor(
+        Tables.documents(s, dir).select(col("doc_id")))
+      Multimodal.phashNearDupsQuarantined(media, maxHamming = 6,
+          maxBucket = 4L)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -5113,6 +5188,9 @@ object SparkEntry {
     // engine-specific, so the committed fixture is the oracle (bit-stable:
     // integer hash thresholds, exact Hamming verify)
     fixture("mm_phash_neardups", "id1, id2"),
+    // image-tier quarantine is exact at every bound — same fixture
+    "mm_phash_quarantine" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/mm_phash_neardups.parquet') ORDER BY id1, id2",
     fixture("m5_dense_kernels", "image_id"),
     fixture("minhash_lsh_pairs", "id1, id2"),
     // incremental ≡ full-run restricted to batch-touching pairs — the
@@ -5184,6 +5262,13 @@ object SparkEntry {
         |WHERE id1 % 5 = 0 OR id2 % 5 = 0
         |ORDER BY id1, id2""".stripMargin,
     fixture("simhash_pairs", "id1, id2"),
+    // hot-band quarantine is EXACT at every bound (the collapse fallback
+    // re-finds every withheld band-sharing pair at the same Hamming), so
+    // both quarantine gates reuse the committed full-run fixture verbatim
+    "simhash_quarantine" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/simhash_pairs.parquet') ORDER BY id1, id2",
+    "simhash_quarantine_budget" ->
+      s"SELECT * FROM read_parquet('$fixturesDir/simhash_pairs.parquet') ORDER BY id1, id2",
     fixture("embedding_neardups", "id1, id2"),
     // per-vector bucket rows: incremental ≡ full run restricted to
     // batch-touching pairs (the minhash_incremental logic, semantic tier)

@@ -96,10 +96,16 @@ object BlockedExact {
   private def confLong(df: DataFrame, key: String, dflt: Long): Long =
     df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
-  /** Memoized route probes: the eligibility decision runs real (thin,
-    * bounded) jobs, and serving gates re-pose the same frames many times
-    * per session — keyed by the ANALYZED plan's semantic hash like the
-    * index memos, cleared with the artifact tier. */
+  /** Memoized route probe (corpus side only): the eligibility decision
+    * runs real (thin, bounded) jobs, and serving gates re-pose the same
+    * corpus frames many times per session — keyed by the ANALYZED plan's
+    * semantic hash like the index memos, cleared with the artifact tier.
+    * The QUERY-side probe is deliberately NOT memoized: a plan-identical
+    * query frame over a source that has since gained rows (growing
+    * table/path) would reuse a stale |Q|·d measurement and let the driver
+    * collect silently exceed `graft.kernel.maxQueryDoubles` — the exact
+    * OOM the budget exists to prevent. A stale corpus memo only mis-picks
+    * the ROUTE (join path vs kernel), never the driver's memory. */
   private val probeMemo = TrieMap.empty[(Int, Int, String), Long]
   graft.GraftCaches.onArtifactRelease(() => probeMemo.clear())
 
@@ -110,19 +116,23 @@ object BlockedExact {
 
   /** Total doubles in the query side's vector column — one thin aggregate
     * over `qv` only (column-pruned; linear in |Q|, which is exactly the
-    * quantity being bounded). */
+    * quantity being bounded). Re-measured on every routing decision (see
+    * the memo note above): the budget is a memory-safety bound and must
+    * reflect the frame's CURRENT row count, not the count at first probe. */
   private[graft] def queryDoubles(qVecs: DataFrame): Long =
-    memoProbe(qVecs, "qdoubles") {
-      qVecs.agg(coalesce(sum(size(col("qv")).cast("long")), lit(0L)))
-        .head().getLong(0)
-    }
+    qVecs.agg(coalesce(sum(size(col("qv")).cast("long")), lit(0L)))
+      .head().getLong(0)
 
   /** True iff the corpus has at least `n` rows — a `limit(n)` count, so
     * the probe reads at most n thin rows however large the corpus is
-    * (never a full-corpus count to make a routing decision). */
+    * (never a full-corpus count to make a routing decision). A bound past
+    * `Int.MaxValue` clamps the probe at Int.MaxValue rows, which can never
+    * reach such an `n` — the route degrades to the join path instead of
+    * `limit` throwing on a negative overflowed int at routing time. */
   private[graft] def corpusAtLeast(c: DataFrame, n: Long): Boolean =
     n <= 0L || memoProbe(c, s"atleast$n") {
-      c.select(lit(1).as("one")).limit(n.toInt).count()
+      c.select(lit(1).as("one"))
+        .limit(math.min(n, Int.MaxValue.toLong).toInt).count()
     } >= n
 
   /** The SIZE gate of the kernel route (the type gate is [[integral]]):

@@ -957,29 +957,162 @@ object Dedup {
           |    (s, b) -> IF(s > 0, shiftleft(1L, b), 0L)),
           |  0L, (acc, v) -> acc | v)""".stripMargin).as("simhash"))
 
+  // ------------------------------------------------- banded-hash near-dups
+  /** 4×16-bit sub-band rows of one or more 64-bit hash columns: band_idx
+    * 4k+i is sub-band i of hash column k, so multi-hash tiers (image
+    * aHash+dHash) OR their band sets by construction. Shared by the pair
+    * core and the quarantine-bound histogram. */
+  private def bandedOf(items: DataFrame, hashCols: Seq[String]): DataFrame = {
+    val bandStructs = hashCols.zipWithIndex.flatMap { case (hc, k) =>
+      (0 until 4).map { i =>
+        struct(lit(4 * k + i).as("band_idx"),
+          shiftright(col(hc), i * 16).bitwiseAND(0xFFFFL).as("band_val"))
+      }
+    }
+    val keep = col("doc_id") +: hashCols.map(col)
+    items.select((keep :+ explode(array(bandStructs: _*)).as("band")): _*)
+      .select((keep :+ col("band.band_idx") :+ col("band.band_val")): _*)
+  }
+
+  /** Shared BANDED-HASH near-dup core for every 64-bit hash tier (text
+    * SimHash, image aHash/dHash): block on 4 16-bit sub-bands per hash
+    * column (any shared sub-band ⇒ candidate — pigeonhole guarantees
+    * recall for Hamming ≤ 3 within one hash), verify on the MINIMUM
+    * Hamming distance across the hash columns, and — with `maxBucket`
+    * set — HOT-BAND QUARANTINE, the mitigation for THE banded-join
+    * failure mode at web scale: a boilerplate asset (blank thumbnail,
+    * logo, tracking pixel, templated page) yields millions of IDENTICAL
+    * hashes → one band bucket → n·(n−1)/2 candidate pairs in a single
+    * join key. The Hamming filter runs BEFORE the distinct so the
+    * pair-dedup shuffle only carries surviving pairs.
+    *
+    * Quarantine contract (ports [[quarantineBuckets]] from the minhash
+    * tier, with a Hamming-space fallback): `(band_idx, band_val)` buckets
+    * holding more than `maxBucket` members leave the candidate self-join;
+    * their member docs resolve through a DISTINCT-HASH COLLAPSE —
+    *
+    *  - SAME-TUPLE tier: members sharing the full hash tuple pair at
+    *    Hamming 0 via one equi-join on the tuple. A clone set's pair
+    *    LIST is inherently quadratic (that is the output), but the join
+    *    carries no band multiplicity and no distinct;
+    *  - CROSS-TUPLE tier: the banded join re-runs over the DISTINCT hash
+    *    tuples of the quarantined members (a hot bucket of n members
+    *    collapses to its d ≤ n distinct tuples — on boilerplate-heavy
+    *    corpora d ≪ n), then surviving representative pairs expand back
+    *    through two membership joins (output-sized).
+    *
+    * The result is EXACTLY the unquarantined pair set at every bound —
+    * not merely ⊇: identical tuples share all band memberships, so a
+    * bucket's members are hot or cold together; any pair the hot buckets
+    * withheld has both tuples in the collapse tier and still shares the
+    * withheld band there; and every tier emits only band-sharing pairs
+    * at the verified Hamming. DedupTextSpec pins the no-op equivalence
+    * and the planted-hot-bucket equality; the `simhash_quarantine` /
+    * `mm_phash_quarantine` gates ride the committed full-run fixtures as
+    * equality oracles. */
+  private[graft] def bandedHashPairs(items: DataFrame, hashCols: Seq[String],
+      maxHamming: Int, maxBucket: Option[Long]): DataFrame = {
+    require(hashCols.nonEmpty, "need at least one hash column")
+    // both sides of every band self-join read the hashed table — persist
+    // so the upstream hash computation runs once, not once per side
+    val itemsP = items.persistTracked()
+    val banded = bandedOf(itemsP, hashCols)
+    val keep = col("doc_id") +: hashCols.map(col)
+    def side(tag: String)(df: DataFrame): DataFrame =
+      df.select((col("band_idx") +: col("band_val") +:
+        col("doc_id").as(s"${tag}id") +:
+        hashCols.map(hc => col(hc).as(s"$tag$hc"))): _*)
+    def hamming(l: String, r: String): Column =
+      hashCols.map(hc => bit_count(col(s"$l$hc").bitwiseXOR(col(s"$r$hc"))))
+        .reduce(least(_, _))
+    def bandPairs(df: DataFrame, leftId: String, rightId: String): DataFrame =
+      side("l_")(df).join(side("r_")(df), Seq("band_idx", "band_val"))
+        .filter(col("l_id") < col("r_id"))
+        .select(col("l_id").as(leftId), col("r_id").as(rightId),
+          hamming("l_", "r_").as("hamming"))
+        .filter(col("hamming") <= maxHamming) // shrink the dedup shuffle
+        .distinct()
+    maxBucket match {
+      case None => bandPairs(banded, "id1", "id2")
+      case Some(mb) =>
+        require(mb >= 1, "a bucket bound below 1 quarantines everything")
+        val hotBuckets = banded.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > mb)
+          .select(col("band_idx"), col("band_val"))
+          .persistTracked() // feeds the anti-join and the member semi-join
+        val coldPairs = bandPairs(
+          banded.join(hotBuckets, Seq("band_idx", "band_val"), "left_anti"),
+          "id1", "id2")
+        // quarantined members, one row per doc with its full hash tuple
+        val hotDocs = banded.join(hotBuckets, Seq("band_idx", "band_val"))
+          .select(keep: _*).distinct().persistTracked()
+        val tuple = struct(hashCols.map(col): _*)
+        val samePairs = hotDocs.select(tuple.as("__t"), col("doc_id").as("id1"))
+          .join(hotDocs.select(tuple.as("__t"), col("doc_id").as("id2")), "__t")
+          .filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), lit(0).as("hamming"))
+        // distinct tuples, keyed by their smallest member id (unique per
+        // tuple, so rep ordering ⇔ tuple distinctness in the band join)
+        val reps = hotDocs
+          .groupBy(hashCols.map(col): _*).agg(min(col("doc_id")).as("doc_id"))
+          .persistTracked()
+        val repPairs = bandPairs(bandedOf(reps, hashCols), "rep1", "rep2")
+        val members = hotDocs.join(
+            reps.withColumnRenamed("doc_id", "__rep"), hashCols)
+          .select(col("__rep"), col("doc_id")).persistTracked()
+        val crossPairs = repPairs
+          .join(members.select(col("__rep").as("rep1"), col("doc_id").as("__d1")), Seq("rep1"))
+          .join(members.select(col("__rep").as("rep2"), col("doc_id").as("__d2")), Seq("rep2"))
+          .select(least(col("__d1"), col("__d2")).as("id1"),
+            greatest(col("__d1"), col("__d2")).as("id2"), col("hamming"))
+        // a pair can surface on two tiers (e.g. clones that also share a
+        // cold bucket) with ONE Hamming value — the distinct collapses it
+        coldPairs.unionByName(samePairs).unionByName(crossPairs).distinct()
+    }
+  }
+
   /** SimHash near-dup pairs: block on 4 16-bit sub-bands (any identical
     * sub-band ⇒ candidate; guarantees recall for Hamming distance ≤ 3 by
     * pigeonhole on 4 bands), then filter on exact Hamming distance.
     */
-  def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // both sides of the band self-join read the banded table — persist so
-    // the 64-bit-sum signature aggregation runs once, not twice
-    val simsP = sims.persistTracked()
-    val banded = simsP.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { i =>
-        struct(lit(i).as("band_idx"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("band_val"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("id1"), col("simhash").as("sh1"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("id2"), col("simhash").as("sh2"))
-    a.join(b, Seq("band_idx", "band_val")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+  def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHashPairs(sims.select(col("doc_id"), col("simhash")),
+      Seq("simhash"), maxHamming, None)
+
+  /** [[simHashPairs]] with HOT-BAND QUARANTINE (see [[bandedHashPairs]]):
+    * band buckets over `maxBucket` leave the self-join and their members
+    * resolve through the distinct-hash collapse. Output ≡ the
+    * unquarantined run at every bound. */
+  def simHashPairsQuarantined(sims: DataFrame, maxHamming: Int = 3,
+      maxBucket: Long = 1000L): DataFrame =
+    bandedHashPairs(sims.select(col("doc_id"), col("simhash")),
+      Seq("simhash"), maxHamming, Some(maxBucket))
+
+  /** Derive the simhash quarantine bound from a CANDIDATE-PAIR BUDGET
+    * (the Hamming-tier mirror of [[quarantineBudgetBound]], same
+    * [[budgetBoundFromHistogram]] arithmetic): the largest bucket bound
+    * whose within-bound buckets imply Σ n·(n−1)/2 ≤ `maxCandidatePairs`.
+    * Quarantine is lossless here at ANY bound (the collapse tier is
+    * exact), so the budget trades band-join work for collapse work, not
+    * recall. */
+  def simHashQuarantineBound(sims: DataFrame, maxCandidatePairs: Long): Long =
+    budgetBoundFromHistogram(
+      bandedOf(sims.select(col("doc_id"), col("simhash")), Seq("simhash"))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("buckets"))
+        .orderBy(col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      maxCandidatePairs)
+
+  /** Budget-driven quarantined simhash pairs — derive the bound, then run
+    * [[simHashPairsQuarantined]] at it; returns the bound beside the pair
+    * frame so callers can log the operating point. */
+  def simHashPairsBudget(sims: DataFrame, maxHamming: Int,
+      maxCandidatePairs: Long): (DataFrame, Long) = {
+    val simsP = sims.select(col("doc_id"), col("simhash")).persistTracked()
+    val bound = simHashQuarantineBound(simsP, maxCandidatePairs)
+    (simHashPairsQuarantined(simsP, maxHamming, bound), bound)
   }
 
   // ------------------------------------------------------------ clustering

@@ -165,18 +165,40 @@ object Multimodal {
 
   /** IMAGE NEAR-DUPLICATE PAIRS — the multimodal leg of the near-dup
     * family, riding the SAME banded machinery as text SimHash
-    * ([[Dedup.simHashPairs]]): decode → perceptual hash (aHash), block on
-    * 4 16-bit sub-bands (pigeonhole guarantees recall for Hamming ≤ 3;
-    * near misses past that surface through the other bands), verify on
-    * exact Hamming distance ≤ `maxHamming`. Candidates only exist inside
-    * shared bands — never an all-pairs image comparison — and the hash
-    * stage runs at scan speed map-side, so the shape holds at 100 TB of
-    * payloads exactly as the text tier does. */
+    * ([[Dedup.bandedHashPairs]]): decode → perceptual hashes, block on
+    * the UNION of both hashes' 4×16-bit sub-bands (band indices 0–3 from
+    * aHash, 4–7 from dHash), verify on the MINIMUM Hamming distance of
+    * the two hashes ≤ `maxHamming`. Banding on both matters for the
+    * dominant real perturbation: a brightness GRADIENT (vignette,
+    * re-light, watermark wash) moves pixels relative to the global mean —
+    * flipping aHash cells wholesale — while neighbour-order dHash bits
+    * survive, so dHash bands recover pairs the aHash bands lose
+    * (MultimodalSpec measures the recall gap on a planted gradient
+    * fixture). Candidates only exist inside shared bands — never an
+    * all-pairs image comparison — and the hash stage runs at scan speed
+    * map-side, so the shape holds at 100 TB of payloads exactly as the
+    * text tier does. */
   def phashNearDups(media: DataFrame, maxHamming: Int = 6): DataFrame =
-    Dedup.simHashPairs(
-      perceptualHashes(media)
-        .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
-      maxHamming)
+    Dedup.bandedHashPairs(
+      perceptualHashes(media).select(col("media_id").as("doc_id"),
+        col("ahash"), col("dhash")),
+      Seq("ahash", "dhash"), maxHamming, None)
+
+  /** [[phashNearDups]] with HOT-BAND QUARANTINE — the image twin of
+    * [[Dedup.simHashPairsQuarantined]], and where the bound bites first
+    * in practice: a boilerplate asset (blank thumbnail, logo, tracking
+    * pixel) hashes identically across millions of pages, putting the
+    * whole clone set into ONE band bucket. Buckets over `maxBucket`
+    * leave the banded self-join; their members resolve through the
+    * distinct-hash collapse (clone sets pair via one tuple equi-join at
+    * Hamming 0; distinct tuples re-band at collapsed cardinality).
+    * Output ≡ the unquarantined run at every bound. */
+  def phashNearDupsQuarantined(media: DataFrame, maxHamming: Int = 6,
+      maxBucket: Long = 1000L): DataFrame =
+    Dedup.bandedHashPairs(
+      perceptualHashes(media).select(col("media_id").as("doc_id"),
+        col("ahash"), col("dhash")),
+      Seq("ahash", "dhash"), maxHamming, Some(maxBucket))
 
   /** Deterministic synthetic PNG corpus from a doc-id frame — the
     * codec-free stand-in for a real image ingest (the container ships no
@@ -225,6 +247,80 @@ object Multimodal {
         }
       }
       .toDF("media_id", "payload")
+  }
+
+  /** MIXED-FORMAT variant of [[syntheticPngMedia]] — the corpus shape of a
+    * real crawl, where JPEG dominates and GIF/BMP assets persist: group
+    * members 2/5/7 transcode their PNG payload through the JDK's own
+    * writers (decode → re-encode; JPEG lossy, GIF/BMP lossless for 8-bit
+    * gray), so every sniff arm of [[looksLikeImage]] and every ImageIO
+    * decode path runs END TO END in the gates that read this corpus —
+    * PNG-only fixtures left the dominant real-world format sniff-covered
+    * but never exercised. The JPEG member doubles as an organic near-dup:
+    * same content, lossy re-encode — exactly the duplicate class a
+    * perceptual-hash tier exists to catch. One narrow mapPartitions
+    * (codec state amortized); deterministic on a fixed JRE (the committed
+    * fixture pins it). */
+  def syntheticMixedMedia(docIds: DataFrame, side: Int = 32,
+      groupSize: Int = 8): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    syntheticPngMedia(docIds, side, groupSize)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val fmt = (id % 8) match {
+            case 2 => "jpg"
+            case 5 => "gif"
+            case 7 => "bmp"
+            case _ => null
+          }
+          if (fmt == null) (id, payload)
+          else {
+            val out = (for ((px, h, w) <- graft.kernels.Png.decodeGray(payload))
+              yield {
+                val img = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                var i = 0
+                while (i < px.length) {
+                  img.getRaster.setSample(i % w, i / w, 0, px(i))
+                  i += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                if (javax.imageio.ImageIO.write(img, fmt, bos)) bos.toByteArray
+                else payload
+              }).getOrElse(payload)
+            (id, out)
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** Build-once memo over [[syntheticMixedMedia]] (the
+    * [[graft.functions.Similarity.ivfPqIndexFor]] contract): the encoded
+    * corpus persists in the ARTIFACT tier, so the phash gates measure the
+    * dedup OPERATOR (decode → hash → band → verify) instead of absorbing
+    * PNG encoder throughput into whichever query line runs first —
+    * encoder cost stays visible as the bench-setup `mm_png_corpus_build`
+    * line, exactly the offline-ingest/online-dedup split of the ANN
+    * gates. Keyed by the analyzed doc-id projection's semantic hash +
+    * geometry; entries drop with `GraftCaches.releaseArtifacts()`. */
+  private val mediaMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int), DataFrame]
+  graft.GraftCaches.onArtifactRelease(() => mediaMemo.clear())
+
+  def syntheticMediaFor(docIds: DataFrame, side: Int = 32,
+      groupSize: Int = 8): DataFrame = {
+    val key = (System.identityHashCode(docIds.sparkSession),
+      docIds.select(col("doc_id")).queryExecution.analyzed.semanticHash(),
+      side, groupSize)
+    mediaMemo.getOrElseUpdate(key, {
+      val m = graft.GraftCaches.persistedArtifact(
+        syntheticMixedMedia(docIds, side, groupSize))
+      m.count()
+      m
+    })
   }
 
   /** REAL image resize over PNG-encoded payloads: decode → bilinear resize

@@ -336,6 +336,37 @@ class DedupTextSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash hot-band quarantine: planted clone bucket — output ≡ unquarantined at every bound") {
+    // 12 clones (one simhash → every band bucket holds ≥12) + one near-dup
+    // pair + one unrelated doc: the exact boilerplate shape that makes the
+    // unbounded in-band self-join quadratic on a real corpus
+    val clone = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 12L).map(i => (i, clone)) ++ Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (21L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (30L, "zx9 qq7 kk3 mm1 plutonium"))).toDF("doc_id", "text")
+    val sims = graft.GraftCaches.persisted(
+      Dedup.simHash(docs, col("doc_id"), col("text")))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val plain = pairSet(Dedup.simHashPairs(sims, maxHamming = 10))
+    // the 66 clone pairs are all present at hamming 0
+    assert((1L to 12L).combinations(2).forall(p =>
+      plain.contains((p(0), p(1), 0))))
+    // equality at a bound that quarantines the clone bucket, at the
+    // everything-quarantined bound, and through the budget-derived bound
+    for (bound <- Seq(6L, 1L))
+      assert(pairSet(Dedup.simHashPairsQuarantined(sims, 10, bound)) == plain,
+        s"quarantined(bound=$bound) diverged from the plain run")
+    val (budgeted, bound) = Dedup.simHashPairsBudget(sims, 10, maxCandidatePairs = 10L)
+    // 10 affordable pairs cannot admit the 12-clone buckets (66 pairs each)
+    assert(bound < 12L)
+    assert(pairSet(budgeted) == plain)
+    // an ample budget admits every bucket (bound reaches the hottest size)
+    assert(Dedup.simHashQuarantineBound(sims, Long.MaxValue) >= 12L)
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
   test("token counts, punctuation, mean token length") {
     val r = Seq("Hi,  world! 42").toDF("text").select(
       TextAnalysis.tokenCount(col("text")).as("t"),

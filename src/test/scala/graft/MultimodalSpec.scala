@@ -86,4 +86,144 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.count(p => p._1 == 0L) >= 4)
     graft.GraftCaches.unpersistAll(blocking = true)
   }
+
+  /** Deterministic noisy base image: mid-gray with hash-derived texture. */
+  private def noisyBase(side: Int): Array[Int] = {
+    val px = new Array[Int](side * side)
+    var i = 0
+    while (i < px.length) {
+      var z = i * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      z = (z ^ (z >>> 29)) * 0xBF58476D1CE4E5B9L
+      px(i) = 100 + math.floorMod(z >>> 33, 40L).toInt
+      i += 1
+    }
+    px
+  }
+
+  test("dual banding recall: a brightness-gradient copy keeps dHash, loses aHash — only the dual tier finds it") {
+    val side = 32
+    val base = noisyBase(side)
+    // vertical brightness gradient (re-light / vignette shape): +4 per
+    // row. Every within-row neighbour comparison is untouched (dHash
+    // bits survive verbatim — no clipping: max 139 + 124 = 263? keep
+    // rows scaled so max stays < 256: +3 per row → 139 + 93 = 232)
+    val shifted = Array.tabulate(side * side)(i => base(i) + 3 * (i / side))
+    val hA1 = Multimodal.aHash64(base, side, side)
+    val hA2 = Multimodal.aHash64(shifted, side, side)
+    val hD1 = Multimodal.dHash64(base, side, side)
+    val hD2 = Multimodal.dHash64(shifted, side, side)
+    // the planted property: the gradient moves cells against the global
+    // mean (top rows sink, bottom rows rise) so aHash diverges past the
+    // threshold, while neighbour-order dHash is untouched
+    assert(java.lang.Long.bitCount(hA1 ^ hA2) > 6,
+      s"gradient fixture too weak: aHash hamming ${java.lang.Long.bitCount(hA1 ^ hA2)}")
+    assert(java.lang.Long.bitCount(hD1 ^ hD2) <= 2)
+    val media = Seq(
+      (1L, Png.encodeGray(base, side, side).get),
+      (2L, Png.encodeGray(shifted, side, side).get))
+      .toDF("media_id", "payload")
+    // aHash-only banding misses the pair outright (hamming_a > threshold)
+    val aOnly = graft.functions.Dedup.bandedHashPairs(
+        Multimodal.perceptualHashes(media)
+          .select(col("media_id").as("doc_id"), col("ahash")),
+        Seq("ahash"), maxHamming = 6, maxBucket = None)
+      .count()
+    assert(aOnly == 0L)
+    // the dual tier recovers it through the dHash bands at min-Hamming
+    val dual = Multimodal.phashNearDups(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dual == Set((1L, 2L, java.lang.Long.bitCount(hD1 ^ hD2))))
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
+  test("phash quarantine: clone-heavy corpus — quarantined ≡ plain at every bound") {
+    // 10 byte-identical payloads (ONE hash tuple → a hot bucket in all 8
+    // bands) + one near-dup group from the synthetic corpus
+    val clonePx = noisyBase(32)
+    val cloneBytes = Png.encodeGray(clonePx, 32, 32).get
+    val clones = (100L to 109L).map(i => (i, cloneBytes))
+    val group = Multimodal.syntheticPngMedia(
+        spark.range(0, 8).select(col("id").as("doc_id")))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val media = (clones ++ group).toDF("media_id", "payload")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val plain = pairSet(Multimodal.phashNearDups(media, maxHamming = 6))
+    // all 45 clone pairs at hamming 0
+    assert((100L to 109L).combinations(2).forall(p =>
+      plain.contains((p(0), p(1), 0))))
+    for (bound <- Seq(4L, 1L))
+      assert(pairSet(Multimodal.phashNearDupsQuarantined(media, 6, bound)) == plain,
+        s"phash quarantine(bound=$bound) diverged from the plain run")
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
+
+  /** Encode a grayscale pixel array through the JDK's own writers — the
+    * mixed-format corpus shape (JPEG dominates real crawls; the PNG-only
+    * fixtures never exercised the sniff's other arms end-to-end). */
+  private def encodeAs(px: Array[Int], side: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      img.getRaster.setSample(i % side, i / side, 0, v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** 8×8-pixel constant blocks — the shape a real photo's low-frequency
+    * content takes after JPEG's 8×8 DCT: block-constant regions encode to
+    * a DC coefficient and survive the lossy round-trip, so the perceptual
+    * hashes (whose 8×8 grid cells sit inside one block each at side 32)
+    * stay within the near-dup threshold. High-frequency noise fixtures
+    * are the JPEG worst case and do not model a photo. */
+  private def blocky(side: Int): Array[Int] = {
+    val px = new Array[Int](side * side)
+    var i = 0
+    while (i < px.length) {
+      val b = (i / side / 8) * 131L + (i % side / 8) * 31L
+      var z = b * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      z = (z ^ (z >>> 29)) * 0xBF58476D1CE4E5B9L
+      px(i) = 60 + math.floorMod(z >>> 33, 140L).toInt
+      i += 1
+    }
+    px
+  }
+
+  test("mixed formats: JPEG/GIF/BMP payloads decode through the same seam; JPEG re-encode near-dups its PNG twin") {
+    val side = 32
+    val px = blocky(side)
+    val payloads = Seq(
+      1L -> Png.encodeGray(px, side, side).get,
+      2L -> encodeAs(px, side, "jpg"),
+      3L -> encodeAs(px, side, "gif"),
+      4L -> encodeAs(px, side, "bmp"))
+    // every payload passes the magic-byte sniff
+    payloads.foreach { case (id, b) =>
+      assert(Multimodal.looksLikeImage(b), s"sniff failed for media $id")
+    }
+    val media = payloads.toDF("media_id", "payload")
+    val feats = Multimodal.extractFeatures(
+        media.withColumn("kind", lit("image")))
+      .select(col("media_id"), col("width"), col("height"))
+      .as[(Long, Int, Int)].collect().toSet
+    // real decode on every format: true dimensions, not the stub's fake
+    assert(feats == (1L to 4L).map(id => (id, side, side)).toSet)
+    val hashes = Multimodal.perceptualHashes(media)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(hashes.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // GIF/BMP are lossless for 8-bit gray: hashes equal the PNG's exactly
+    assert(hashes(2)._2 == hashes(0)._2 && hashes(2)._3 == hashes(0)._3)
+    assert(hashes(3)._2 == hashes(0)._2 && hashes(3)._3 == hashes(0)._3)
+    // JPEG is lossy but perceptually identical — the near-dup tier must
+    // pair it with its PNG twin (this is the pipeline's whole point)
+    val pairs = Multimodal.phashNearDups(media, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"JPEG twin not paired: $pairs")
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
 }

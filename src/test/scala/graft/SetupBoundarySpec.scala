@@ -31,7 +31,10 @@ class SetupBoundarySpec extends AnyFunSuite {
     "dedup_operating_report", "embdedup_incremental", "embdedup_index_health",
     "embdedup_quarantine", "embdedup_quarantine_budget",
     "ann_range_exact", "ann_range_search", "ann_range_rerank",
-    "ann_range_recall")
+    "ann_range_recall",
+    // image tier: the PNG corpus is the mm_png_corpus_build setup line;
+    // the dedup lines must plan zero encode/build work
+    "mm_phash_neardups", "mm_phash_quarantine")
 
   test("after the bench setup phase, serving queries build zero artifacts") {
     GraftCaches.unpersistAll(blocking = true)
