@@ -132,6 +132,37 @@ object GraftCaches {
     df
   }
 
+  /** ARTIFACT-tier persist of a frame that may ALREADY be cached in the
+    * working tier under the SAME logical plan — the delta-append batch
+    * frames (staged once for the incremental-pairs pass, again as a
+    * generation member). CacheManager keys entries by normalized plan, so
+    * a direct re-persist is a silent no-op whose one shared entry then
+    * DIES with the working tier's end-of-batch unpersist, evicting a
+    * standing-index member. The trivial always-true filter gives the
+    * artifact its own plan — its own cache entry — while keeping FULL
+    * LINEAGE: unlike a localCheckpoint, a lost block recomputes from
+    * source instead of failing unrecoverably mid-stream
+    * (GraftCachesSpec pins the independent-entry behavior). */
+  def persistedArtifactFresh(df: DataFrame): DataFrame =
+    persistedArtifact(df.where(org.apache.spark.sql.functions.lit(true)))
+
+  /** A releasable handle on one standing-index GENERATION CHAIN: with
+    * delta appends, an index's member frames are lazy unions over the
+    * base generation's standalone caches plus one batch-sized delta cache
+    * per append — none of which may release while any successor serves
+    * (shared lineage). The chain collects exactly those cached frames so
+    * that when a POLICY CUTS a standalone generation (compaction,
+    * re-band, rebuild), the whole superseded chain releases as one unit —
+    * without it, every policy fire strands a corpus-sized cached chain in
+    * executor storage for the life of the serving stream. */
+  final case class GenChain(frames: Seq[DataFrame] = Nil) {
+    def ++(more: Seq[DataFrame]): GenChain = GenChain(frames ++ more)
+    def isEmpty: Boolean = frames.isEmpty
+    def nonEmpty: Boolean = frames.nonEmpty
+    def release(blocking: Boolean = false): Unit =
+      frames.foreach(_.unpersist(blocking))
+  }
+
   private val artifactEvents = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** MONOTONE count of artifact-tier persists since JVM start — the

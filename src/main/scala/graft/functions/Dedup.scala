@@ -267,8 +267,22 @@ object Dedup {
     * (4 ints per (doc, band)); `staged` backs the exact-Jaccard
     * verification of candidate pairs and is touched only keyed by
     * candidate ids. */
+  /** `rows`: the staged doc count rolled forward as a MONOTONE COUNTER
+    * (build counts once; append adds the batch's count) so per-batch
+    * policy checks read a field instead of re-scanning the standing
+    * frame every trigger — None after operations that cannot derive it
+    * cheaply (remove), in which case policies fall back to one count.
+    * `chain`: with delta appends, the cached frames this generation's
+    * lazy unions READ (base standalone frames + every batch delta) —
+    * released as one unit when a policy cuts a standalone generation
+    * ([[graft.GraftCaches.GenChain]]); empty ⟺ the member frames are
+    * standalone. */
   final case class DedupIndex(staged: DataFrame, bands: DataFrame,
-      numHashes: Int, nBands: Int, shingleK: Int)
+      numHashes: Int, nBands: Int, shingleK: Int,
+      rows: Option[Long] = None,
+      chain: graft.GraftCaches.GenChain = graft.GraftCaches.GenChain()) {
+    private[graft] def stagedRows: Long = rows.getOrElse(staged.count())
+  }
 
   /** One tokenize+shingle pass (the staging projection of
     * [[minHashDedupPairs]], factored so build/append/batch share it
@@ -308,8 +322,9 @@ object Dedup {
       val sigArr = minhashSigArr(staged, numHashes).persistTracked()
       val bands = graft.GraftCaches.persistedArtifact(
         bandsOfStaged(sigArr, numHashes, nBands))
-      bands.count(); staged.count() // materialize inside the build
-      DedupIndex(staged, bands, numHashes, nBands, shingleK)
+      bands.count()
+      val n = staged.count() // materialize inside the build
+      DedupIndex(staged, bands, numHashes, nBands, shingleK, rows = Some(n))
     }
 
   /** Build-once memo (contract of [[Similarity.ivfPqIndexFor]]): keyed by
@@ -462,8 +477,10 @@ object Dedup {
       index.staged.unionByName(bStaged))
     val bands = graft.GraftCaches.persistedArtifact(
       index.bands.unionByName(bBands))
-    bands.count(); staged.count()
-    DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+    bands.count()
+    val n = staged.count()
+    DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK,
+      rows = Some(n))
   }
 
   /** DELTA APPEND — [[dedupIndexAppend]] without the corpus-sized cache
@@ -482,24 +499,41 @@ object Dedup {
     * LIFECYCLE TRADE, stated not hidden: generations now SHARE cached
     * frames, so the caller must NOT release a superseded handle after the
     * roll (unpersisting a shared parent degrades every successor to
-    * source re-reads). Chained generations release when a policy cuts
-    * standalone frames (compaction checkpoints fresh copies; a re-band
-    * cuts fresh bands) or with the artifact tier. Union depth grows one
-    * per append until the compaction policy fires — the LSM trade,
-    * bounded by the same width detector as the copy path. */
+    * source re-reads). The shared frames ride the generation's `chain`:
+    * when a policy cuts standalone frames (compaction checkpoints fresh
+    * copies; a re-band on a chained index cuts BOTH frames fresh), the
+    * successor's chain is empty and the superseded chain releases as one
+    * unit — [[graft.streaming.IngestServing]] performs that release, so
+    * a long-running delta stream's storage is bounded by ONE generation
+    * plus the deltas since the last cut, not by rebuild count. Union
+    * depth grows one per append until the compaction policy fires — the
+    * LSM trade, bounded by the same width detector as the copy path.
+    *
+    * DURABILITY: the delta members persist with FULL LINEAGE
+    * ([[graft.GraftCaches.persistedArtifactFresh]] — batch-sized persist
+    * cost), rooted at the batch source files: a lost executor block
+    * recomputes from source, where the previous localCheckpoint form
+    * failed unrecoverably mid-stream. */
   def dedupIndexAppendDelta(index: DedupIndex, batch: DataFrame, id: Column,
       text: Column): DedupIndex = graft.GraftCaches.inArtifactScope {
     val (bStaged, bBands) = stageBatch(index, batch, id, text)
-    // the batch frames re-materialize as ARTIFACT-tier checkpoints:
-    // stageBatch's working-tier persists die at the caller's end-of-batch
-    // unpersistAll, but these rows are now generation members (a plain
-    // re-persist would be ignored by the cache manager — same canonical
-    // plan — and then released with the working tier)
-    val dStaged = graft.GraftCaches.checkpointed(bStaged)
-    val dBands = graft.GraftCaches.checkpointed(bBands)
+    // the batch frames re-persist as ARTIFACT-tier entries under fresh
+    // plans: stageBatch's working-tier persists die at the caller's
+    // end-of-batch unpersistAll, and a same-plan re-persist would be a
+    // CacheManager no-op released with them — persistedArtifactFresh
+    // gives each delta its own lineage-bearing entry
+    val dStaged = graft.GraftCaches.persistedArtifactFresh(bStaged)
+    val dBands = graft.GraftCaches.persistedArtifactFresh(bBands)
+    dBands.count()
+    val bn = dStaged.count() // materialize the deltas; batch-sized
+    val base =
+      if (index.chain.nonEmpty) index.chain
+      else graft.GraftCaches.GenChain(Seq(index.staged, index.bands))
     DedupIndex(index.staged.unionByName(dStaged),
       index.bands.unionByName(dBands),
-      index.numHashes, index.nBands, index.shingleK)
+      index.numHashes, index.nBands, index.shingleK,
+      rows = index.rows.map(_ + bn),
+      chain = base ++ Seq(dStaged, dBands))
   }
 
   /** RETENTION DELETE — shrink the standing catalog without a rebuild
@@ -525,8 +559,10 @@ object Dedup {
         index.staged.join(rm, Seq("doc_id"), "left_anti"))
       val bands = graft.GraftCaches.persistedArtifact(
         index.bands.join(rm, Seq("doc_id"), "left_anti"))
-      bands.count(); staged.count()
-      DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+      bands.count()
+      val n = staged.count()
+      DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK,
+        rows = Some(n))
     }
 
   /** COMPACTION — re-materialize the catalog's frames at their natural
@@ -550,7 +586,11 @@ object Dedup {
         index.staged.repartition(n, col("doc_id")))
       val bands = graft.GraftCaches.checkpointed(
         index.bands.repartition(n, col("band_idx"), col("band_hash")))
-      DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK)
+      // content untouched ⇒ the row counter carries over; the compacted
+      // frames are STANDALONE cuts ⇒ chain resets (the caller releases
+      // the superseded chain)
+      DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK,
+        rows = index.rows)
     }
 
   /** COMPACTION POLICY — detector→actuator over [[compactDedupIndex]],
@@ -615,16 +655,29 @@ object Dedup {
     * analogue of the ANN roll keeping the shared quantizer frames). */
   def rebuildCatalogIfStale(index: DedupIndex,
       threshold: Double): (DedupIndex, Boolean) = {
-    val n = index.staged.count()
+    // rolled-forward counter: the no-fire path (every routine batch) costs
+    // zero jobs on the standing frame instead of a corpus-sized re-scan
+    val n = index.stagedRows
     val (h, b) = autoBanding(n, threshold)
     if (h == index.numHashes && b == index.nBands) (index, false)
     else graft.GraftCaches.inArtifactScope {
       graft.plans.GraftFunctions.register(index.staged.sparkSession)
-      val sigArr = minhashSigArr(index.staged, h).persistTracked()
+      // on a CHAINED (delta-append) index, a fire is the moment to cut the
+      // WHOLE generation standalone: the signature pass scans every staged
+      // row anyway, so persisting a flat staged copy rides the same scan —
+      // and an all-standalone successor (empty chain) lets the caller
+      // release the superseded chain instead of carrying it forever
+      val staged =
+        if (index.chain.isEmpty) index.staged
+        else {
+          val s = graft.GraftCaches.persistedArtifact(index.staged)
+          s.count(); s
+        }
+      val sigArr = minhashSigArr(staged, h).persistTracked()
       val bands = graft.GraftCaches.persistedArtifact(
         bandsOfStaged(sigArr, h, b))
       bands.count()
-      (DedupIndex(index.staged, bands, h, b, index.shingleK), true)
+      (DedupIndex(staged, bands, h, b, index.shingleK, rows = Some(n)), true)
     }
   }
 
@@ -659,9 +712,11 @@ object Dedup {
       spark.read.parquet(s"$path/staged"))
     val bands = graft.GraftCaches.persistedArtifact(
       spark.read.parquet(s"$path/bands"))
-    bands.count(); staged.count()
+    bands.count()
+    val n = staged.count()
     DedupIndex(staged, bands, meta.getAs[Int]("num_hashes"),
-      meta.getAs[Int]("n_bands"), meta.getAs[Int]("shingle_k"))
+      meta.getAs[Int]("n_bands"), meta.getAs[Int]("shingle_k"),
+      rows = Some(n))
   }
 
   /** Release one dedup-index generation's caches (idempotent; the
@@ -671,6 +726,9 @@ object Dedup {
   def releaseDedupIndex(index: DedupIndex, blocking: Boolean = false): Unit = {
     index.staged.unpersist(blocking)
     index.bands.unpersist(blocking)
+    // delta generations: the member frames above are uncached lazy unions
+    // (their unpersist is a no-op); the actual storage rides the chain
+    index.chain.release(blocking)
   }
 
   /** DEDUP CATALOG HEALTH — the ops read on a standing index
@@ -974,6 +1032,44 @@ object Dedup {
       .select((keep :+ col("band.band_idx") :+ col("band.band_val")): _*)
   }
 
+  /** One side of a banded-hash join: band key + prefixed id/hash
+    * columns. */
+  private def bandSide(hashCols: Seq[String], tag: String)(
+      df: DataFrame): DataFrame =
+    df.select((col("band_idx") +: col("band_val") +:
+      col("doc_id").as(s"${tag}id") +:
+      hashCols.map(hc => col(hc).as(s"$tag$hc"))): _*)
+
+  /** MINIMUM Hamming distance across the hash columns of a joined pair. */
+  private def minHamming(hashCols: Seq[String], l: String,
+      r: String): Column =
+    hashCols.map(hc => bit_count(col(s"$l$hc").bitwiseXOR(col(s"$r$hc"))))
+      .reduce(least(_, _))
+
+  /** INCREMENTAL banded-hash pairs — every pair touching ≥1 batch item,
+    * the [[incrementalMinHashPairs]] shape on the Hamming tier: ONE band
+    * equi-join of (standing ∪ batch) against the batch side covers
+    * old–new once and new–new twice (collapsed by the trailing
+    * distinct); the standing corpus is scanned through its persisted
+    * hash column, never re-hashed. Result ≡ the full-corpus
+    * [[bandedHashPairs]] run restricted to batch-touching pairs (the
+    * canonical least/greatest orientation matches the full run's
+    * l < r filter exactly). */
+  private[graft] def bandedHashPairsIncremental(standing: DataFrame,
+      batch: DataFrame, hashCols: Seq[String], maxHamming: Int): DataFrame = {
+    val batchP = batch.persistTracked()
+    val allSide = bandSide(hashCols, "l_")(
+      bandedOf(standing.unionByName(batchP), hashCols))
+    val batchSide = bandSide(hashCols, "r_")(bandedOf(batchP, hashCols))
+    allSide.join(batchSide, Seq("band_idx", "band_val"))
+      .filter(col("l_id") =!= col("r_id"))
+      .select(least(col("l_id"), col("r_id")).as("id1"),
+        greatest(col("l_id"), col("r_id")).as("id2"),
+        minHamming(hashCols, "l_", "r_").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Shared BANDED-HASH near-dup core for every 64-bit hash tier (text
     * SimHash, image aHash/dHash): block on 4 16-bit sub-bands per hash
     * column (any shared sub-band ⇒ candidate — pigeonhole guarantees
@@ -1018,18 +1114,12 @@ object Dedup {
     val itemsP = items.persistTracked()
     val banded = bandedOf(itemsP, hashCols)
     val keep = col("doc_id") +: hashCols.map(col)
-    def side(tag: String)(df: DataFrame): DataFrame =
-      df.select((col("band_idx") +: col("band_val") +:
-        col("doc_id").as(s"${tag}id") +:
-        hashCols.map(hc => col(hc).as(s"$tag$hc"))): _*)
-    def hamming(l: String, r: String): Column =
-      hashCols.map(hc => bit_count(col(s"$l$hc").bitwiseXOR(col(s"$r$hc"))))
-        .reduce(least(_, _))
     def bandPairs(df: DataFrame, leftId: String, rightId: String): DataFrame =
-      side("l_")(df).join(side("r_")(df), Seq("band_idx", "band_val"))
+      bandSide(hashCols, "l_")(df).join(
+          bandSide(hashCols, "r_")(df), Seq("band_idx", "band_val"))
         .filter(col("l_id") < col("r_id"))
         .select(col("l_id").as(leftId), col("r_id").as(rightId),
-          hamming("l_", "r_").as("hamming"))
+          minHamming(hashCols, "l_", "r_").as("hamming"))
         .filter(col("hamming") <= maxHamming) // shrink the dedup shuffle
         .distinct()
     maxBucket match {
@@ -1321,7 +1411,14 @@ object Dedup {
     * lifecycle verb a closed-form oracle: incremental ≡ the full run
     * restricted to batch-touching pairs, remove ≡ a fresh build over
     * corpus∖removed, compaction content-preserving. */
-  final case class EmbIndex(vecs: DataFrame, nPlanes: Int)
+  /** `rows`/`chain`: the [[DedupIndex]] contract — a rolled-forward row
+    * counter for per-batch policy checks, and the delta-generation chain
+    * released as one unit at a standalone cut. */
+  final case class EmbIndex(vecs: DataFrame, nPlanes: Int,
+      rows: Option[Long] = None,
+      chain: graft.GraftCaches.GenChain = graft.GraftCaches.GenChain()) {
+    private[graft] def vecRows: Long = rows.getOrElse(vecs.count())
+  }
 
   /** One bucketing pass shared bit-for-bit by build, append and the
     * incremental batch side (the restriction oracles depend on it), with
@@ -1357,8 +1454,8 @@ object Dedup {
       nPlanes: Int = 4): EmbIndex = graft.GraftCaches.inArtifactScope {
     val vecs = graft.GraftCaches.persistedArtifact(
       stageEmbBatch(emb, id, vec, nPlanes, None))
-    vecs.count()
-    EmbIndex(vecs, nPlanes)
+    val n = vecs.count()
+    EmbIndex(vecs, nPlanes, rows = Some(n))
   }
 
   private val embIndexMemo = scala.collection.concurrent.TrieMap
@@ -1428,20 +1525,28 @@ object Dedup {
       vec: Column): EmbIndex = graft.GraftCaches.inArtifactScope {
     val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
     val vecs = graft.GraftCaches.persistedArtifact(index.vecs.unionByName(b))
-    vecs.count()
-    EmbIndex(vecs, index.nPlanes)
+    val n = vecs.count()
+    EmbIndex(vecs, index.nPlanes, rows = Some(n))
   }
 
   /** DELTA APPEND on the embedding catalog — [[dedupIndexAppendDelta]]'s
-    * contract on the semantic tier: only the staged batch checkpoints
-    * (artifact tier, batch-sized); the new generation is a lazy union
-    * over the old generation's cache. Same lifecycle trade (no release
-    * of superseded handles until a standalone cut). */
+    * contract on the semantic tier: only the staged batch persists
+    * (artifact tier, batch-sized, LINEAGE-BEARING via
+    * [[graft.GraftCaches.persistedArtifactFresh]] — the staging plan is
+    * pure from the batch source, so a lost block recomputes where the
+    * previous localCheckpoint form failed unrecoverably); the new
+    * generation is a lazy union over the old generation's cache, and the
+    * shared frames ride `chain` for release at the next standalone cut. */
   def embIndexAppendDelta(index: EmbIndex, batch: DataFrame, id: Column,
       vec: Column): EmbIndex = graft.GraftCaches.inArtifactScope {
     val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
-    EmbIndex(index.vecs.unionByName(graft.GraftCaches.checkpointed(b)),
-      index.nPlanes)
+    val d = graft.GraftCaches.persistedArtifactFresh(b)
+    val bn = d.count()
+    val base =
+      if (index.chain.nonEmpty) index.chain
+      else graft.GraftCaches.GenChain(Seq(index.vecs))
+    EmbIndex(index.vecs.unionByName(d), index.nPlanes,
+      rows = index.rows.map(_ + bn), chain = base ++ Seq(d))
   }
 
   /** RETENTION DELETE on the standing embedding catalog — the broadcast
@@ -1455,8 +1560,8 @@ object Dedup {
       val rm = broadcast(ids.select(col("vec_id")).distinct())
       val vecs = graft.GraftCaches.persistedArtifact(
         index.vecs.join(rm, Seq("vec_id"), "left_anti"))
-      vecs.count()
-      EmbIndex(vecs, index.nPlanes)
+      val n = vecs.count()
+      EmbIndex(vecs, index.nPlanes, rows = Some(n))
     }
 
   /** COMPACTION of the standing embedding catalog at its probe key (the
@@ -1469,12 +1574,16 @@ object Dedup {
     graft.GraftCaches.inArtifactScope {
       val n = partitions.getOrElse(
         index.vecs.sparkSession.sessionState.conf.numShufflePartitions)
+      // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets
       EmbIndex(graft.GraftCaches.checkpointed(
-        index.vecs.repartition(n, col("bucket"))), index.nPlanes)
+        index.vecs.repartition(n, col("bucket"))), index.nPlanes,
+        rows = index.rows)
     }
 
-  def releaseEmbIndex(index: EmbIndex, blocking: Boolean = false): Unit =
+  def releaseEmbIndex(index: EmbIndex, blocking: Boolean = false): Unit = {
     index.vecs.unpersist(blocking)
+    index.chain.release(blocking)
+  }
 
   /** EMBEDDING CATALOG HEALTH — [[dedupIndexHealth]]'s analogue on the
     * semantic tier: hyperplane-bucket statistics plus the implied
@@ -1535,8 +1644,8 @@ object Dedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val vecs = graft.GraftCaches.persistedArtifact(
       spark.read.parquet(s"$path/vecs"))
-    vecs.count()
-    EmbIndex(vecs, meta.getAs[Int]("n_planes"))
+    val n = vecs.count()
+    EmbIndex(vecs, meta.getAs[Int]("n_planes"), rows = Some(n))
   }
 
   /** SCALE-ADAPTIVE PLANE COUNT — [[autoBanding]]'s analogue for the
@@ -1571,16 +1680,20 @@ object Dedup {
     * ([[releaseEmbIndex]] on the superseded one). */
   def rebuildEmbIndexIfStale(index: EmbIndex,
       targetBucket: Long = 32L): (EmbIndex, Boolean) = {
-    val n = index.vecs.count()
+    // rolled-forward counter: the no-fire path costs zero standing jobs
+    val n = index.vecRows
     val p = autoPlanes(n, targetBucket)
     if (p == index.nPlanes) (index, false)
     else graft.GraftCaches.inArtifactScope {
       graft.plans.GraftFunctions.register(index.vecs.sparkSession)
+      // the re-bucketing projection is a STANDALONE cut (fresh persisted
+      // copy), so a chained generation's successor starts chain-empty and
+      // the caller releases the superseded chain
       val vecs = graft.GraftCaches.persistedArtifact(
         index.vecs.select(col("vec_id"), col("v"))
           .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), p)))
       vecs.count()
-      (EmbIndex(vecs, p), true)
+      (EmbIndex(vecs, p, rows = Some(n)), true)
     }
   }
 

@@ -323,6 +323,140 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------- standing phash catalog
+  /** STANDING PHASH CATALOG — the image tier's standing structure,
+    * closing the four-family symmetry (text minhash catalog, embedding
+    * catalog, ANN index, and now images): the corpus's perceptual hashes
+    * `(media_id, ahash, dhash)` persist ONCE as an artifact frame, so a
+    * daily media batch pays its own decode+hash plus band equi-joins —
+    * never a corpus re-decode (at 100 TB of payloads the decode IS the
+    * corpus-sized cost; the catalog is 3 longs per image). Band rows are
+    * deliberately NOT stored: banding a 64-bit hash is two bit-ops per
+    * band (map-side, free at scan speed), unlike the minhash tier whose
+    * banded signature is an expensive projection worth persisting. No
+    * geometry/re-band policy exists either — the band layout is fixed by
+    * the hash width (4×16 bits per hash), so the catalog never goes
+    * stale; compaction is the only standing maintenance.
+    * `rows`/`chain`: the [[graft.functions.Dedup.DedupIndex]] contract. */
+  final case class PhashIndex(hashes: DataFrame,
+      rows: Option[Long] = None,
+      chain: graft.GraftCaches.GenChain = graft.GraftCaches.GenChain())
+
+  /** Build the standing catalog (offline, once): one decode+hash pass. */
+  def buildPhashIndex(media: DataFrame): PhashIndex =
+    graft.GraftCaches.inArtifactScope {
+      val h = graft.GraftCaches.persistedArtifact(perceptualHashes(media))
+      val n = h.count()
+      PhashIndex(h, rows = Some(n))
+    }
+
+  private val phashIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), PhashIndex]
+  graft.GraftCaches.onArtifactRelease(() => phashIndexMemo.clear())
+
+  /** Build-once memo over [[buildPhashIndex]] (the
+    * [[graft.functions.Similarity.ivfPqIndexFor]] pattern). */
+  def phashIndexFor(media: DataFrame): PhashIndex = {
+    val key = (System.identityHashCode(media.sparkSession),
+      media.select(col("media_id"), col("payload"))
+        .queryExecution.analyzed.semanticHash())
+    phashIndexMemo.getOrElseUpdate(key, buildPhashIndex(media))
+  }
+
+  /** Decode+hash a media batch with the id-hygiene guards of every
+    * standing family (a duplicated or already-indexed media_id would emit
+    * duplicate pairs under two payloads claiming one key). Working-tier
+    * persist: one decode pass feeds the guards and the join/union. */
+  private def stagePhashBatch(index: PhashIndex,
+      mediaBatch: DataFrame): DataFrame = {
+    val bh = graft.GraftCaches.persisted(perceptualHashes(mediaBatch))
+    val dups = bh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    require(dups == 0L,
+      s"phash batch: $dups media_id(s) appear more than once in the batch")
+    val clash = bh.select(col("media_id"))
+      .join(index.hashes.select(col("media_id")), Seq("media_id")).count()
+    require(clash == 0L,
+      s"phash batch: $clash media_id(s) already exist in the catalog — " +
+        "re-ingesting an id would pair one key against two payloads")
+    bh
+  }
+
+  /** INCREMENTAL image near-dup pairs — a media batch against the
+    * standing catalog: every pair with ≥1 batch member, via the shared
+    * banded-Hamming core ([[graft.functions.Dedup.bandedHashPairsIncremental]]).
+    * Per-media-row catalog entries make the closed-form oracle: the pair
+    * set equals [[phashNearDups]] over the full corpus restricted to
+    * batch-touching pairs (the `phash_incremental` gate). Batch-sized
+    * decode+hash; the standing side joins through its persisted hash
+    * columns. */
+  def incrementalPhashPairs(index: PhashIndex, mediaBatch: DataFrame,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.bandedHashPairsIncremental(
+      index.hashes.select(col("media_id").as("doc_id"),
+        col("ahash"), col("dhash")),
+      stagePhashBatch(index, mediaBatch)
+        .select(col("media_id").as("doc_id"), col("ahash"), col("dhash")),
+      Seq("ahash", "dhash"), maxHamming)
+
+  /** Grow the standing catalog by a batch (generation roll as in
+    * [[graft.functions.Dedup.dedupIndexAppend]]). */
+  def phashIndexAppend(index: PhashIndex, mediaBatch: DataFrame): PhashIndex =
+    graft.GraftCaches.inArtifactScope {
+      val bh = stagePhashBatch(index, mediaBatch)
+      val hashes = graft.GraftCaches.persistedArtifact(
+        index.hashes.unionByName(bh))
+      val n = hashes.count()
+      PhashIndex(hashes, rows = Some(n))
+    }
+
+  /** DELTA APPEND — [[graft.functions.Dedup.dedupIndexAppendDelta]]'s
+    * contract on the image tier: only the batch's hashes persist
+    * (lineage-bearing, batch-sized); the generation is a lazy union and
+    * the shared frames ride `chain` for release at a standalone cut. */
+  def phashIndexAppendDelta(index: PhashIndex,
+      mediaBatch: DataFrame): PhashIndex = graft.GraftCaches.inArtifactScope {
+    val d = graft.GraftCaches.persistedArtifactFresh(
+      stagePhashBatch(index, mediaBatch))
+    val bn = d.count()
+    val base =
+      if (index.chain.nonEmpty) index.chain
+      else graft.GraftCaches.GenChain(Seq(index.hashes))
+    PhashIndex(index.hashes.unionByName(d),
+      rows = index.rows.map(_ + bn), chain = base ++ Seq(d))
+  }
+
+  /** COMPACTION + policy — the LSM merge every standing family carries
+    * (appends concatenate batch-sized partition slivers into the band
+    * join); hash rows are per-media, so compacted serving is identical. */
+  def compactPhashIndex(index: PhashIndex,
+      partitions: Option[Int] = None): PhashIndex =
+    graft.GraftCaches.inArtifactScope {
+      val n = partitions.getOrElse(
+        index.hashes.sparkSession.sessionState.conf.numShufflePartitions)
+      PhashIndex(graft.GraftCaches.checkpointed(
+        index.hashes.repartition(n, col("media_id"))),
+        rows = index.rows)
+    }
+
+  def compactPhashIndexIfFragmented(index: PhashIndex,
+      maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
+      minRowsPerPartition: Long = 0L): (PhashIndex, Boolean) = {
+    val natural =
+      index.hashes.sparkSession.sessionState.conf.numShufflePartitions
+    val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
+    CompactionPolicy.target(index.hashes.rdd.getNumPartitions, natural, bound,
+        index.rows.getOrElse(index.hashes.count()), minRowsPerPartition) match {
+      case Some(t) => (compactPhashIndex(index, Some(t)), true)
+      case None => (index, false)
+    }
+  }
+
+  def releasePhashIndex(index: PhashIndex, blocking: Boolean = false): Unit = {
+    index.hashes.unpersist(blocking)
+    index.chain.release(blocking)
+  }
+
   /** REAL image resize over PNG-encoded payloads: decode → bilinear resize
     * → re-encode, per partition (codec state amortized). Non-decodable
     * payloads drop silently (C3 shape). This is the non-stub path of the

@@ -888,9 +888,25 @@ object Similarity {
     *  - `crossTerms` (ut_cent_id, ut_sub, ut_cent, ur2rn2_e9): the
     *    query-independent centroid×codeword table of the ADC expansion
     */
+  /** `rows`: the corpus count rolled forward as a monotone counter so
+    * per-batch policy checks (rebuild geometry) read a field instead of
+    * re-counting the standing corpus every trigger; None when an
+    * operation cannot derive it cheaply. `chain`: with delta appends, the
+    * cached frames this generation's lazy unions read (base standalone
+    * corpus/assigned/codes + serving pivot + every batch delta) —
+    * released as one unit when a policy cuts a standalone generation
+    * ([[graft.GraftCaches.GenChain]]); empty ⟺ members are standalone.
+    * The tiny trained frames (centroids, codebook, crossTerms) never ride
+    * the chain: they are shared across appends by construction and their
+    * size is geometry-bounded, not corpus-bounded. */
   final case class IvfPqIndex(corpus: DataFrame, centroids: DataFrame,
       assigned: DataFrame, codebook: DataFrame, codes: DataFrame,
-      crossTerms: DataFrame, m: Int)
+      crossTerms: DataFrame, m: Int,
+      rows: Option[Long] = None,
+      chain: graft.GraftCaches.GenChain = graft.GraftCaches.GenChain(),
+      listSizes: Option[Map[Int, Long]] = None) {
+    private[graft] def corpusRows: Long = rows.getOrElse(corpus.count())
+  }
 
   /** Train an IVF-PQ index over `corpus` (the offline build job): coarse
     * Lloyd centroids + inverted lists, then a residual PQ codebook and
@@ -948,10 +964,28 @@ object Similarity {
       .localCheckpointTracked()
     // materialize the artifact INSIDE the build (count forces the cache),
     // so query wall-time measures serving, not deferred training
-    codes.count(); assigned.count(); c.count()
+    codes.count(); assigned.count()
+    val n = c.count()
     withServingPivot(
-      IvfPqIndex(c, centroids, assigned, codebook, codes, crossTerms, m))
+      IvfPqIndex(c, centroids, assigned, codebook, codes, crossTerms, m,
+        rows = Some(n), listSizes = Some(listSizesOf(assigned))))
   }
+
+  /** Per-centroid member counts of an assignment frame, collected to a
+    * driver map — geometry-bounded output (≈√N entries at [[autoGeometry]]
+    * — ~3·10⁴ at 10⁹ vectors), so the collect is a few hundred KB at any
+    * corpus scale. Build/append roll this forward as the index's
+    * `listSizes` so the rebuild policy's IMBALANCE check reads driver
+    * state instead of re-aggregating the corpus-sized inverted lists
+    * every micro-batch. */
+  private def listSizesOf(assigned: DataFrame): Map[Int, Long] =
+    assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  private def mergeListSizes(base: Option[Map[Int, Long]],
+      delta: Map[Int, Long]): Option[Map[Int, Long]] =
+    base.map(b => delta.foldLeft(b) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v) })
 
   /** Materialize the scorer's pivoted-codes artifact WITH the index:
     * the pivot is construction cost, not first-serve cost — the
@@ -1010,11 +1044,12 @@ object Similarity {
       def part(n: String) = graft.GraftCaches.persistedArtifact(
         spark.read.parquet(s"$path/$n"))
       val m = spark.read.parquet(s"$path/meta").head().getInt(0)
-      val ix = IvfPqIndex(part("corpus"), part("centroids"), part("assigned"),
+      val base = IvfPqIndex(part("corpus"), part("centroids"), part("assigned"),
         part("codebook"), part("codes"), part("cross_terms"), m)
-      ix.codes.count(); ix.assigned.count(); ix.corpus.count()
-      ix.centroids.count(); ix.codebook.count(); ix.crossTerms.count()
-      withServingPivot(ix)
+      base.codes.count(); base.assigned.count()
+      val n = base.corpus.count()
+      base.centroids.count(); base.codebook.count(); base.crossTerms.count()
+      withServingPivot(base.copy(rows = Some(n)))
     }
 
   /** INCREMENTAL APPEND — grow a built index without retraining: new
@@ -1074,10 +1109,13 @@ object Similarity {
         index.codes.unionByName(
           assignNearestSub(csub, index.codebook)
             .select(col("c_id"), col("sub"), col("code"))))
-      codes.count(); assigned.count(); corpus.count()
+      codes.count(); assigned.count()
+      val n = corpus.count()
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
-          index.crossTerms, index.m))
+          index.crossTerms, index.m, rows = Some(n),
+          listSizes = mergeListSizes(index.listSizes,
+            listSizesOf(assignedFull.select(col("cent_id"), col("c_id"))))))
     }
 
   /** DELTA APPEND — [[ivfPqIndexAppend]] without the corpus-sized cache
@@ -1118,15 +1156,24 @@ object Similarity {
       require(clashes == 0L,
         s"ivfPqIndexAppendDelta: $clashes appended vec_id(s) already exist " +
           "in the index — appends must carry fresh ids")
-      val nc = graft.GraftCaches.checkpointed(ncRaw)
-      val assignedDelta = graft.GraftCaches.checkpointed(
+      // delta members persist LINEAGE-BEARING in the artifact tier
+      // (persistedArtifactFresh): batch-sized persist cost, and a lost
+      // block recomputes through the caller's newVectors plan where the
+      // previous localCheckpoint form failed unrecoverably. Durability of
+      // that recompute is the durability of newVectors' own lineage —
+      // the streaming front door hands a parquet-backed frame here.
+      val nc = graft.GraftCaches.persistedArtifactFresh(ncRaw)
+      val bn = nc.count()
+      val assignedDelta = graft.GraftCaches.persistedArtifactFresh(
         assignNearest(nc, index.centroids))
+      assignedDelta.count()
       val resid = assignedDelta.join(broadcast(index.centroids), Seq("cent_id"))
         .select(col("c_id"),
           zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
-      val codesDelta = graft.GraftCaches.checkpointed(
+      val codesDelta = graft.GraftCaches.persistedArtifactFresh(
         assignNearestSub(pqSubVectors(resid, index.m), index.codebook)
           .select(col("c_id"), col("sub"), col("code")))
+      codesDelta.count()
       val corpus = index.corpus.unionByName(nc)
       val assigned = index.assigned
         .unionByName(assignedDelta.select(col("cent_id"), col("c_id")))
@@ -1134,14 +1181,24 @@ object Similarity {
       // serving pivot for the new generation: old generation's memoized
       // pivot ∪ the delta's own pivot (batch-sized groupBy) — never a
       // full-code-table re-aggregation
-      val deltaPivot = graft.GraftCaches.checkpointed(
+      val basePivot = pivotedCodesFrame(index.codes)
+      val deltaPivot = graft.GraftCaches.persistedArtifactFresh(
         codesDelta.groupBy(col("c_id"))
           .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
           .select(col("c_id"), col("sc.code").as("codes")))
+      deltaPivot.count()
       codesPivotMemo.put(codesPivotKey(codes),
-        pivotedCodesFrame(index.codes).unionByName(deltaPivot))
+        basePivot.unionByName(deltaPivot))
+      val base =
+        if (index.chain.nonEmpty) index.chain
+        else graft.GraftCaches.GenChain(
+          Seq(index.corpus, index.assigned, index.codes, basePivot))
       IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
-        index.crossTerms, index.m)
+        index.crossTerms, index.m,
+        rows = index.rows.map(_ + bn),
+        chain = base ++ Seq(nc, assignedDelta, codesDelta, deltaPivot),
+        listSizes = mergeListSizes(index.listSizes,
+          listSizesOf(assignedDelta.select(col("cent_id"), col("c_id")))))
     }
 
   /** RETENTION DELETE — shrink a built index without retraining (FAISS
@@ -1177,10 +1234,11 @@ object Similarity {
         index.assigned.join(rm, Seq("c_id"), "left_anti"))
       val codes = graft.GraftCaches.persistedArtifact(
         index.codes.join(rm, Seq("c_id"), "left_anti"))
-      codes.count(); assigned.count(); corpus.count()
+      codes.count(); assigned.count()
+      val n = corpus.count()
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
-          index.crossTerms, index.m))
+          index.crossTerms, index.m, rows = Some(n)))
     }
 
   /** COMPACTION — re-materialize the growing member frames at their
@@ -1213,9 +1271,11 @@ object Similarity {
       val corpus = compacted(index.corpus)
       val assigned = compacted(index.assigned)
       val codes = compacted(index.codes)
+      // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
-          index.crossTerms, index.m))
+          index.crossTerms, index.m, rows = index.rows,
+          listSizes = index.listSizes))
     }
 
   /** COMPACTION POLICY — the detector→actuator loop for
@@ -1381,6 +1441,19 @@ object Similarity {
     // idempotent and harmless)
     codesPivotMemo.remove(codesPivotKey(index.codes))
       .foreach(_.unpersist(blocking))
+    // delta generations: member unions above are uncached (no-op
+    // unpersist); the storage rides the chain
+    index.chain.release(blocking)
+  }
+
+  /** Drop a superseded codes frame's serving-pivot memo entry WITHOUT
+    * unpersisting its frame (delta generations share the pivot's cached
+    * pieces with their successors) — the per-roll hygiene of a delta-mode
+    * serving stream, so the memo does not accrete one dead entry per
+    * micro-batch. */
+  private[graft] def dropCodesPivotEntry(codes: DataFrame): Unit = {
+    codesPivotMemo.remove(codesPivotKey(codes))
+    ()
   }
 
   /** Build-once memo over [[buildIvfPqIndex]]: one trained index per
@@ -1506,23 +1579,33 @@ object Similarity {
       coarseIters: Int = 1, pqIters: Int = 1, geometryFactor: Double = 1.3,
       imbalanceMaxPermille: Long = 4000L): (IvfPqIndex, Int, Boolean) = {
     require(geometryFactor > 1.0, "a factor ≤ 1 rebuilds on every call")
-    val n = index.corpus.count()
+    // rolled-forward counter: the no-fire path costs zero corpus jobs
+    val n = index.corpusRows
     val ncHave = index.centroids.count().toInt
     val (ncWant, npWant) = autoGeometry(n)
     val geomStale = ncWant >= geometryFactor * ncHave ||
       ncHave >= geometryFactor * ncWant
     // imbalance over the vector-free lists, empty lists included (the
     // left join mirrors ivfPqIndexHealth — dropping empty lists would
-    // understate skew exactly when training degenerated)
-    lazy val imbalance = {
-      val lists = index.centroids.select(col("cent_id"))
-        .join(index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n0")),
-          Seq("cent_id"), "left")
-        .select(coalesce(col("n0"), lit(0L)).as("n"))
-      lists.agg(coalesce(
-          Exact.idiv(max(col("n")) * lit(1000L) * count(lit(1)), sum(col("n"))),
-          lit(0L)).as("v"))
-        .head().getLong(0)
+    // understate skew exactly when training degenerated). When the index
+    // carries rolled-forward per-list counts the check is pure driver
+    // arithmetic (same integer formula — SimilaritySpec pins equality);
+    // the aggregation is the fallback for handles that lost the counter
+    // (remove, warm fires, loads of pre-counter saves).
+    lazy val imbalance = index.listSizes match {
+      case Some(ls) =>
+        val total = ls.valuesIterator.sum
+        if (total == 0L) 0L
+        else ls.valuesIterator.max * 1000L * ncHave / total
+      case None =>
+        val lists = index.centroids.select(col("cent_id"))
+          .join(index.assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n0")),
+            Seq("cent_id"), "left")
+          .select(coalesce(col("n0"), lit(0L)).as("n"))
+        lists.agg(coalesce(
+            Exact.idiv(max(col("n")) * lit(1000L) * count(lit(1)), sum(col("n"))),
+            lit(0L)).as("v"))
+          .head().getLong(0)
     }
     if (!geomStale && imbalance <= imbalanceMaxPermille)
       (index, math.max(4, math.round(math.sqrt(ncHave.toDouble)).toInt), false)
@@ -1573,7 +1656,7 @@ object Similarity {
       coarseIters: Int = 1, pqIters: Int = 1, geometryFactor: Double = 1.3,
       imbalanceMaxPermille: Long = 4000L): (IvfPqIndex, Int, Boolean, Boolean) = {
     require(geometryFactor > 1.0, "a factor ≤ 1 rebuilds on every call")
-    val n = index.corpus.count()
+    val n = index.corpusRows // rolled-forward counter
     // count AND max id in one pass: fresh GROW ids must mint past the
     // LARGEST existing cent_id, not the centroid COUNT — after a SHRINK
     // the surviving ids are non-contiguous, and count-based minting
@@ -1695,8 +1778,12 @@ object Similarity {
         .unionByName(crossTermRows(newCentroids, index.codebook, index.m))
         .localCheckpointTracked()
       codes2.count(); assigned2.count(); centroids2.count()
+      // the corpus frame is SHARED with the pre-fire generation, so a
+      // chained (delta) index's chain carries forward — a warm fire is
+      // not a standalone cut
       (withServingPivot(IvfPqIndex(index.corpus, centroids2, assigned2,
-        index.codebook, codes2, crossTerms2, index.m)), npWant, true, true)
+        index.codebook, codes2, crossTerms2, index.m,
+        rows = Some(n), chain = index.chain)), npWant, true, true)
     } else graft.GraftCaches.inArtifactScope {
       // SHRINK: merge the k coldest lists into their nearest survivors.
       // The k coldest ids stay a k-row FRAME (no driver collect, no
@@ -1736,8 +1823,10 @@ object Similarity {
           Seq("ut_cent_id"), "left_anti")
         .localCheckpointTracked()
       codes2.count(); assigned2.count(); survivors.count()
+      // corpus shared with the pre-fire generation — chain carries forward
       (withServingPivot(IvfPqIndex(index.corpus, survivors, assigned2,
-        index.codebook, codes2, crossTerms2, index.m)), npWant, true, true)
+        index.codebook, codes2, crossTerms2, index.m,
+        rows = Some(n), chain = index.chain)), npWant, true, true)
     }
   }
 

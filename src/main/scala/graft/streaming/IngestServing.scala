@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.GraftCaches.Persistable
-import graft.functions.{Dedup, Similarity}
+import graft.functions.{Dedup, Multimodal, Similarity}
 
 /** STREAMING INGEST PIPELINE — the streaming face of the composed
   * `ingest_pipeline_policy` gate, joining [[DedupServing]] (standing
@@ -112,17 +112,29 @@ object IngestServing {
     * policy-fired rebuild and must match the standing index's build
     * parameters (quantizer shape is not stored in [[Similarity.IvfPqIndex]]
     * beyond `m`); `geometryFactor` is the drift bound. */
-  /** `deltaAppends = true` switches the three index rolls onto the
+  /** `deltaAppends = true` switches the standing rolls onto the
     * DELTA-APPEND path ([[Dedup.dedupIndexAppendDelta]] /
-    * [[Similarity.ivfPqIndexAppendDelta]] / [[Dedup.embIndexAppendDelta]]):
-    * per-batch append cost becomes batch-sized (the copy form re-persists
-    * the full standing frames every batch — the measured 27→39 s latency
-    * creep in BENCH_INGEST_x30.json), at the lifecycle trade documented on
-    * those methods: superseded generation handles are NOT released after
-    * a roll (their caches are shared by the successor's lazy unions);
-    * chained generations release when a policy cuts standalone frames or
-    * with the artifact tier. Serving results are identical either way
-    * (StreamingSpec pins it). */
+    * [[Similarity.ivfPqIndexAppendDelta]] / [[Dedup.embIndexAppendDelta]] /
+    * [[Multimodal.phashIndexAppendDelta]]): per-batch append cost becomes
+    * batch-sized (the copy form re-persists the full standing frames
+    * every batch — the measured 27→39 s latency creep in
+    * BENCH_INGEST_x30.json), at the lifecycle trade documented on those
+    * methods: superseded generation handles are NOT released after a
+    * routine roll (their caches are shared by the successor's lazy
+    * unions) — the shared frames ride each index's `chain`, and WHEN A
+    * POLICY CUTS a standalone generation (re-band, rebuild, re-bucket,
+    * compaction) this stream releases the whole superseded chain, so
+    * executor storage stays bounded by one generation plus the deltas
+    * since the last cut instead of growing one corpus per policy fire.
+    * Two further delta-mode differences: survivor embeddings cut lineage
+    * through an epoch-keyed parquet write under
+    * `<pairsOutDir>/_survivors` (a REAL lineage root — the ANN deltas'
+    * recompute path stays valid for the life of the stream, where a
+    * localCheckpoint would be unrecoverable; batch-sized, idempotent
+    * under foreachBatch retries), and each roll drops the superseded
+    * generation's serving-pivot memo entry. Serving results are
+    * identical either way (StreamingSpec pins it, including across a
+    * checkpoint restart and a mid-stream policy cut). */
   def startIngestStream(spark: SparkSession, batchDir: String,
       dedupRef: AtomicReference[Dedup.DedupIndex],
       annOpRef: AtomicReference[(Similarity.IvfPqIndex, Int)],
@@ -136,10 +148,15 @@ object IngestServing {
       compactWidthFactor: Double = 4.0,
       embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
       embTargetBucket: Long = 32L,
-      deltaAppends: Boolean = false): StreamingQuery = {
+      deltaAppends: Boolean = false,
+      phashRef: Option[AtomicReference[Multimodal.PhashIndex]] = None,
+      phashMaxHamming: Int = 6): StreamingQuery = {
+    require(phashRef.isEmpty || ingestSchema.fieldNames.contains("payload"),
+      "a phash roll needs a binary `payload` column in the ingest schema")
     // enforce (don't just document) the lock-identity contract: the
     // aux refs this stream rolls must always ride the same dedupRef
-    ServingLocks.register(dedupRef, (annOpRef +: embRef.toSeq): _*)
+    ServingLocks.register(dedupRef,
+      (annOpRef +: (embRef.toSeq ++ phashRef.toSeq)): _*)
     val writer = spark.readStream
       .schema(ingestSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -158,7 +175,7 @@ object IngestServing {
       // whole body makes roll + release + cleanup one atomic unit.
       // CONTRACT: concurrent streams over the same standing state must be
       // constructed with the SAME dedupRef instance (the lock identity).
-      .foreachBatch { (batch: DataFrame, _: Long) => dedupRef.synchronized {
+      .foreachBatch { (batch: DataFrame, batchId: Long) => dedupRef.synchronized {
         val dedupIx = dedupRef.get()
         val docs = batch.select(col("doc_id"), col("text"))
         // pairs feed two consumers (the sink and the drop policy):
@@ -169,10 +186,20 @@ object IngestServing {
         // LINEAGE CUT at the dedup→ANN boundary (the ingest_pipeline_policy
         // lesson): survivors otherwise embed the whole quarantine/bucket
         // plan and every index-build action re-analyzes it. Batch-sized.
-        val survivors = batch
+        // Copy mode cuts with a working-tier localCheckpoint (the copy
+        // persist is self-contained before the cut dies); delta mode cuts
+        // with an epoch-keyed parquet write — the ANN delta members keep
+        // a DURABLE lineage root (underscore prefix: hidden from readers
+        // of pairsOutDir; overwrite: idempotent under retries)
+        val survivorsPlan = batch
           .join(keepFirstDropped(pairs, docs), Seq("doc_id"), "left_anti")
           .select(col("doc_id").as("vec_id"), col("embedding"))
-          .localCheckpointTracked()
+        val survivors =
+          if (deltaAppends) {
+            val epochPath = s"$pairsOutDir/_survivors/b$batchId"
+            survivorsPlan.write.mode("overwrite").parquet(epochPath)
+            batch.sparkSession.read.parquet(epochPath)
+          } else survivorsPlan.localCheckpointTracked()
         // roll the catalog on the WHOLE batch (seen-corpus semantics),
         // then let the BANDING policy judge the grown count — the dedup
         // mirror of the ANN rebuild below (on fire, re-banding reuses the
@@ -203,6 +230,10 @@ object IngestServing {
           Dedup.releaseDedupIndex(dedupIx)
           if (rebanded) grownDedup.bands.unpersist(false)
           else if (servedDedup ne grownDedup) Dedup.releaseDedupIndex(grownDedup)
+        } else if (servedDedup.chain.isEmpty && grownDedup.chain.nonEmpty) {
+          // a policy cut a standalone generation: the pre-cut chain (base
+          // frames + every delta) is unreadable by any live handle now
+          grownDedup.chain.release()
         }
         // roll the ANN generation on the SURVIVORS (accepted-corpus
         // semantics), then let the rebuild policy pick the geometry; when
@@ -221,6 +252,15 @@ object IngestServing {
         if (!deltaAppends) {
           Similarity.releaseIndexData(annIx)
           if (rebuilt || (served ne grownAnn)) Similarity.releaseIndexData(grownAnn)
+        } else {
+          // per-roll hygiene: the superseded generation's serving-pivot
+          // memo entry drops (its cached pieces stay — shared with the
+          // successor); on a policy cut the whole pre-cut chain releases
+          Similarity.dropCodesPivotEntry(annIx.codes)
+          if (served.chain.isEmpty && grownAnn.chain.nonEmpty) {
+            grownAnn.chain.release()
+            Similarity.dropCodesPivotEntry(grownAnn.codes)
+          }
         }
         // roll the EMBEDDING catalog on the whole batch (seen-corpus
         // semantics, like the dedup catalog — semantic near-dup checks
@@ -247,6 +287,30 @@ object IngestServing {
           if (!deltaAppends) {
             Dedup.releaseEmbIndex(embIx)
             if (servedEmb ne grownEmb) Dedup.releaseEmbIndex(grownEmb)
+          } else if (servedEmb.chain.isEmpty && grownEmb.chain.nonEmpty) {
+            grownEmb.chain.release()
+          }
+        }
+        // roll the PHASH catalog on the whole batch's media payloads
+        // (seen-corpus semantics like the text/embedding catalogs): the
+        // fourth standing family — image near-dup state advances with
+        // every ingested batch, decode+hash batch-sized, then the
+        // compaction policy bounds scheduling width (no geometry policy
+        // exists: the band layout is fixed by the hash width)
+        phashRef.foreach { ref =>
+          val phIx = ref.get()
+          val media = batch.select(col("doc_id").as("media_id"), col("payload"))
+          val grownPh =
+            if (deltaAppends) Multimodal.phashIndexAppendDelta(phIx, media)
+            else Multimodal.phashIndexAppend(phIx, media)
+          val (servedPh, _) = Multimodal.compactPhashIndexIfFragmented(grownPh,
+            compactMaxPartitions, compactWidthFactor)
+          ref.set(servedPh)
+          if (!deltaAppends) {
+            Multimodal.releasePhashIndex(phIx)
+            if (servedPh ne grownPh) Multimodal.releasePhashIndex(grownPh)
+          } else if (servedPh.chain.isEmpty && grownPh.chain.nonEmpty) {
+            grownPh.chain.release()
           }
         }
         graft.GraftCaches.unpersistAll()

@@ -36,6 +36,41 @@ class GraftCachesSpec extends AnyFunSuite {
     userCache.unpersist(blocking = false)
   }
 
+  test("persistedArtifactFresh: independent cache entry that survives the working tier and recomputes after release") {
+    // the delta-append contract: the SAME batch frame is working-persisted
+    // by the incremental-pairs pass, then becomes a standing-generation
+    // member — the member must get its OWN cache entry (a same-plan
+    // re-persist is a CacheManager no-op that dies with the working tier)
+    // and must keep lineage (a lost block recomputes; a localCheckpoint
+    // would fail unrecoverably)
+    val working = GraftCaches.persisted(
+      spark.range(0, 100).toDF("x").select(col("x"), (col("x") * 7).as("y")))
+    working.count()
+    val member = GraftCaches.persistedArtifactFresh(working)
+    member.count()
+    def cached = member.storageLevel != StorageLevel.NONE
+    assert(cached,
+      "the fresh-plan artifact persist must create its own cache entry")
+    GraftCaches.unpersistAll(blocking = true) // working tier dies
+    assert(cached,
+      "the artifact entry must survive the working tier's unpersist")
+    assert(member.count() == 100L)
+    // lineage retained: after the artifact itself releases, the frame
+    // still recomputes from source (the checkpoint path could not)
+    GraftCaches.releaseArtifacts(blocking = true)
+    assert(member.count() == 100L)
+  }
+
+  test("GenChain releases every collected frame as one unit") {
+    val a = GraftCaches.persistedArtifact(spark.range(0, 10).toDF("a"))
+    val b = GraftCaches.persistedArtifact(spark.range(10, 20).toDF("b"))
+    a.count(); b.count()
+    assert(a.storageLevel != StorageLevel.NONE && b.storageLevel != StorageLevel.NONE)
+    GraftCaches.GenChain(Seq(a, b)).release(blocking = true)
+    assert(a.storageLevel == StorageLevel.NONE && b.storageLevel == StorageLevel.NONE)
+    GraftCaches.releaseArtifacts(blocking = true) // registry entries are stale now; idempotent
+  }
+
   test("persisted() caches at the requested level and survives re-registration") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     GraftCaches.persisted(df)

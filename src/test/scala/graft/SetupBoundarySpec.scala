@@ -34,7 +34,7 @@ class SetupBoundarySpec extends AnyFunSuite {
     "ann_range_recall",
     // image tier: the PNG corpus is the mm_png_corpus_build setup line;
     // the dedup lines must plan zero encode/build work
-    "mm_phash_neardups", "mm_phash_quarantine")
+    "mm_phash_neardups", "mm_phash_quarantine", "phash_incremental")
 
   test("after the bench setup phase, serving queries build zero artifacts") {
     GraftCaches.unpersistAll(blocking = true)

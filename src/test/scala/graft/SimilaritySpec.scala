@@ -556,6 +556,41 @@ class SimilaritySpec extends AnyFunSuite {
     graft.GraftCaches.releaseArtifacts(blocking = true)
   }
 
+  test("rebuild policy: rolled list-size counters decide imbalance exactly as the aggregation fallback") {
+    // the per-batch O(standing) trim: build/append roll per-list counts to
+    // a driver map and the policy's imbalance check becomes pure
+    // arithmetic — it must FIRE and PASS at exactly the same permille
+    // bounds as the frame aggregation (listSizes = None), or the two code
+    // paths silently diverge on the fire-day decision
+    val corpus = synthCorpus(300)
+    val index = Similarity.buildIvfPqIndex(corpus, nCentroids = 16,
+      coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    assert(index.listSizes.isDefined &&
+      index.listSizes.get.values.sum == 300L)
+    val noCounter = index.copy(listSizes = None)
+    // bracket the true imbalance: at a permille bound just above/below,
+    // both paths must agree on fired
+    for (bound <- Seq(1L, 1000L, 1100L, 1500L, 4000L)) {
+      val (_, _, firedMap) = Similarity.ivfPqRebuildIfStale(index,
+        m = 4, ksub = 8, imbalanceMaxPermille = bound)
+      val (_, _, firedAgg) = Similarity.ivfPqRebuildIfStale(noCounter,
+        m = 4, ksub = 8, imbalanceMaxPermille = bound)
+      assert(firedMap == firedAgg,
+        s"imbalance decision diverged at bound=$bound: map=$firedMap agg=$firedAgg")
+    }
+    // append rolls the counter: totals add, per-list counts stay exact
+    val grown = Similarity.ivfPqIndexAppend(
+      Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") < 240),
+        nCentroids = 16, coarseIters = 1, m = 4, ksub = 8, pqIters = 1),
+      corpus.filter(col("vec_id") >= 240))
+    val rolled = grown.listSizes.get
+    val truth = grown.assigned.groupBy(col("cent_id")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rolled == truth, "rolled per-list counts != re-aggregated truth")
+    assert(grown.rows.contains(300L))
+    graft.GraftCaches.releaseArtifacts(blocking = true)
+  }
+
   test("autoRecallOperatingPoint: nc^0.75 probes (≥4), 64-deep rerank floor") {
     assert(Similarity.autoRecallOperatingPoint(16, 5) == ((8, 64)))
     assert(Similarity.autoRecallOperatingPoint(1024, 5) == ((181, 64)))
