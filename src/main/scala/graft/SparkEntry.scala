@@ -1539,11 +1539,25 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------
-    // North-star: SimHash near-dup pairs (fixture-gated).
+    // North-star: SimHash near-dup pairs (fixture-gated). maxHamming = 6
+    // runs at the GUARANTEED-RECALL geometry Dedup.bandGeometry derives
+    // (8 blocks, 2-block joint keys, 28 tables, 16-bit keys — pigeonhole
+    // recall 1.0 at the advertised threshold). The r13-era gate ran
+    // maxHamming = 10 on a fixed 4-band layout that only guarantees
+    // Hamming ≤ 3 — silently partial recall the fixture oracle could not
+    // see (the full run and the fixture shared the blind spot). 6 is the
+    // honest production point: 16-bit joint keys hold candidate density
+    // at the legacy level (Hamming-10 guaranteed recall on a 64-bit hash
+    // needs 66 tables of 10-bit keys — candidates ≈ 66·N²/2¹¹, ~8×10⁹ at
+    // the ×100 corpus; available via the same derivation, priced in
+    // BENCH_NOTES_r14). HammingRecallProbe measures recall 1.0 at k=6
+    // AND k=10 vs brute-force exact ground truth (BENCH_RECALL_x30.json);
+    // DedupTextSpec pins the k=10 geometry and the legacy layout's
+    // measured recall gap.
     "simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(
           Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
-          maxHamming = 10)
+          maxHamming = 6)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -1561,7 +1575,7 @@ object SparkEntry {
     "simhash_quarantine" -> ((s, dir) => {
       Dedup.simHashPairsQuarantined(
           Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
-          maxHamming = 10, maxBucket = 2L)
+          maxHamming = 6, maxBucket = 2L)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -1575,9 +1589,9 @@ object SparkEntry {
     "simhash_quarantine_budget" -> ((s, dir) => {
       val sims = GraftCaches.persisted(
         Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")))
-      val (pairs, bound) = Dedup.simHashPairsBudget(sims, maxHamming = 10,
+      val (pairs, bound) = Dedup.simHashPairsBudget(sims, maxHamming = 6,
         maxCandidatePairs = 2000L)
-      val hottest = Dedup.simHashQuarantineBound(sims, Long.MaxValue)
+      val hottest = Dedup.simHashQuarantineBound(sims, 6, Long.MaxValue)
       require(bound < hottest,
         s"simhash_quarantine_budget gate: the 2000-pair budget admitted " +
           s"every bucket (bound=$bound, hottest=$hottest) — the gate " +
