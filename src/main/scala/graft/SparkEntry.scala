@@ -101,6 +101,17 @@ object SparkEntry {
     f.getAbsolutePath
   }
 
+  /** Save path for the phash-catalog roundtrip gate (same PID+sf keying
+    * and shutdown-sweep registration as [[savedIndexPath]]). */
+  private def savedPhashIndexPath(sfDir: String): String = {
+    require(scratchHookInstalled)
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_phash_index_rt_${ProcessHandle.current().pid()}_" +
+        (sfDir.hashCode & 0x7fffffff).toString)
+    scratchDirs.add(f.toPath)
+    f.getAbsolutePath
+  }
+
   /** BENCH SETUP PHASE — runs once before the timed query loop, each
     * entry timed and reported under `setup` in the bench JSON (never
     * mixed into the per-query lines). Two jobs:
@@ -293,6 +304,24 @@ object SparkEntry {
         Multimodal.syntheticMediaFor(
           Tables.documents(s, dir).select(col("doc_id")))
           .filter(col("media_id") % 5 =!= 0))
+      GraftCaches.unpersistAll(blocking = true)
+      ()
+    }),
+    // parquet save of the standing phash catalog (build resolves through
+    // the memo — already decoded above): the phash_index_roundtrip line
+    // then measures LOAD + incremental serve — the cross-session image
+    // ingest job, which must never re-pay the corpus decode — with the
+    // one-time save cost attributed here
+    "phash_index_save" -> ((s: SparkSession, dir: String) => {
+      val path = savedPhashIndexPath(dir)
+      if (!new java.io.File(path, "hashes").isDirectory) {
+        Multimodal.savePhashIndex(
+          Multimodal.phashIndexFor(
+            Multimodal.syntheticMediaFor(
+              Tables.documents(s, dir).select(col("doc_id")))
+              .filter(col("media_id") % 5 =!= 0)),
+          path)
+      }
       GraftCaches.unpersistAll(blocking = true)
       ()
     }))
@@ -1881,6 +1910,54 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // PHASH CATALOG PARQUET ROUNDTRIP — the cross-session image-ingest
+    // job (Multimodal.savePhashIndex/loadPhashIndex): the catalog's value
+    // is never re-decoding the corpus, so the standing state must survive
+    // a process restart as 3 longs per image. Save rides the bench-setup
+    // line (`phash_index_save`, build through the memo); this line
+    // measures LOAD + incremental serve. Hash rows are exact longs and
+    // every downstream join is partition-order-independent, so
+    // loaded-incremental ≡ in-memory incremental — the oracle is the
+    // phash_incremental restriction over the committed full-run fixture,
+    // verbatim.
+    "phash_index_roundtrip" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaFor(
+        Tables.documents(s, dir).select(col("doc_id")))
+      val path = savedPhashIndexPath(dir)
+      if (!new java.io.File(path, "hashes").isDirectory) {
+        Multimodal.savePhashIndex(
+          Multimodal.phashIndexFor(media.filter(col("media_id") % 5 =!= 0)),
+          path)
+      }
+      val loaded = Multimodal.loadPhashIndex(s, path)
+      Multimodal.incrementalPhashPairs(loaded,
+          media.filter(col("media_id") % 5 === 0), maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // RETENTION DELETE on the phash catalog — the image tier's takedown
+    // verb (Multimodal.phashIndexRemove; the r13 symmetry gap: PII images
+    // had no path OUT of the standing state): standing media with
+    // media_id % 7 == 0 leave via the broadcast anti-join, then the
+    // standard incremental batch serves against the shrunk catalog.
+    // CLOSED-FORM ORACLE: per-media hash rows mean remove ≡ fresh build
+    // over corpus∖removed, so the pair set is the committed full-run
+    // fixture restricted to batch-touching pairs with NO removed standing
+    // endpoint. Same standing catalog via the memo; the removal anti-join
+    // is the measured per-event work.
+    "phash_index_remove" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaFor(
+        Tables.documents(s, dir).select(col("doc_id")))
+      val ix = Multimodal.phashIndexFor(
+        media.filter(col("media_id") % 5 =!= 0))
+      val shrunk = Multimodal.phashIndexRemove(ix,
+        media.filter(col("media_id") % 5 =!= 0 && col("media_id") % 7 === 0)
+          .select(col("media_id")))
+      Multimodal.incrementalPhashPairs(shrunk,
+          media.filter(col("media_id") % 5 === 0), maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ---------------------------------------------------------------
     // D3 (distributed form) — 3x3 Gaussian blur as ONE explode+aggregate
     // stencil pass on long format, interior-only; exact-oracle variant of
@@ -2346,6 +2423,77 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") % 50 === 0),
           served, 5, nProbe = np)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // FOUR-FAMILY RETENTION — ONE tombstone set (ids % 7 == 0; vec_id =
+    // media_id = doc_id, the ingest-side convention) leaves EVERY
+    // standing structure, then each family serves its incremental/query
+    // verb against the shrunk state: a right-to-be-forgotten event that
+    // reaches the text catalog but not the image or vector tiers is not
+    // a takedown (the r13 verdict's symmetry gap — RetentionServing now
+    // rolls all four; this is its batch-truth composition). Absent ids
+    // are ignored by every remove (the % 5 == 0 tombstones are not in
+    // the three % 5 ≠ 0 catalogs) — the idempotent-replay semantics the
+    // streaming arm pins. ORACLES: the dedup/emb/phash legs are
+    // CLOSED-FORM restrictions of their committed full-run fixtures
+    // (batch-touching pairs with no removed standing endpoint — per-doc
+    // member rows make remove ≡ fresh build over corpus∖removed); the
+    // ANN leg is the engine-specific ranking, carried by this gate's own
+    // committed fixture like every trained-ANN tier. The requires make a
+    // silently no-op removal fail loudly in any family.
+    "retention_pipeline_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val media = Multimodal.syntheticMediaFor(docs.select(col("doc_id")))
+      val tomb = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      // text catalog
+      val dIx = Dedup.dedupIndexFor(docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+      val dShrunk = Dedup.dedupIndexRemove(dIx, tomb)
+      require(dShrunk.rows.exists(_ < dIx.stagedRows),
+        "retention_pipeline_full: the dedup removal was a no-op")
+      val dOut = Dedup.incrementalMinHashPairs(dShrunk,
+          docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+          threshold = 0.5)
+        .select(lit("dedup").as("family"), col("id1"), col("id2"),
+          col("jaccard").as("score"))
+      // embedding catalog
+      val eIx = Dedup.embIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
+        col("vec_id"), col("embedding"), nPlanes = 4)
+      val eShrunk = Dedup.embIndexRemove(eIx,
+        tomb.select(col("doc_id").as("vec_id")))
+      require(eShrunk.rows.exists(_ < eIx.vecRows),
+        "retention_pipeline_full: the embedding removal was a no-op")
+      val eOut = Dedup.incrementalEmbeddingNearDups(eShrunk,
+          emb.filter(col("vec_id") % 5 === 0), col("vec_id"),
+          col("embedding"), threshold = 0.3)
+        .select(lit("emb").as("family"), col("id1"), col("id2"),
+          col("cosine").as("score"))
+      // phash catalog
+      val pIx = Multimodal.phashIndexFor(
+        media.filter(col("media_id") % 5 =!= 0))
+      val pShrunk = Multimodal.phashIndexRemove(pIx,
+        tomb.select(col("doc_id").as("media_id")))
+      require(pShrunk.rows.exists(r => pIx.rows.forall(r < _)),
+        "retention_pipeline_full: the phash removal was a no-op")
+      val pOut = Multimodal.incrementalPhashPairs(pShrunk,
+          media.filter(col("media_id") % 5 === 0), maxHamming = 6)
+        .select(lit("phash").as("family"), col("id1"), col("id2"),
+          col("hamming").cast("double").as("score"))
+      // ANN index (full corpus — every id is present, so the same
+      // tombstones remove 1/7 of it)
+      val aIx = Similarity.ivfPqIndexFor(emb,
+        nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
+      val aShrunk = Similarity.ivfPqIndexRemove(aIx,
+        tomb.select(col("doc_id").as("vec_id")))
+      require(aShrunk.corpus.count() < emb.count(),
+        "retention_pipeline_full: the ANN removal was a no-op")
+      val aOut = Similarity.ivfPqTopKIndexed(
+          emb.filter(col("vec_id") % 50 === 0), aShrunk, 5, nProbe = 4)
+        .select(lit("ann").as("family"), col("q_id").as("id1"),
+          col("c_id").as("id2"), col("cos").as("score"))
+      dOut.unionByName(eOut).unionByName(pOut).unionByName(aOut)
+        .orderBy(col("family"), col("id1"), col("id2"))
     }),
 
     // ---------------------------------------------------------------
@@ -5244,6 +5392,23 @@ object SparkEntry {
         |FROM read_parquet('$fixturesDir/mm_phash_neardups.parquet')
         |WHERE id1 % 5 = 0 OR id2 % 5 = 0
         |ORDER BY id1, id2""".stripMargin,
+    // loaded-catalog serving ≡ in-memory serving (exact long hash rows,
+    // partition-order-independent joins) — the incremental restriction
+    // oracle verbatim
+    "phash_index_roundtrip" ->
+      s"""SELECT id1, id2, hamming
+        |FROM read_parquet('$fixturesDir/mm_phash_neardups.parquet')
+        |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+        |ORDER BY id1, id2""".stripMargin,
+    // remove ≡ fresh build over corpus∖removed (per-media hash rows) —
+    // batch-touching pairs with NO removed standing endpoint
+    "phash_index_remove" ->
+      s"""SELECT id1, id2, hamming
+        |FROM read_parquet('$fixturesDir/mm_phash_neardups.parquet')
+        |WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |  AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |  AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |ORDER BY id1, id2""".stripMargin,
     fixture("m5_dense_kernels", "image_id"),
     fixture("minhash_lsh_pairs", "id1, id2"),
     // incremental ≡ full-run restricted to batch-touching pairs — the
@@ -5454,6 +5619,36 @@ object SparkEntry {
     "ann_compact_policy" ->
       s"SELECT * FROM read_parquet('$fixturesDir/ann_index_append.parquet') ORDER BY q_id, rank",
     fixture("retention_pipeline", "q_id, rank"),
+    // four-family retention: the dedup/emb/phash legs are CLOSED-FORM
+    // restrictions of their committed full-run fixtures (remove ≡ fresh
+    // build over corpus∖removed — per-doc member rows), checked by DuckDB
+    // independently of this gate's own fixture; the ANN leg (engine-
+    // specific ranking after the same tombstones) rides the committed
+    // composed fixture like every trained-ANN tier
+    "retention_pipeline_full" ->
+      s"""SELECT * FROM (
+        |  SELECT 'dedup' AS family, id1, id2, jaccard AS score
+        |  FROM read_parquet('$fixturesDir/minhash_lsh_pairs.parquet')
+        |  WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |    AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |    AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'emb' AS family, id1, id2, cosine AS score
+        |  FROM read_parquet('$fixturesDir/embedding_neardups.parquet')
+        |  WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |    AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |    AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'phash' AS family, id1, id2, CAST(hamming AS DOUBLE) AS score
+        |  FROM read_parquet('$fixturesDir/mm_phash_neardups.parquet')
+        |  WHERE (id1 % 5 = 0 OR id2 % 5 = 0)
+        |    AND NOT (id1 % 5 <> 0 AND id1 % 7 = 0)
+        |    AND NOT (id2 % 5 <> 0 AND id2 % 7 = 0)
+        |  UNION ALL
+        |  SELECT family, id1, id2, score
+        |  FROM read_parquet('$fixturesDir/retention_pipeline_full.parquet')
+        |  WHERE family = 'ann'
+        |) ORDER BY family, id1, id2""".stripMargin,
     fixture("ann_index_health", "metric, key"),
     fixture("ann_filtered_search", "q_id, rank"),
     fixture("ann_auto_geometry", "q_id, rank"),

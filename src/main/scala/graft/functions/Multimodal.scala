@@ -457,6 +457,55 @@ object Multimodal {
     index.chain.release(blocking)
   }
 
+  /** PERSIST the standing phash catalog to parquet — the production
+    * artifact lifecycle ([[graft.functions.Dedup.saveDedupIndex]] on the
+    * image tier): the catalog's entire value is never re-decoding the
+    * corpus (at 100 TB of payloads the decode IS the corpus-sized cost;
+    * the standing state is 3 longs per image), so without a durable form
+    * every process restart re-paid a full-corpus decode. One member
+    * directory, no meta table — the band layout derives from each call's
+    * `maxHamming` ([[graft.functions.Dedup.bandGeometry]]), not from
+    * build-time state, so there is nothing else to store and a loaded
+    * catalog can never carry stale geometry. Hash rows are exact longs;
+    * every downstream join is partition-order-independent — the
+    * `phash_index_roundtrip` gate pins loaded-incremental ≡ the committed
+    * restriction oracle. */
+  def savePhashIndex(index: PhashIndex, path: String): Unit =
+    index.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+
+  /** Load a [[savePhashIndex]]'d catalog for serving: hashes persist in
+    * the artifact tier and materialize here, so ingest batches plan
+    * band equi-joins against the cached frame — never a corpus re-decode
+    * and no repeated parquet scans. */
+  def loadPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PhashIndex = graft.GraftCaches.inArtifactScope {
+    val hashes = graft.GraftCaches.persistedArtifact(
+      spark.read.parquet(s"$path/hashes"))
+    val n = hashes.count()
+    PhashIndex(hashes, rows = Some(n))
+  }
+
+  /** RETENTION DELETE on the standing phash catalog — the image tier's
+    * right-to-be-forgotten verb ([[graft.functions.Dedup.dedupIndexRemove]]
+    * mirrored; the r13 verdict's symmetry gap: takedowns could reach the
+    * text/embedding/ANN catalogs but not the image one). Broadcast
+    * anti-join on `media_id` (deletion events are batch-sized; the
+    * catalog is scanned once, never shuffled); hash rows are per-media,
+    * so the shrunk catalog is EXACTLY a fresh build over corpus∖removed —
+    * every incremental batch against it yields the full-run pair set
+    * minus pairs touching a removed image, the `phash_index_remove`
+    * gate's closed-form restriction oracle. Ids absent from the catalog
+    * are ignored (idempotent — tombstone streams replay). `ids` carries
+    * a `media_id` column. */
+  def phashIndexRemove(index: PhashIndex, ids: DataFrame): PhashIndex =
+    graft.GraftCaches.inArtifactScope {
+      val rm = broadcast(ids.select(col("media_id")).distinct())
+      val hashes = graft.GraftCaches.persistedArtifact(
+        index.hashes.join(rm, Seq("media_id"), "left_anti"))
+      val n = hashes.count()
+      PhashIndex(hashes, rows = Some(n))
+    }
+
   /** REAL image resize over PNG-encoded payloads: decode → bilinear resize
     * → re-encode, per partition (codec state amortized). Non-decodable
     * payloads drop silently (C3 shape). This is the non-stub path of the

@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.functions.{Dedup, Similarity}
+import graft.functions.{Dedup, Multimodal, Similarity}
 
 /** STREAMING RETENTION — the tombstone front door, completing the
-  * streaming lifecycle [[IngestServing]] starts: ingest APPENDS roll both
+  * streaming lifecycle [[IngestServing]] starts: ingest APPENDS roll the
   * standing indexes per micro-batch, and right-to-be-forgotten /
   * takedown / license-revocation events are the same shape in reverse — a
-  * stream of doc ids that must LEAVE both structures on batch-sized cost,
-  * without interrupting serving. Each tombstone micro-batch
+  * stream of doc ids that must LEAVE every standing structure on
+  * batch-sized cost, without interrupting serving. ALL FOUR families
+  * ride the same tombstones (vec_id = media_id = doc_id, the ingest-side
+  * convention): dedup catalog and ANN index always; the embedding
+  * catalog via `embRef` and the phash catalog via `phashRef` — PII text,
+  * vectors AND images leave together, or the takedown is not a takedown.
+  * Each tombstone micro-batch
   *
   *   1. REMOVES the batch ids from the standing dedup catalog and the
   *      standing ANN index ([[Dedup.dedupIndexRemove]] /
@@ -80,10 +85,13 @@ object RetentionServing {
       compactWidthFactor: Double = 4.0,
       compactMinRowsPerPartition: Long = 0L,
       embRef: Option[AtomicReference[Dedup.EmbIndex]] = None,
-      embTargetBucket: Long = 32L): StreamingQuery = {
+      embTargetBucket: Long = 32L,
+      phashRef: Option[AtomicReference[Multimodal.PhashIndex]] = None):
+      StreamingQuery = {
     // enforce (don't just document) the lock-identity contract: the
     // aux refs this stream rolls must always ride the same dedupRef
-    ServingLocks.register(dedupRef, (annOpRef +: embRef.toSeq): _*)
+    ServingLocks.register(dedupRef,
+      (annOpRef +: (embRef.toSeq ++ phashRef.toSeq)): _*)
     val writer = spark.readStream
       .schema(tombstoneSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -147,6 +155,24 @@ object RetentionServing {
           ref.set(servedE)
           Dedup.releaseEmbIndex(embIx)
           if (servedE ne shrunkE) Dedup.releaseEmbIndex(shrunkE)
+        }
+        // phash catalog: remove → compaction policy — the FOURTH standing
+        // family leaves on the same tombstones (media_id = doc_id, the
+        // ingest-side convention; PII images are exactly what
+        // right-to-be-forgotten events name). No geometry policy exists —
+        // the band layout derives per-call from maxHamming — so the
+        // emptiness/width arms are the only standing maintenance; removes
+        // ignore absent ids, preserving replay idempotence
+        phashRef.foreach { ref =>
+          val phIx = ref.get()
+          val shrunkP = Multimodal.phashIndexRemove(phIx,
+            ids.select(col("doc_id").as("media_id")))
+          val (servedP, _) = Multimodal.compactPhashIndexIfFragmented(shrunkP,
+            compactMaxPartitions, compactWidthFactor,
+            compactMinRowsPerPartition)
+          ref.set(servedP)
+          Multimodal.releasePhashIndex(phIx)
+          if (servedP ne shrunkP) Multimodal.releasePhashIndex(shrunkP)
         }
         graft.GraftCaches.unpersistAll()
         ()

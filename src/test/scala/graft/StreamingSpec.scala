@@ -904,6 +904,83 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("retention stream rolls the phash catalog: tombstoned images leave the fourth standing family; replay converges") {
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Multimodal, Similarity}
+    import graft.streaming.RetentionServing
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val media = Multimodal.syntheticMediaFor(
+      Tables.documents(spark, dir).select(col("doc_id")))
+    val standingMedia = media.filter(col("media_id") % 5 =!= 0)
+    val ph0 = Multimodal.buildPhashIndex(standingMedia)
+    val dedup0 = Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val ann0 = Similarity.buildIvfPqIndex(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val tsDir = Files.createTempDirectory("retention_phash_ts").toString
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+    val phashRef = new java.util.concurrent.atomic.AtomicReference(ph0)
+    val target = spark.sessionState.conf.numShufflePartitions
+    // tombstones: standing images with id % 7 == 0, PLUS an id no catalog
+    // holds — removes must ignore it (the replay-idempotence semantics)
+    docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"))
+      .union(spark.range(9999999L, 10000000L).select(col("id").as("doc_id")))
+      .coalesce(1).write.mode("append").parquet(tsDir)
+    val q = RetentionServing.startRetentionStream(spark, tsDir, dedupRef,
+      annOpRef, threshold = 0.5, m = 4, ksub = 8,
+      compactMaxPartitions = Some(target), phashRef = Some(phashRef))
+    val batch = media.filter(col("media_id") % 5 === 0)
+    def pairsOf(ix: Multimodal.PhashIndex) =
+      Multimodal.incrementalPhashPairs(ix, batch, maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"retention stream died: ${q.exception}")
+      val removed = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+        .collect().map(_.getLong(0)).toSet
+      val standingIds = standingMedia.select(col("media_id"))
+        .collect().map(_.getLong(0)).toSet
+      val rolled = phashRef.get()
+      assert(rolled.hashes.select(col("media_id"))
+          .collect().map(_.getLong(0)).toSet == (standingIds -- removed),
+        "phash catalog must hold exactly the un-tombstoned images")
+      // batch truth: per-media hash rows make remove ≡ fresh build over
+      // corpus∖removed — the rolled catalog serves identically
+      val truthIx = Multimodal.buildPhashIndex(
+        standingMedia.filter(col("media_id") % 7 =!= 0))
+      val rolledPairs = pairsOf(rolled)
+      assert(rolledPairs == pairsOf(truthIx),
+        "rolled phash catalog serving != fresh build over corpus∖removed")
+      assert(rolledPairs.nonEmpty &&
+        !rolledPairs.exists(p => removed(p._1) || removed(p._2)),
+        "no tombstoned image may appear in the served pairs")
+      // IDEMPOTENT REPLAY: a new stream with no checkpoint replays the
+      // tombstone file against the already-shrunk state — removes ignore
+      // absent ids, so the served image tier converges
+      q.stop()
+      val q2 = RetentionServing.startRetentionStream(spark, tsDir, dedupRef,
+        annOpRef, threshold = 0.5, m = 4, ksub = 8,
+        compactMaxPartitions = Some(target), phashRef = Some(phashRef))
+      try {
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"replay stream died: ${q2.exception}")
+        assert(pairsOf(phashRef.get()) == rolledPairs,
+          "idempotent replay must converge to the same served image pairs")
+      } finally q2.stop()
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
+
   test("all three standing structures roll in the composed streams: embedding catalog appends, re-buckets on the plane policy, shrinks on tombstones") {
     import java.nio.file.Files
     import graft.functions.{Dedup, Similarity}
