@@ -163,6 +163,28 @@ object GraftCaches {
       frames.foreach(_.unpersist(blocking))
   }
 
+  /** DURABLE CUT — materialize a standalone generation through a parquet
+    * root instead of a localCheckpoint: write `df` to `path`, read it
+    * back, artifact-persist and materialize. Delta-mode streaming uses it
+    * for policy-fired compactions (the r13 ADVICE finding): a
+    * localCheckpoint cut has TRUNCATED lineage, so after the superseded
+    * chain releases, an executor-loss recompute of the serving generation
+    * is unrecoverable mid-stream — exactly the failure mode the
+    * epoch-keyed survivor writes eliminated for delta appends. A
+    * parquet-rooted cut recomputes from disk for the life of the stream
+    * (and across restarts), and — unlike a lineage-bearing re-persist —
+    * references NOTHING upstream, so the cut is also the moment
+    * superseded epoch artifacts become safely prunable
+    * ([[graft.streaming.IngestServing]] prunes them in the same roll).
+    * `overwrite` keeps the write idempotent under foreachBatch retries
+    * (callers key `path` by batch id). */
+  def durableCut(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    val back = persistedArtifact(df.sparkSession.read.parquet(path))
+    back.count()
+    back
+  }
+
   private val artifactEvents = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** MONOTONE count of artifact-tier persists since JVM start — the

@@ -577,15 +577,26 @@ object Dedup {
     * untouched; pair sets are partition-independent (suite-wide
     * invariant), so compacted serving reuses the remove gate's oracle
     * verbatim (`dedup_index_compact`). */
+  /** `durableRoot`: when set (delta-mode streaming), the cut
+    * materializes through [[graft.GraftCaches.durableCut]] — a parquet
+    * root under `durableRoot/{staged,bands}` — instead of a
+    * localCheckpoint, so the serving generation stays recoverable after
+    * the superseded chain releases (the r13 ADVICE finding). Batch
+    * pipelines keep the default checkpoint cut. */
   def compactDedupIndex(index: DedupIndex,
-      partitions: Option[Int] = None): DedupIndex =
+      partitions: Option[Int] = None,
+      durableRoot: Option[String] = None): DedupIndex =
     graft.GraftCaches.inArtifactScope {
       val n = partitions.getOrElse(
         index.staged.sparkSession.sessionState.conf.numShufflePartitions)
-      val staged = graft.GraftCaches.checkpointed(
-        index.staged.repartition(n, col("doc_id")))
-      val bands = graft.GraftCaches.checkpointed(
-        index.bands.repartition(n, col("band_idx"), col("band_hash")))
+      def cut(df: DataFrame, name: String): DataFrame = durableRoot match {
+        case Some(root) => graft.GraftCaches.durableCut(df, s"$root/$name")
+        case None => graft.GraftCaches.checkpointed(df)
+      }
+      val staged = cut(index.staged.repartition(n, col("doc_id")), "staged")
+      val bands = cut(
+        index.bands.repartition(n, col("band_idx"), col("band_hash")),
+        "bands")
       // content untouched ⇒ the row counter carries over; the compacted
       // frames are STANDALONE cuts ⇒ chain resets (the caller releases
       // the superseded chain)
@@ -613,7 +624,8 @@ object Dedup {
     * content-identical to one build — member rows are per-doc). */
   def compactDedupIndexIfFragmented(index: DedupIndex,
       maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
-      minRowsPerPartition: Long = 0L): (DedupIndex, Boolean) = {
+      minRowsPerPartition: Long = 0L,
+      durableRoot: Option[String] = None): (DedupIndex, Boolean) = {
     val natural =
       index.staged.sparkSession.sessionState.conf.numShufflePartitions
     val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
@@ -621,7 +633,7 @@ object Dedup {
       .map(_.rdd.getNumPartitions).max
     CompactionPolicy.target(width, natural, bound,
         index.bands.count(), minRowsPerPartition) match {
-      case Some(t) => (compactDedupIndex(index, Some(t)), true)
+      case Some(t) => (compactDedupIndex(index, Some(t), durableRoot), true)
       case None => (index, false)
     }
   }
@@ -1778,14 +1790,19 @@ object Dedup {
     * are partition-independent, so compacted serving reuses the remove
     * restriction oracle (`embdedup_index_compact`). */
   def compactEmbIndex(index: EmbIndex,
-      partitions: Option[Int] = None): EmbIndex =
+      partitions: Option[Int] = None,
+      durableRoot: Option[String] = None): EmbIndex =
     graft.GraftCaches.inArtifactScope {
       val n = partitions.getOrElse(
         index.vecs.sparkSession.sessionState.conf.numShufflePartitions)
-      // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets
-      EmbIndex(graft.GraftCaches.checkpointed(
-        index.vecs.repartition(n, col("bucket"))), index.nPlanes,
-        rows = index.rows)
+      val repart = index.vecs.repartition(n, col("bucket"))
+      // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets;
+      // durableRoot: the delta-mode parquet cut (see compactDedupIndex)
+      val vecs = durableRoot match {
+        case Some(root) => graft.GraftCaches.durableCut(repart, s"$root/vecs")
+        case None => graft.GraftCaches.checkpointed(repart)
+      }
+      EmbIndex(vecs, index.nPlanes, rows = index.rows)
     }
 
   def releaseEmbIndex(index: EmbIndex, blocking: Boolean = false): Unit = {
@@ -1914,13 +1931,14 @@ object Dedup {
     * policy-fired serving against the incremental restriction oracle. */
   def compactEmbIndexIfFragmented(index: EmbIndex,
       maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
-      minRowsPerPartition: Long = 0L): (EmbIndex, Boolean) = {
+      minRowsPerPartition: Long = 0L,
+      durableRoot: Option[String] = None): (EmbIndex, Boolean) = {
     val natural =
       index.vecs.sparkSession.sessionState.conf.numShufflePartitions
     val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
     CompactionPolicy.target(index.vecs.rdd.getNumPartitions, natural, bound,
         index.vecs.count(), minRowsPerPartition) match {
-      case Some(t) => (compactEmbIndex(index, Some(t)), true)
+      case Some(t) => (compactEmbIndex(index, Some(t), durableRoot), true)
       case None => (index, false)
     }
   }

@@ -302,7 +302,7 @@ object Multimodal {
     * corpus persists in the ARTIFACT tier, so the phash gates measure the
     * dedup OPERATOR (decode → hash → band → verify) instead of absorbing
     * PNG encoder throughput into whichever query line runs first —
-    * encoder cost stays visible as the bench-setup `mm_png_corpus_build`
+    * encoder cost stays visible as the bench-setup `mm_media_corpus_build`
     * line, exactly the offline-ingest/online-dedup split of the ANN
     * gates. Keyed by the analyzed doc-id projection's semantic hash +
     * geometry; entries drop with `GraftCaches.releaseArtifacts()`. */
@@ -430,24 +430,32 @@ object Multimodal {
     * (appends concatenate batch-sized partition slivers into the band
     * join); hash rows are per-media, so compacted serving is identical. */
   def compactPhashIndex(index: PhashIndex,
-      partitions: Option[Int] = None): PhashIndex =
+      partitions: Option[Int] = None,
+      durableRoot: Option[String] = None): PhashIndex =
     graft.GraftCaches.inArtifactScope {
       val n = partitions.getOrElse(
         index.hashes.sparkSession.sessionState.conf.numShufflePartitions)
-      PhashIndex(graft.GraftCaches.checkpointed(
-        index.hashes.repartition(n, col("media_id"))),
-        rows = index.rows)
+      val repart = index.hashes.repartition(n, col("media_id"))
+      // durableRoot: the delta-mode parquet cut (see
+      // [[graft.functions.Dedup.compactDedupIndex]])
+      val hashes = durableRoot match {
+        case Some(root) =>
+          graft.GraftCaches.durableCut(repart, s"$root/hashes")
+        case None => graft.GraftCaches.checkpointed(repart)
+      }
+      PhashIndex(hashes, rows = index.rows)
     }
 
   def compactPhashIndexIfFragmented(index: PhashIndex,
       maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
-      minRowsPerPartition: Long = 0L): (PhashIndex, Boolean) = {
+      minRowsPerPartition: Long = 0L,
+      durableRoot: Option[String] = None): (PhashIndex, Boolean) = {
     val natural =
       index.hashes.sparkSession.sessionState.conf.numShufflePartitions
     val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
     CompactionPolicy.target(index.hashes.rdd.getNumPartitions, natural, bound,
         index.rows.getOrElse(index.hashes.count()), minRowsPerPartition) match {
-      case Some(t) => (compactPhashIndex(index, Some(t)), true)
+      case Some(t) => (compactPhashIndex(index, Some(t), durableRoot), true)
       case None => (index, false)
     }
   }

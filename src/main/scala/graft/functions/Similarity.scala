@@ -1262,15 +1262,25 @@ object Similarity {
     * index every k appends/removes (k ~ 10 keeps scheduling width within
     * 2× of natural; the right cadence is an ops dial, not a constant). */
   def compactIvfPqIndex(index: IvfPqIndex,
-      partitions: Option[Int] = None): IvfPqIndex =
+      partitions: Option[Int] = None,
+      durableRoot: Option[String] = None): IvfPqIndex =
     graft.GraftCaches.inArtifactScope {
       val n = partitions.getOrElse(
         index.corpus.sparkSession.sessionState.conf.numShufflePartitions)
-      def compacted(df: DataFrame): DataFrame =
-        graft.GraftCaches.checkpointed(df.repartition(n, col("c_id")))
-      val corpus = compacted(index.corpus)
-      val assigned = compacted(index.assigned)
-      val codes = compacted(index.codes)
+      // durableRoot: the delta-mode parquet cut (see
+      // [[graft.functions.Dedup.compactDedupIndex]]) — the ANN members
+      // especially need it, their delta lineage roots are the pruned
+      // survivor epochs
+      def compacted(df: DataFrame, name: String): DataFrame =
+        durableRoot match {
+          case Some(root) => graft.GraftCaches.durableCut(
+            df.repartition(n, col("c_id")), s"$root/$name")
+          case None =>
+            graft.GraftCaches.checkpointed(df.repartition(n, col("c_id")))
+        }
+      val corpus = compacted(index.corpus, "corpus")
+      val assigned = compacted(index.assigned, "assigned")
+      val codes = compacted(index.codes, "codes")
       // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
@@ -1309,7 +1319,8 @@ object Similarity {
     * one append — per-vector assignment and coding are per-row). */
   def compactIvfPqIndexIfFragmented(index: IvfPqIndex,
       maxPartitions: Option[Int] = None, widthFactor: Double = 4.0,
-      minRowsPerPartition: Long = 0L): (IvfPqIndex, Boolean) = {
+      minRowsPerPartition: Long = 0L,
+      durableRoot: Option[String] = None): (IvfPqIndex, Boolean) = {
     val natural =
       index.corpus.sparkSession.sessionState.conf.numShufflePartitions
     val bound = maxPartitions.getOrElse(math.ceil(widthFactor * natural).toInt)
@@ -1319,7 +1330,7 @@ object Similarity {
     // width-arm lands inside the bound; emptiness-arm sizes from rows
     CompactionPolicy.target(width, natural, bound,
         index.corpus.count(), minRowsPerPartition) match {
-      case Some(t) => (compactIvfPqIndex(index, Some(t)), true)
+      case Some(t) => (compactIvfPqIndex(index, Some(t), durableRoot), true)
       case None => (index, false)
     }
   }

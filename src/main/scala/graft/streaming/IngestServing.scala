@@ -82,6 +82,30 @@ object IngestServing {
     StructField("text", StringType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Delete epoch-keyed sub-directories `b<id>` of `dir` with id strictly
+    * below `cutBatchId` — the storage-reclaim half of a COMPACTION-fired
+    * standalone cut (the r13 ADVICE finding: survivor epochs accumulated
+    * one batch-sized parquet per micro-batch for the life of the stream).
+    * Only compaction cuts prune: their generation materializes through a
+    * [[graft.GraftCaches.durableCut]] parquet root, so NOTHING live can
+    * reach an older epoch through lineage. A REBUILD-fired cut's frames
+    * keep lineage through the pre-cut chain (recompute may re-read the
+    * epochs), so rebuild cuts leave pruning to the next compaction.
+    * Restarted checkpoint-less streams renumber batches from 0 — their
+    * stale higher-numbered dirs are left alone (overwrite-idempotent)
+    * and fall to the first cut that passes them. */
+  private def pruneEpochs(spark: SparkSession, dir: String,
+      cutBatchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("b") && name.length > 1 &&
+          name.drop(1).forall(_.isDigit) && name.drop(1).toLong < cutBatchId)
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Keep-first drop policy over one batch's incremental pair set: the
     * doc_ids of `batchDocs` that pair with a non-batch (already-seen) doc
     * or with a smaller-id batch doc. Pure plan building (no action); both
@@ -216,10 +240,17 @@ object IngestServing {
         // k daily batches schedule k× the tasks per bucket join until a
         // merge re-materializes at natural width (a reband already cuts
         // fresh band frames; the staged frame re-compacts next fire)
+        // delta-mode compactions cut through DURABLE parquet roots
+        // (GraftCaches.durableCut — recoverable after the chain releases,
+        // and the precondition for pruning superseded epochs below)
+        def genRoot(family: String): Option[String] =
+          if (deltaAppends) Some(s"$pairsOutDir/_gen/$family/b$batchId")
+          else None
         val servedDedup =
           if (rebanded) rebandedDedup
           else Dedup.compactDedupIndexIfFragmented(grownDedup,
-            compactMaxPartitions, compactWidthFactor)._1
+            compactMaxPartitions, compactWidthFactor,
+            durableRoot = genRoot("dedup"))._1
         dedupRef.set(servedDedup)
         // copy-append mode rolls are self-contained: the superseded
         // generation's frames are full standalone copies, released here.
@@ -234,6 +265,10 @@ object IngestServing {
           // a policy cut a standalone generation: the pre-cut chain (base
           // frames + every delta) is unreadable by any live handle now
           grownDedup.chain.release()
+          // compaction cuts are parquet-rooted → older gen roots are
+          // unreferenced (reband cuts keep lineage: no prune)
+          if (!rebanded) pruneEpochs(batch.sparkSession,
+            s"$pairsOutDir/_gen/dedup", batchId)
         }
         // roll the ANN generation on the SURVIVORS (accepted-corpus
         // semantics), then let the rebuild policy pick the geometry; when
@@ -247,7 +282,8 @@ object IngestServing {
         val served =
           if (rebuilt) rebuiltAnn
           else Similarity.compactIvfPqIndexIfFragmented(grownAnn,
-            compactMaxPartitions, compactWidthFactor)._1
+            compactMaxPartitions, compactWidthFactor,
+            durableRoot = genRoot("ann"))._1
         annOpRef.set((served, np))
         if (!deltaAppends) {
           Similarity.releaseIndexData(annIx)
@@ -260,6 +296,18 @@ object IngestServing {
           if (served.chain.isEmpty && grownAnn.chain.nonEmpty) {
             grownAnn.chain.release()
             Similarity.dropCodesPivotEntry(grownAnn.codes)
+            // a COMPACTION cut is parquet-rooted: the superseded survivor
+            // epochs (the ANN deltas' lineage roots) and older gen roots
+            // are unreferenced by anything live — reclaim them in the
+            // same roll (the r13 unbounded-_survivors-growth finding).
+            // A REBUILD cut keeps lineage through the pre-cut chain, so
+            // it leaves the epochs to the next compaction cut.
+            if (!rebuilt) {
+              pruneEpochs(batch.sparkSession,
+                s"$pairsOutDir/_survivors", batchId)
+              pruneEpochs(batch.sparkSession,
+                s"$pairsOutDir/_gen/ann", batchId)
+            }
           }
         }
         // roll the EMBEDDING catalog on the whole batch (seen-corpus
@@ -282,13 +330,16 @@ object IngestServing {
           val servedEmb =
             if (rebucketed) rebuiltEmb
             else Dedup.compactEmbIndexIfFragmented(grownEmb,
-              compactMaxPartitions, compactWidthFactor)._1
+              compactMaxPartitions, compactWidthFactor,
+              durableRoot = genRoot("emb"))._1
           ref.set(servedEmb)
           if (!deltaAppends) {
             Dedup.releaseEmbIndex(embIx)
             if (servedEmb ne grownEmb) Dedup.releaseEmbIndex(grownEmb)
           } else if (servedEmb.chain.isEmpty && grownEmb.chain.nonEmpty) {
             grownEmb.chain.release()
+            if (!rebucketed) pruneEpochs(batch.sparkSession,
+              s"$pairsOutDir/_gen/emb", batchId)
           }
         }
         // roll the PHASH catalog on the whole batch's media payloads
@@ -304,13 +355,17 @@ object IngestServing {
             if (deltaAppends) Multimodal.phashIndexAppendDelta(phIx, media)
             else Multimodal.phashIndexAppend(phIx, media)
           val (servedPh, _) = Multimodal.compactPhashIndexIfFragmented(grownPh,
-            compactMaxPartitions, compactWidthFactor)
+            compactMaxPartitions, compactWidthFactor,
+            durableRoot = genRoot("phash"))
           ref.set(servedPh)
           if (!deltaAppends) {
             Multimodal.releasePhashIndex(phIx)
             if (servedPh ne grownPh) Multimodal.releasePhashIndex(grownPh)
           } else if (servedPh.chain.isEmpty && grownPh.chain.nonEmpty) {
             grownPh.chain.release()
+            // phash cuts are always compaction-fired (no geometry policy)
+            pruneEpochs(batch.sparkSession,
+              s"$pairsOutDir/_gen/phash", batchId)
           }
         }
         graft.GraftCaches.unpersistAll()

@@ -32,7 +32,7 @@ class SetupBoundarySpec extends AnyFunSuite {
     "embdedup_quarantine", "embdedup_quarantine_budget",
     "ann_range_exact", "ann_range_search", "ann_range_rerank",
     "ann_range_recall",
-    // image tier: the PNG corpus is the mm_png_corpus_build setup line;
+    // image tier: the PNG corpus is the mm_media_corpus_build setup line;
     // the dedup lines must plan zero encode/build work
     "mm_phash_neardups", "mm_phash_quarantine", "phash_incremental")
 

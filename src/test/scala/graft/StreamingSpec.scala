@@ -1321,4 +1321,83 @@ class StreamingSpec extends AnyFunSuite {
       GraftCaches.releaseArtifacts()
     }
   }
+
+  test("delta-mode compaction cut prunes superseded survivor epochs; the stream keeps serving afterwards") {
+    // the r13 ADVICE finding: <pairsOutDir>/_survivors grew one epoch per
+    // micro-batch for the life of the stream. A compaction-fired cut now
+    // materializes through a DURABLE parquet root (GraftCaches.durableCut)
+    // and reclaims every older epoch in the same roll — this arm drives
+    // enough delta batches through a tight width bound that the ANN
+    // compaction fires mid-drain, and asserts the epoch dir SHRINKS at
+    // the cut while the pair contract still holds at drain end
+    import java.nio.file.Files
+    import graft.functions.{Dedup, Similarity}
+    import graft.streaming.IngestServing
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir)
+    val ingest = docs.join(emb.withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+    val corpus = ingest.filter(col("doc_id") % 5 =!= 0)
+    val dedup0 = Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text")),
+      col("doc_id"), col("text"), numHashes = 32, nBands = 16, shingleK = 3)
+    val ann0 = Similarity.buildIvfPqIndex(
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      nCentroids = 4, coarseIters = 1, m = 4, ksub = 8, pqIters = 1)
+    val batchDir = Files.createTempDirectory("epoch_prune_in").toString
+    val pairsDir = Files.createTempDirectory("epoch_prune_out").toString + "/pairs"
+    val dedupRef = new java.util.concurrent.atomic.AtomicReference(dedup0)
+    val annOpRef = new java.util.concurrent.atomic.AtomicReference((ann0, 2))
+    val annWidth0 = Seq(ann0.corpus, ann0.assigned, ann0.codes)
+      .map(_.rdd.getNumPartitions).max
+    // width bound one above the seed: each delta append adds one
+    // single-file epoch partition to the UNSHUFFLED corpus union (AQE
+    // coalesces the shuffled assigned/codes frames, so the corpus is the
+    // width that accumulates — +1 per batch, deterministic), so the ANN
+    // width arm fires MID-drain; geometryFactor 100 pins the rebuild
+    // policy silent so the cut is compaction-fired (the pruning case)
+    val q = IngestServing.startIngestStream(spark, batchDir, dedupRef,
+      annOpRef, threshold = 0.5, pairsDir, m = 4, ksub = 8,
+      geometryFactor = 100.0,
+      compactMaxPartitions = Some(annWidth0 + 1), deltaAppends = true)
+    def epochs(): Set[String] = {
+      val d = new java.io.File(s"$pairsDir/_survivors")
+      Option(d.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    try {
+      val nBatches = 6
+      val counts = (0 until nBatches).map { j =>
+        // disjoint slices of the held-out 20% (doc_id % 5 == 0): every
+        // batch is new to the standing catalogs' id guards
+        ingest.filter(col("doc_id") % 5 === 0 &&
+            (col("doc_id") / 5) % nBatches === j)
+          .coalesce(1).write.mode("append").parquet(batchDir)
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"delta drain died at batch $j: ${q.exception}")
+        epochs().size
+      }
+      // without pruning the dir grows monotonically to nBatches epochs;
+      // the cut must have reclaimed the pre-cut epochs mid-drain
+      assert(counts.zip(counts.tail).exists { case (a, b) => b < a },
+        s"no epoch reclaim observed across the drain: $counts")
+      assert(counts.last < nBatches,
+        s"drain ended with every epoch still on disk: $counts")
+      assert(new java.io.File(s"$pairsDir/_gen/ann").isDirectory,
+        "the compaction cut must have materialized a durable parquet root")
+      // the serving contract survives the cut: union of per-batch pair
+      // files equals the full-corpus run restricted to streamed docs
+      val full = Dedup.minHashDedupPairs(docs, col("doc_id"), col("text"),
+          numHashes = 32, bands = 16, threshold = 0.5, shingleK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+      val streamed = spark.read.parquet(pairsDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == expected,
+        "post-prune pair output != restricted full run")
+    } finally {
+      q.stop()
+      GraftCaches.unpersistAll()
+      GraftCaches.releaseArtifacts()
+    }
+  }
 }
