@@ -39,7 +39,8 @@ object FixtureGen {
     "ann_index_remove", "retention_pipeline", "embdedup_index_health",
     "ingest_pipeline_nofire", "ann_warm_rebuild", "ann_range_search",
     "ann_range_rerank", "ann_auto_topk_fixedq", "ann_auto_rerank_fixedq",
-    "ann_ivfpq_topk_fixedq", "mm_phash_neardups", "retention_pipeline_full")
+    "ann_ivfpq_topk_fixedq", "mm_phash_neardups", "retention_pipeline_full",
+    "mm_frame_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

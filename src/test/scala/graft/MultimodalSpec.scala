@@ -226,4 +226,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"JPEG twin not paired: $pairs")
     graft.GraftCaches.unpersistAll(blocking = true)
   }
+
+  test("video container walker: split recovers the concatenated frames bit-for-bit") {
+    val frames = 3
+    val vids = Multimodal.syntheticVideoMedia(
+      spark.range(0, 6).select(col("id").as("doc_id")), frames = frames)
+    val split = Multimodal.splitPngFrames(vids)
+    assert(split.count() == 6L * frames, "one row per assembled frame")
+    // each recovered slice is byte-identical to the pseudo-id PNG it was
+    // assembled from — the walker neither over- nor under-splits here,
+    // and frame_id arithmetic round-trips (media_id·64 + frame_idx)
+    val source = Multimodal.syntheticPngMedia(
+      spark.range(0, 6L * frames).select(col("id").as("doc_id")))
+      .select((expr("media_id DIV 3") * 64 + col("media_id") % 3).as("frame_id"),
+        col("payload").as("src"))
+    val mismatches = Multimodal.splitPngFrames(vids)
+      .join(source, Seq("frame_id"), "full")
+      .filter(col("payload").isNull || col("src").isNull ||
+        col("payload") =!= col("src"))
+      .count()
+    assert(mismatches == 0, s"$mismatches frame slices differ from source PNGs")
+    // and the frame near-dup tier pairs a video's re-cut twin: video 1's
+    // frames carry pseudo-ids 3..5 — same group-of-8 base pattern as
+    // video 0's 0..2, so cross-video frame pairs must surface
+    val framePairs = Multimodal.phashNearDups(
+        Multimodal.splitPngFrames(vids)
+          .select(col("frame_id").as("media_id"), col("payload")),
+        maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(framePairs.exists { case (a, b) => a / 64 != b / 64 },
+      s"no cross-video frame near-dup found: $framePairs")
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
 }
