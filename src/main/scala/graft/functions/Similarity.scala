@@ -295,7 +295,12 @@ object Similarity {
       corpus.select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("cv")))
     val centroids = trainCoarseCentroids(c, nCentroids, lloydIters)
-    val inverted = graft.GraftCaches.persistedArtifact(assignNearest(c, centroids))
+    // serving-width cut, same rationale as buildIvfPqIndex's assigned:
+    // the probed scan's parallelism is this cache's width
+    val inverted = graft.GraftCaches.persistedArtifact(
+      assignNearest(c, centroids).repartition(
+        corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("c_id")))
     inverted.count(); c.count() // materialize inside the build
     IvfIndex(c, centroids, inverted)
   }
@@ -942,8 +947,23 @@ object Similarity {
     // build-scoped: (cent_id, c_id, cv) feeds both the inverted lists and
     // the residuals; only the vector-free list persists beyond the build
     val assignedFull = assignNearest(c, centroids).persistTracked()
+    // SERVING-WIDTH CUT (guide §2.2/§2.5): the inverted-list frame is the
+    // scan side of every query's candidate expansion (assigned ⋈
+    // broadcast(probes) — deliberately exchange-free, see ivfPqAdcScored),
+    // so serving parallelism IS this cache's partition count. Without the
+    // explicit repartition the width is whatever AQE left on the build's
+    // last groupBy — at small inputs ONE coalesced partition, which
+    // serializes the expansion+ADC stage whose OUTPUT is orders of
+    // magnitude bigger than its input (measured: 2.7 s single-task stage
+    // in ann_auto_topk_fixedq at sf0.1). Width derives from the session's
+    // shuffle parallelism — the same "natural width" notion
+    // compactIvfPqIndex maintains — not from a local constant. Integer
+    // content only; row placement is result-irrelevant (suite-wide
+    // partition-independence invariant).
     val assigned = graft.GraftCaches.persistedArtifact(
-      assignedFull.select(col("cent_id"), col("c_id")))
+      assignedFull.select(col("cent_id"), col("c_id"))
+        .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+          col("c_id")))
     // PQ stage on RESIDUALS: rv = cv − centroid(cent_id)
     val resid = assignedFull.join(broadcast(centroids), Seq("cent_id"))
       .select(col("c_id"),
@@ -1043,8 +1063,15 @@ object Similarity {
       graft.plans.GraftFunctions.register(spark)
       def part(n: String) = graft.GraftCaches.persistedArtifact(
         spark.read.parquet(s"$path/$n"))
+      // assigned re-cut to serving width on load: a saved index's members
+      // read back at file-packing width (ONE partition for a small index),
+      // and the candidate expansion runs map-side over exactly this
+      // cache's partitioning — same rationale as the build-time cut
+      def partWide(n: String) = graft.GraftCaches.persistedArtifact(
+        spark.read.parquet(s"$path/$n").repartition(
+          spark.sessionState.conf.numShufflePartitions, col("c_id")))
       val m = spark.read.parquet(s"$path/meta").head().getInt(0)
-      val base = IvfPqIndex(part("corpus"), part("centroids"), part("assigned"),
+      val base = IvfPqIndex(part("corpus"), part("centroids"), partWide("assigned"),
         part("codebook"), part("codes"), part("cross_terms"), m)
       base.codes.count(); base.assigned.count()
       val n = base.corpus.count()
@@ -1082,8 +1109,14 @@ object Similarity {
       // vec_id pass the corpus join yet union in twice, doubling ADC sums
       // identically — so intra-batch uniqueness is checked first (a
       // groupBy on the small batch only, never a corpus scan).
-      val batchDups = nc.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).count()
+      // ONE batch pass for size + intra-batch dup check (was two jobs):
+      // sum of per-id counts = batch rows, any count > 1 = a duplicate
+      val st = nc.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("bn"),
+          coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("dups"))
+        .head()
+      val bn = st.getLong(0)
+      val batchDups = st.getLong(1)
       require(batchDups == 0L,
         s"ivfPqIndexAppend: $batchDups vec_id(s) appear more than once in " +
           "the append batch — duplicate ids would sum both copies' ADC " +
@@ -1101,16 +1134,39 @@ object Similarity {
         .select(col("c_id"),
           zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
       val csub = pqSubVectors(resid, index.m).persistTracked()
+      // batch-sized code delta persisted ONCE: it feeds the union member
+      // AND the pivot seed below — without the cache the coding pipeline
+      // would run twice
+      val codesDelta = graft.GraftCaches.persistedArtifactFresh(
+        assignNearestSub(csub, index.codebook)
+          .select(col("c_id"), col("sub"), col("code")))
       val corpus = graft.GraftCaches.persistedArtifact(
         index.corpus.unionByName(nc))
       val assigned = graft.GraftCaches.persistedArtifact(
         index.assigned.unionByName(assignedFull.select(col("cent_id"), col("c_id"))))
       val codes = graft.GraftCaches.persistedArtifact(
-        index.codes.unionByName(
-          assignNearestSub(csub, index.codebook)
-            .select(col("c_id"), col("sub"), col("code"))))
-      codes.count(); assigned.count()
-      val n = corpus.count()
+        index.codes.unionByName(codesDelta))
+      // rows roll forward from the standing counter (appended ids are
+      // fresh — the clash require above), falling back to one count when
+      // the handle lost it. The old `codes.count(); assigned.count();
+      // corpus.count()` trio forced THREE standing-corpus-sized cache
+      // fills per append (guide §1.2: don't compute what you throw away)
+      // — the unioned members now materialize during the first serve scan
+      // that reads them anyway.
+      val n = index.rows.map(_ + bn).getOrElse(corpus.count())
+      // SERVING-PIVOT SEED (guide §2.3 "aggregate before you shuffle",
+      // already the delta form's shape): base pivot ∪ batch pivot is
+      // row-identical to re-aggregating the full unioned code table
+      // (fresh ids ⇒ no c_id group straddles the union — StreamingSpec
+      // pins delta ≡ copy), so the O(standing) groupBy the old path ran
+      // per append becomes O(batch)
+      val basePivot = pivotedCodesFrame(index.codes)
+      val deltaPivot = graft.GraftCaches.persistedArtifactFresh(
+        codesDelta.groupBy(col("c_id"))
+          .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+          .select(col("c_id"), col("sc.code").as("codes")))
+      codesPivotMemo.put(codesPivotKey(codes),
+        basePivot.unionByName(deltaPivot))
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
           index.crossTerms, index.m, rows = Some(n),
@@ -1234,8 +1290,17 @@ object Similarity {
         index.assigned.join(rm, Seq("c_id"), "left_anti"))
       val codes = graft.GraftCaches.persistedArtifact(
         index.codes.join(rm, Seq("c_id"), "left_anti"))
-      codes.count(); assigned.count()
+      // one count (rows is load-bearing for the rebuild policy); the
+      // codes/assigned caches fill on their first serve scan instead of
+      // paying two more standing-sized passes here (guide §1.2)
       val n = corpus.count()
+      // SERVING-PIVOT SEED: the pivot is keyed by c_id, so anti-joining
+      // the CACHED base pivot is row-identical to re-aggregating the
+      // anti-joined code table — O(standing) groupBy → one broadcast
+      // anti-join over an already-cached frame
+      val pivot = graft.GraftCaches.persistedArtifact(
+        pivotedCodesFrame(index.codes).join(rm, Seq("c_id"), "left_anti"))
+      codesPivotMemo.put(codesPivotKey(codes), pivot)
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
           index.crossTerms, index.m, rows = Some(n)))
@@ -1281,6 +1346,19 @@ object Similarity {
       val corpus = compacted(index.corpus, "corpus")
       val assigned = compacted(index.assigned, "assigned")
       val codes = compacted(index.codes, "codes")
+      // SERVING-PIVOT CUT: compaction leaves row content untouched, so the
+      // new generation's pivot is the OLD pivot re-cut at the target width
+      // — never a re-aggregation of the corpus-sized code table. Cut like
+      // the members (checkpoint / durable root) so the superseded chain
+      // can release without stranding the pivot's lineage.
+      val pivot = durableRoot match {
+        case Some(root) => graft.GraftCaches.durableCut(
+          pivotedCodesFrame(index.codes).repartition(n, col("c_id")),
+          s"$root/pivot")
+        case None => graft.GraftCaches.checkpointed(
+          pivotedCodesFrame(index.codes).repartition(n, col("c_id")))
+      }
+      codesPivotMemo.put(codesPivotKey(codes), pivot)
       // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
@@ -1929,8 +2007,20 @@ object Similarity {
       nProbe: Int): DataFrame = {
     graft.plans.GraftFunctions.register(queries.sparkSession)
     val m = index.m
+    // QUERY-SIDE WIDTH CUT (guide §2.5 "input skew: repartition after the
+    // read"): everything downstream of `q` blows up per query — probes
+    // (×nCentroids cosines) and the ADC lookup table (×m·ksub dotps) —
+    // while the query frame itself often arrives at FILE-SCAN width (one
+    // parquet sliver ⇒ ONE task computing |Q|·m·ksub dot products;
+    // measured 2.7 s single-task qtab stage in ann_auto_topk_fixedq at
+    // sf0.1). One query-frame-sized hash exchange buys session-width
+    // parallelism for the ×512 compute; per-row math and sorted
+    // collect_lists make the result partition-independent.
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qv"))
+        col("embedding").cast("array<double>").as("qv"))
+      .repartition(
+        queries.sparkSession.sessionState.conf.numShufflePartitions,
+        col("q_id"))
     // probe frame: per (q, probed cent) — dot(q, u), ‖u‖², ‖q‖ ride
     // along. NOT persisted: it has exactly one consumer below, and a
     // tracked cache here would leak one dead frame per micro-batch in a
