@@ -1878,8 +1878,9 @@ object SparkEntry {
     // encoders, real bytes; members 2/5/7 transcode to JPEG/GIF/BMP so
     // every sniff+decode arm runs end to end, JPEG adding the organic
     // lossy-re-encode duplicate class) flows decode → 8×8/8×9 perceptual
-    // hashes → the UNION of both
-    // hashes' 4×16-bit band sets (aHash bands 0–3, dHash bands 4–7 —
+    // hashes → the UNION of both hashes' band tables at the geometry
+    // Dedup.bandGeometry derives from maxHamming (aHash tables before
+    // dHash tables in band_idx order —
     // dHash bands recover brightness-shifted near-dups whose aHash cells
     // all move; MultimodalSpec measures the recall gap) → min-Hamming
     // verify. Fixture-gated (PNG encode + hashes are engine-specific);

@@ -240,6 +240,11 @@ object Dedup {
       .select(id.as("doc_id"), split(TextAnalysis.normalizeText(text), " ").as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks"), shingleK).as("__sh"))
       .persistTracked()
+    // eager fill: staged feeds the signature pass AND both shingle-explode
+    // verification sides as a NARROW cache — concurrent consumer stages
+    // would otherwise each re-run the tokenize+shingle pass during the
+    // racing lazy fill (see bandedHashPairs)
+    staged.count()
     // persist the (tiny) signature table: the h$i banding projection
     // references __sig numHashes times, and without a materialization
     // boundary the optimizer can inline the signature expression into
@@ -247,6 +252,7 @@ object Dedup {
     val sigArr = staged.select(col("doc_id"),
         call_function("graft_minhash_sig", col("__sh"), lit(numHashes)).as("__sig"))
       .persistTracked()
+    sigArr.count() // eager: both band-join sides read it (narrow cache)
     val sig = sigArr.select(col("doc_id") +:
       (0 until numHashes).map(i => col("__sig")(i).as(s"h$i")): _*)
     val sh = staged.select(col("doc_id"), explode(col("__sh")).as("shingle"))
@@ -366,6 +372,12 @@ object Dedup {
     val sigArr = minhashSigArr(bStaged, index.numHashes).persistTracked()
     val bBands = bandsOfStaged(sigArr, index.numHashes, index.nBands)
       .persistTracked()
+    // eager: the candidate join's (standing ∪ batch) side and batch side
+    // are concurrent stages over this narrow cache — a lazy fill would
+    // run the batch's minhash-signature pass twice (see bandedHashPairs);
+    // this one job fills bBands and sigArr together (bStaged is already
+    // materialized by the require counts above)
+    bBands.count()
     (bStaged, bBands)
   }
 
@@ -1163,7 +1175,11 @@ object Dedup {
     * l < r filter exactly). */
   private[graft] def bandedHashPairsIncremental(standing: DataFrame,
       batch: DataFrame, hashCols: Seq[String], maxHamming: Int): DataFrame = {
+    // eager: the (standing ∪ batch) side and the batch side are concurrent
+    // stages over this narrow cache — a lazy fill decodes/hashes the batch
+    // twice (see bandedHashPairs)
     val batchP = batch.persistTracked()
+    batchP.count()
     val allSide = bandSide(hashCols, "l_")(
       bandedOf(standing.unionByName(batchP), hashCols, maxHamming))
     val batchSide = bandSide(hashCols, "r_")(
@@ -1235,8 +1251,15 @@ object Dedup {
     require(hashCols.nonEmpty, "need at least one hash column")
     val (blocks, m) = bandGeometry(maxHamming) // also rejects maxHamming < 0
     // both sides of every band self-join read the hashed table — persist
-    // so the upstream hash computation runs once, not once per side
+    // so the upstream hash computation runs once, not once per side.
+    // EAGERLY (guide §1.2 "don't compute things you throw away"): the
+    // self-join's two sides are CONCURRENT stages over this NARROW cache
+    // (no shared exchange to synchronize on), and a lazy fill has both
+    // race to compute every partition — the full decode+hash pass ran
+    // TWICE per call (two ~5.8 s stages profiled on mm_frame_pairs at
+    // sf0.1). One count materializes once; both sides then read blocks.
     val itemsP = items.persistTracked()
+    itemsP.count()
     val banded = bandedOf(itemsP, hashCols, maxHamming)
     val keep = col("doc_id") +: hashCols.map(col)
     def bandPairs(df: DataFrame, leftId: String, rightId: String): DataFrame =

@@ -166,8 +166,11 @@ object Multimodal {
   /** IMAGE NEAR-DUPLICATE PAIRS — the multimodal leg of the near-dup
     * family, riding the SAME banded machinery as text SimHash
     * ([[Dedup.bandedHashPairs]]): decode → perceptual hashes, block on
-    * the UNION of both hashes' 4×16-bit sub-bands (band indices 0–3 from
-    * aHash, 4–7 from dHash), verify on the MINIMUM Hamming distance of
+    * the UNION of both hashes' band tables at the geometry
+    * [[Dedup.bandGeometry]] derives from `maxHamming` (Manku block
+    * combinations — recall 1.0 by pigeonhole at the advertised
+    * threshold; aHash's tables precede dHash's in band_idx order),
+    * verify on the MINIMUM Hamming distance of
     * the two hashes ≤ `maxHamming`. Banding on both matters for the
     * dominant real perturbation: a brightness GRADIENT (vignette,
     * re-light, watermark wash) moves pixels relative to the global mean —
@@ -221,7 +224,17 @@ object Multimodal {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    docIds.select(col("doc_id").cast("long")).as[Long]
+    // WIDTH CUT before the encoder (guide §2.5 "input skew: repartition
+    // after the read"): doc ids arrive at FILE-SCAN width — one parquet
+    // sliver ⇒ ONE task encoding (and, for every cached consumer, later
+    // decoding) the whole corpus. One id-sized exchange buys session-width
+    // parallelism for the ×1000 encode/decode work; per-id generation is
+    // deterministic, so content is unchanged under any partitioning.
+    docIds.select(col("doc_id").cast("long"))
+      .repartition(
+        docIds.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           val g = id / groupSize
@@ -350,6 +363,14 @@ object Multimodal {
       .select(col("media_id"), expr(
         "aggregate(fs, CAST(X'' AS BINARY), (acc, x) -> concat(acc, x.payload))")
         .as("payload"))
+      // width cut for the CACHED consumer side: AQE coalesces the tiny
+      // concat shuffle to one partition, and every downstream container
+      // walk + per-frame decode then runs single-task over the cached
+      // corpus (same pathology as the still-image corpus — see
+      // syntheticPngMedia). Payload-sized exchange once at build.
+      .repartition(
+        docIds.sparkSession.sessionState.conf.numShufflePartitions,
+        col("media_id"))
   }
 
   /** Build-once memo over [[syntheticVideoMedia]] (the
@@ -428,9 +449,10 @@ object Multimodal {
     * deliberately NOT stored: banding a 64-bit hash is two bit-ops per
     * band (map-side, free at scan speed), unlike the minhash tier whose
     * banded signature is an expensive projection worth persisting. No
-    * geometry/re-band policy exists either — the band layout is fixed by
-    * the hash width (4×16 bits per hash), so the catalog never goes
-    * stale; compaction is the only standing maintenance.
+    * geometry/re-band policy exists either — band layout DERIVES
+    * PER-CALL from `maxHamming` via [[Dedup.bandGeometry]] (the stored
+    * state is raw hashes, never band rows), so the catalog cannot carry
+    * stale geometry; compaction is the only standing maintenance.
     * `rows`/`chain`: the [[graft.functions.Dedup.DedupIndex]] contract. */
   final case class PhashIndex(hashes: DataFrame,
       rows: Option[Long] = None,

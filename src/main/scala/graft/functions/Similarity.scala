@@ -1855,9 +1855,11 @@ object Similarity {
       val resid = sideAssigned.join(broadcast(newCentroids), Seq("cent_id"))
         .select(col("c_id"),
           zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
-      val newCodes = assignNearestSub(pqSubVectors(resid, index.m),
-          index.codebook)
-        .select(col("c_id"), col("sub"), col("code"))
+      // moved-members-sized code delta cached once: feeds the union member
+      // AND the pivot seed (same shape as the append path)
+      val newCodes = graft.GraftCaches.persistedArtifactFresh(
+        assignNearestSub(pqSubVectors(resid, index.m), index.codebook)
+          .select(col("c_id"), col("sub"), col("code")))
       val codes2 = graft.GraftCaches.persistedArtifact(
         index.codes.join(members.select(col("c_id")), Seq("c_id"), "left_anti")
           .unionByName(newCodes))
@@ -1866,6 +1868,17 @@ object Similarity {
           Seq("ut_cent_id"), "left_anti")
         .unionByName(crossTermRows(newCentroids, index.codebook, index.m))
         .localCheckpointTracked()
+      // SERVING-PIVOT SEED (see ivfPqIndexAppend/ivfPqIndexRemove): only
+      // moved members change codes, so the new pivot is cached-base-pivot
+      // minus moved ids union the delta's own pivot — moved-sized work
+      // instead of a corpus-sized re-aggregation
+      codesPivotMemo.put(codesPivotKey(codes2),
+        graft.GraftCaches.persistedArtifact(
+          pivotedCodesFrame(index.codes)
+            .join(members.select(col("c_id")), Seq("c_id"), "left_anti")
+            .unionByName(newCodes.groupBy(col("c_id"))
+              .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+              .select(col("c_id"), col("sc.code").as("codes")))))
       codes2.count(); assigned2.count(); centroids2.count()
       // the corpus frame is SHARED with the pre-fire generation, so a
       // chained (delta) index's chain carries forward — a warm fire is
@@ -1901,9 +1914,10 @@ object Similarity {
       val resid = reassigned.join(broadcast(survivors), Seq("cent_id"))
         .select(col("c_id"),
           zip_with(col("cv"), col("centroid"), (a, b) => a - b).as("cv"))
-      val newCodes = assignNearestSub(pqSubVectors(resid, index.m),
-          index.codebook)
-        .select(col("c_id"), col("sub"), col("code"))
+      // moved-sized code delta cached once — union member + pivot seed
+      val newCodes = graft.GraftCaches.persistedArtifactFresh(
+        assignNearestSub(pqSubVectors(resid, index.m), index.codebook)
+          .select(col("c_id"), col("sub"), col("code")))
       val codes2 = graft.GraftCaches.persistedArtifact(
         index.codes.join(moved.select(col("c_id")), Seq("c_id"), "left_anti")
           .unionByName(newCodes))
@@ -1911,6 +1925,14 @@ object Similarity {
         .join(broadcast(dropFrame.select(col("cent_id").as("ut_cent_id"))),
           Seq("ut_cent_id"), "left_anti")
         .localCheckpointTracked()
+      // serving-pivot seed, the GROW arm's shape (moved-sized work)
+      codesPivotMemo.put(codesPivotKey(codes2),
+        graft.GraftCaches.persistedArtifact(
+          pivotedCodesFrame(index.codes)
+            .join(moved.select(col("c_id")), Seq("c_id"), "left_anti")
+            .unionByName(newCodes.groupBy(col("c_id"))
+              .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+              .select(col("c_id"), col("sc.code").as("codes")))))
       codes2.count(); assigned2.count(); survivors.count()
       // corpus shared with the pre-fire generation — chain carries forward
       (withServingPivot(IvfPqIndex(index.corpus, survivors, assigned2,
