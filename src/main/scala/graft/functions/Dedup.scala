@@ -454,6 +454,9 @@ object Dedup {
     val allShingles = index.staged.unionByName(bStaged)
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))
       .persistTracked()
+    // eager: narrow cache with four concurrent consumers (verification's
+    // three scans + the hot-member filter) — see bandedHashPairs
+    allShingles.count()
     val coldPairs = verifyJaccard(cand, allShingles, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -489,8 +492,12 @@ object Dedup {
       index.staged.unionByName(bStaged))
     val bands = graft.GraftCaches.persistedArtifact(
       index.bands.unionByName(bBands))
-    bands.count()
-    val n = staged.count()
+    // rows roll forward from the standing counter + one batch-sized count
+    // over the already-cached staging (fresh ids — the clash require in
+    // stageBatch); the old full-union counts forced two standing-sized
+    // cache fills per append (guide §1.2) — the unioned caches now fill
+    // on the first serve scan that reads them anyway
+    val n = index.rows.map(_ + bStaged.count()).getOrElse(staged.count())
     DedupIndex(staged, bands, index.numHashes, index.nBands, index.shingleK,
       rows = Some(n))
   }
@@ -875,6 +882,10 @@ object Dedup {
     val allSh = index.staged
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))
       .persistTracked()
+    // eager: feeds the cold verification's three scans and the hot
+    // fallback as a NARROW cache — concurrent consumer stages would each
+    // re-run the explode during a racing lazy fill (see bandedHashPairs)
+    allSh.count()
     val coldPairs = verifyJaccard(lshCandidates(coldBands), allSh,
         minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
@@ -1768,7 +1779,9 @@ object Dedup {
       vec: Column): EmbIndex = graft.GraftCaches.inArtifactScope {
     val b = stageEmbBatch(batch, id, vec, index.nPlanes, Some(index.vecs))
     val vecs = graft.GraftCaches.persistedArtifact(index.vecs.unionByName(b))
-    val n = vecs.count()
+    // batch-sized count on the cached staging instead of a standing-sized
+    // union count (see dedupIndexAppend)
+    val n = index.rows.map(_ + b.count()).getOrElse(vecs.count())
     EmbIndex(vecs, index.nPlanes, rows = Some(n))
   }
 
@@ -2359,9 +2372,15 @@ object Dedup {
     * crosses the gate.
     */
   def prefixFilterJoin(docs: DataFrame, id: Column, text: Column,
-      threshold: Double, shingleK: Int = 3): DataFrame =
-    prefixFilterJoinOnShingles(
-      docShingles(docs, id, text, shingleK).persistTracked(), threshold)
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val shP = docShingles(docs, id, text, shingleK).persistTracked()
+    // eager: the document-frequency count, the prefix build, and the
+    // verification set-arrays are concurrent scans of this narrow cache —
+    // a lazy fill re-runs the tokenize+shingle pass per consumer (see
+    // bandedHashPairs)
+    shP.count()
+    prefixFilterJoinOnShingles(shP, threshold)
+  }
 
   /** [[prefixFilterJoin]] over PRE-STAGED `(doc_id, shingle)` rows — the
     * form the quarantine fallback uses (its shingles come from the

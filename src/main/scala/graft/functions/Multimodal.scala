@@ -522,7 +522,9 @@ object Multimodal {
       val bh = stagePhashBatch(index, mediaBatch)
       val hashes = graft.GraftCaches.persistedArtifact(
         index.hashes.unionByName(bh))
-      val n = hashes.count()
+      // batch-sized count on the cached staging instead of a
+      // standing-sized union count (see Dedup.dedupIndexAppend)
+      val n = index.rows.map(_ + bh.count()).getOrElse(hashes.count())
       PhashIndex(hashes, rows = Some(n))
     }
 

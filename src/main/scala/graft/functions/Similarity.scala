@@ -2020,7 +2020,14 @@ object Similarity {
       graft.GraftCaches.persistedArtifact(
         codes.groupBy(col("c_id"))
           .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-          .select(col("c_id"), col("sc.code").as("codes"))))
+          .select(col("c_id"), col("sc.code").as("codes"))
+          // serving-width cut (see buildIvfPqIndex's assigned): the PQ ADC
+          // kernel scans this cache unshuffled, so its parallelism is this
+          // frame's width — AQE coalesces the tiny pivot shuffle to one
+          // partition otherwise. Integer content, per-row scoring.
+          .repartition(
+            codes.sparkSession.sessionState.conf.numShufflePartitions,
+            col("c_id"))))
 
   private def pivotedCodes(index: IvfPqIndex): DataFrame =
     pivotedCodesFrame(index.codes)
