@@ -357,20 +357,22 @@ object Multimodal {
       .select(expr(s"media_id DIV $frames").as("media_id"),
         (col("media_id") % frames).cast("int").as("frame_idx"),
         col("payload"))
+      // width cut for the CACHED consumer side, placed BEFORE the group
+      // so the aggregation REUSES this explicit exchange (guide §2.4 —
+      // same key, same partition count ⇒ no second payload shuffle) and
+      // its output keeps session width instead of being AQE-coalesced to
+      // one partition — which would serialize every downstream container
+      // walk + per-frame decode over the cached corpus (same pathology
+      // as the still-image corpus; see syntheticPngMedia).
+      .repartition(
+        docIds.sparkSession.sessionState.conf.numShufflePartitions,
+        col("media_id"))
       .groupBy(col("media_id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("payload"))))
         .as("fs"))
       .select(col("media_id"), expr(
         "aggregate(fs, CAST(X'' AS BINARY), (acc, x) -> concat(acc, x.payload))")
         .as("payload"))
-      // width cut for the CACHED consumer side: AQE coalesces the tiny
-      // concat shuffle to one partition, and every downstream container
-      // walk + per-frame decode then runs single-task over the cached
-      // corpus (same pathology as the still-image corpus — see
-      // syntheticPngMedia). Payload-sized exchange once at build.
-      .repartition(
-        docIds.sparkSession.sessionState.conf.numShufflePartitions,
-        col("media_id"))
   }
 
   /** Build-once memo over [[syntheticVideoMedia]] (the
