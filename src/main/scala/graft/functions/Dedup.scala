@@ -754,6 +754,17 @@ object Dedup {
     * analogue of [[Similarity.releaseIndexData]] — after an append, drop
     * the superseded generation so long-lived sessions don't pin one
     * corpus copy per generation). */
+  /** Materialize one generation's member caches (the dedup analogue of
+    * [[Similarity.materializeIndexData]] — see the copy-mode roll
+    * contract there): copy-form appends leave the unioned staged/bands
+    * caches LAZY, so a roll that releases the superseded generation
+    * first would hand the next serving batch a full re-shingle of the
+    * standing corpus instead of a cache-to-cache copy. */
+  def materializeDedupIndex(index: DedupIndex): Unit = {
+    index.staged.count(); index.bands.count()
+    ()
+  }
+
   def releaseDedupIndex(index: DedupIndex, blocking: Boolean = false): Unit = {
     index.staged.unpersist(blocking)
     index.bands.unpersist(blocking)
@@ -1840,6 +1851,13 @@ object Dedup {
       }
       EmbIndex(vecs, index.nPlanes, rows = index.rows)
     }
+
+  /** See [[materializeDedupIndex]] — the copy-mode roll contract on the
+    * embedding catalog. */
+  def materializeEmbIndex(index: EmbIndex): Unit = {
+    index.vecs.count()
+    ()
+  }
 
   def releaseEmbIndex(index: EmbIndex, blocking: Boolean = false): Unit = {
     index.vecs.unpersist(blocking)

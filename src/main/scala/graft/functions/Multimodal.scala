@@ -580,6 +580,15 @@ object Multimodal {
     }
   }
 
+  /** See [[graft.functions.Dedup.materializeDedupIndex]] — the copy-mode
+    * roll contract on the image tier: fill the successor's lazy unioned
+    * hash cache before the superseded generation releases, or the next
+    * serving batch re-decodes the standing corpus. */
+  def materializePhashIndex(index: PhashIndex): Unit = {
+    index.hashes.count()
+    ()
+  }
+
   def releasePhashIndex(index: PhashIndex, blocking: Boolean = false): Unit = {
     index.hashes.unpersist(blocking)
     index.chain.release(blocking)

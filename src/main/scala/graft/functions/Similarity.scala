@@ -1159,14 +1159,21 @@ object Similarity {
       // row-identical to re-aggregating the full unioned code table
       // (fresh ids ⇒ no c_id group straddles the union — StreamingSpec
       // pins delta ≡ copy), so the O(standing) groupBy the old path ran
-      // per append becomes O(batch)
+      // per append becomes O(batch). PERSISTED like the remove/warm
+      // seeds: copy-mode rolls release the superseded generation right
+      // after the swap (IngestServing), and an unpersisted union would
+      // then re-run the corpus-sized codes groupBy on every serve of the
+      // new generation — withServingPivot's count below materializes it
+      // cheaply from the still-cached base pivot instead. The batch
+      // pivot needs no cache of its own: it is read exactly once, here,
+      // from the already-cached codesDelta.
       val basePivot = pivotedCodesFrame(index.codes)
-      val deltaPivot = graft.GraftCaches.persistedArtifactFresh(
-        codesDelta.groupBy(col("c_id"))
-          .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-          .select(col("c_id"), col("sc.code").as("codes")))
+      val deltaPivot = codesDelta.groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+        .select(col("c_id"), col("sc.code").as("codes"))
       codesPivotMemo.put(codesPivotKey(codes),
-        basePivot.unionByName(deltaPivot))
+        graft.GraftCaches.persistedArtifact(
+          basePivot.unionByName(deltaPivot)))
       withServingPivot(
         IvfPqIndex(corpus, index.centroids, assigned, index.codebook, codes,
           index.crossTerms, index.m, rows = Some(n),
@@ -1533,6 +1540,22 @@ object Similarity {
     // delta generations: member unions above are uncached (no-op
     // unpersist); the storage rides the chain
     index.chain.release(blocking)
+  }
+
+  /** Materialize one generation's DATA-tier member caches (corpus,
+    * inverted lists, codes — the serving pivot is already counted at
+    * construction by [[withServingPivot]]). THE COPY-MODE ROLL CONTRACT:
+    * a successor minted by the copy-form append/remove holds lazy
+    * union/anti-join caches OVER the superseded generation's caches, so
+    * they must fill BEFORE [[releaseIndexData]] drops the parents — a
+    * cache-to-cache copy here versus a full standing-lineage recompute
+    * (back to the last durable cut) charged to the first serving query
+    * after the roll. The serving rolls call this between the ref swap
+    * and the superseded generation's release; counts on already-filled
+    * caches are metadata-cheap, so the call is idempotent in cost too. */
+  def materializeIndexData(index: IvfPqIndex): Unit = {
+    index.codes.count(); index.assigned.count(); index.corpus.count()
+    ()
   }
 
   /** Drop a superseded codes frame's serving-pivot memo entry WITHOUT

@@ -58,8 +58,13 @@ object AnnServing {
     * (append never retrains) and `releaseIndexData` drops only the old
     * generation's data-tier caches; a batch already executing against g1
     * still computes correctly (unpersist does not invalidate the plan,
-    * it only drops cached blocks). StreamingSpec pins post-roll batches
-    * ≡ batch serving on the grown index, with storage back at baseline.
+    * it only drops cached blocks). The operator thread MUST
+    * [[Similarity.materializeIndexData]] the new generation between the
+    * swap and the release (copy-append members are lazy unions over the
+    * superseded caches — released parents would make the first post-roll
+    * serve recompute the standing lineage from source). StreamingSpec
+    * pins post-roll batches ≡ batch serving on the grown index, with
+    * storage back at baseline.
     */
   def startServingStreamRef(spark: SparkSession, queryDir: String,
       indexRef: AtomicReference[Similarity.IvfPqIndex], k: Int, nProbe: Int,

@@ -258,6 +258,12 @@ object IngestServing {
         // read the superseded generation's caches (the documented trade);
         // chains release at a standalone cut / artifact-tier release.
         if (!deltaAppends) {
+          // MATERIALIZE-BEFORE-RELEASE: the copy-append generation's
+          // member caches are lazy unions over the superseded caches —
+          // fill them while the parents still exist (cache-to-cache
+          // copy), or the first serving batch after the roll recomputes
+          // the standing lineage from source (the r15 ADVICE finding)
+          Dedup.materializeDedupIndex(servedDedup)
           Dedup.releaseDedupIndex(dedupIx)
           if (rebanded) grownDedup.bands.unpersist(false)
           else if (servedDedup ne grownDedup) Dedup.releaseDedupIndex(grownDedup)
@@ -286,6 +292,10 @@ object IngestServing {
             durableRoot = genRoot("ann"))._1
         annOpRef.set((served, np))
         if (!deltaAppends) {
+          // materialize-before-release (see the dedup roll above): the
+          // copy-append unions and their serving pivot must fill from
+          // the still-cached predecessor, not from source on first serve
+          Similarity.materializeIndexData(served)
           Similarity.releaseIndexData(annIx)
           if (rebuilt || (served ne grownAnn)) Similarity.releaseIndexData(grownAnn)
         } else {
@@ -334,6 +344,7 @@ object IngestServing {
               durableRoot = genRoot("emb"))._1
           ref.set(servedEmb)
           if (!deltaAppends) {
+            Dedup.materializeEmbIndex(servedEmb) // materialize-before-release
             Dedup.releaseEmbIndex(embIx)
             if (servedEmb ne grownEmb) Dedup.releaseEmbIndex(grownEmb)
           } else if (servedEmb.chain.isEmpty && grownEmb.chain.nonEmpty) {
@@ -359,6 +370,7 @@ object IngestServing {
             durableRoot = genRoot("phash"))
           ref.set(servedPh)
           if (!deltaAppends) {
+            Multimodal.materializePhashIndex(servedPh) // materialize-before-release
             Multimodal.releasePhashIndex(phIx)
             if (servedPh ne grownPh) Multimodal.releasePhashIndex(grownPh)
           } else if (servedPh.chain.isEmpty && grownPh.chain.nonEmpty) {

@@ -117,6 +117,10 @@ object RetentionServing {
             compactMaxPartitions, compactWidthFactor,
             compactMinRowsPerPartition)._1
         dedupRef.set(servedD)
+        // materialize-before-release (the IngestServing copy-roll
+        // contract): remove paths leave member caches lazy — fill them
+        // from the still-cached predecessor before it releases
+        Dedup.materializeDedupIndex(servedD)
         Dedup.releaseDedupIndex(dedupIx)
         // on reband the staged frame is SHARED with the served catalog —
         // release the superseded band frame alone (the IngestServing
@@ -135,6 +139,7 @@ object RetentionServing {
             compactMaxPartitions, compactWidthFactor,
             compactMinRowsPerPartition)._1
         annOpRef.set((servedA, np))
+        Similarity.materializeIndexData(servedA) // materialize-before-release
         Similarity.releaseIndexData(annIx)
         if (servedA ne shrunkA) Similarity.releaseIndexData(shrunkA)
         // embedding catalog: remove → plane policy → compaction policy —
@@ -153,6 +158,7 @@ object RetentionServing {
               compactMaxPartitions, compactWidthFactor,
               compactMinRowsPerPartition)._1
           ref.set(servedE)
+          Dedup.materializeEmbIndex(servedE) // materialize-before-release
           Dedup.releaseEmbIndex(embIx)
           if (servedE ne shrunkE) Dedup.releaseEmbIndex(shrunkE)
         }
@@ -171,6 +177,7 @@ object RetentionServing {
             compactMaxPartitions, compactWidthFactor,
             compactMinRowsPerPartition)
           ref.set(servedP)
+          Multimodal.materializePhashIndex(servedP) // materialize-before-release
           Multimodal.releasePhashIndex(phIx)
           if (servedP ne shrunkP) Multimodal.releasePhashIndex(shrunkP)
         }

@@ -13,8 +13,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.tools.ProfileQuery <sfDir> <query>[,<query>...] [repeat]")
+      sys.exit(2)
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val name = args(1)
+    // comma-separated list: several queries share one session (and one
+    // ~90 s benchSetup pass) — per-query cache hygiene below matches Bench
+    val names = args(1).split(",").toSeq
     val repeat = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -61,16 +68,18 @@ object ProfileQuery {
         System.err.println(s"[prof] setup $sn FAILED: ${e.getMessage}") }
       System.err.println(f"[prof] setup $sn ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    (1 to repeat).foreach { i =>
-      System.err.println(s"\n[prof] ===== $name run $i =====")
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      graft.GraftCaches.unpersistAll(blocking = true)
-      System.err.println(f"[prof] ===== $name run $i TOTAL $dt%.3f s =====")
-      stageInfo.forEach(s => System.err.println(s))
-      stageInfo.clear()
+    names.foreach { name =>
+      (1 to repeat).foreach { i =>
+        System.err.println(s"\n[prof] ===== $name run $i =====")
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.GraftCaches.unpersistAll(blocking = true)
+        System.err.println(f"[prof] ===== $name run $i TOTAL $dt%.3f s =====")
+        stageInfo.forEach(s => System.err.println(s))
+        stageInfo.clear()
+      }
     }
     graft.GraftCaches.releaseArtifacts(blocking = true)
     spark.stop()
