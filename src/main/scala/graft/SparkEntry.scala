@@ -346,6 +346,19 @@ object SparkEntry {
           .select(col("frame_id").as("media_id"), col("payload")))
       GraftCaches.unpersistAll(blocking = true)
       ()
+    }),
+    // the FULL-corpus frame catalog behind mm_frame_pairs_catalog: the
+    // split+decode+hash pass runs once offline; the catalog audit line
+    // then measures band+verify over standing hashes — the 100 TB shape
+    // of a full-run audit (mm_frame_pairs keeps pricing the cold path)
+    "frame_catalog_build" -> ((s: SparkSession, dir: String) => {
+      Multimodal.phashIndexFor(
+        Multimodal.splitPngFrames(
+          Multimodal.syntheticVideoFor(
+            Tables.documents(s, dir).select(col("doc_id"))))
+          .select(col("frame_id").as("media_id"), col("payload")))
+      GraftCaches.unpersistAll(blocking = true)
+      ()
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2002,6 +2015,25 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // CATALOG-SERVED full-run frame audit — mm_frame_pairs' 100 TB
+    // shape (the r14/r15 "worst scaler" item): the cold gate re-splits
+    // and re-decodes every video payload per run, pricing the one-shot
+    // path; a standing deployment decodes once into the frame catalog
+    // (bench-setup `frame_catalog_build` — 3 longs per frame) and every
+    // subsequent full-corpus audit bands the cached hashes map-side.
+    // Catalog rows ARE the hash pass's output, so the pair set equals
+    // the cold gate's exactly — the committed mm_frame_pairs fixture is
+    // the equality oracle verbatim (no new fixture).
+    "mm_frame_pairs_catalog" -> ((s, dir) => {
+      val frames = Multimodal.splitPngFrames(
+        Multimodal.syntheticVideoFor(
+          Tables.documents(s, dir).select(col("doc_id"))))
+        .select(col("frame_id").as("media_id"), col("payload"))
+      Multimodal.phashNearDupsIndexed(
+          Multimodal.phashIndexFor(frames), maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // VIDEO-FRAME INCREMENTAL against the STANDING frame catalog — the
     // daily-ingest shape on moving media (the r13 stretch task): the 80%
     // split's frame hashes stand as the catalog (bench-setup
@@ -2188,6 +2220,14 @@ object SparkEntry {
       val pairs = Dedup.incrementalMinHashPairs(dIndex,
         docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
         threshold = 0.5)
+      // LINEAGE CUT at the policy handoff (the ingest_pipeline_policy
+      // pattern, guide §5 / §3.3 "materialise an intermediate to truncate
+      // the plan"): `dropped` has THREE consumers below (the survivor
+      // anti-join feeding the ANN append, the dropped_by_policy count,
+      // and the dropped_still_served semi-join) and each re-ran the whole
+      // incremental-minhash pipeline — profiled as 4× and 7× repeats of
+      // the same batch-shingle stages (~1 s each at sf0.1). The
+      // checkpoint is batch-sized (dropped ids only); rows unchanged.
       val dropped = pairs
         .select(explode(array(
           struct(col("id1").as("a"), col("id2").as("b")),
@@ -2196,8 +2236,10 @@ object SparkEntry {
         .filter(col("cand") % 5 === 0 &&
           (col("other") % 5 =!= 0 || col("other") < col("cand")))
         .select(col("cand").as("vec_id")).distinct()
+        .localCheckpointTracked()
       val survivors = emb.filter(col("vec_id") % 5 === 0)
         .join(dropped, Seq("vec_id"), "left_anti")
+        .localCheckpointTracked()
       val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
         nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
       val grownAnn = Similarity.ivfPqIndexAppend(base, survivors)
@@ -2903,8 +2945,13 @@ object SparkEntry {
         .filter(col("cand") % 5 === 0 &&
           (col("other") % 5 =!= 0 || col("other") < col("cand")))
         .select(col("cand").as("vec_id")).distinct()
+      // lineage cut at the dedup→ANN handoff — the policy/nofire twins'
+      // pattern (batch-sized checkpoint; rows unchanged): without it every
+      // append/serve action re-analyzes the whole incremental-dedup plan
+      // (profiled: ~2.4 s of driver-only gaps between this gate's jobs)
       val survivors = emb.filter(col("vec_id") % 5 === 0)
         .join(dropped, Seq("vec_id"), "left_anti")
+        .localCheckpointTracked()
       val base = Similarity.ivfPqIndexFor(emb.filter(col("vec_id") % 5 =!= 0),
         nCentroids = 16, coarseIters = 1, m = 16, ksub = 32, pqIters = 1)
       val grownIx = Similarity.ivfPqIndexAppend(base, survivors)
@@ -5470,6 +5517,12 @@ object SparkEntry {
     // the closed-form restriction — frame_id = media_id·64 + frame_idx,
     // so "touches a batch video" is (id DIV 64) % 5 = 0
     fixture("mm_frame_pairs", "id1, id2"),
+    // catalog-served audit ≡ the cold full run (catalog rows are the
+    // hash pass's own output) — same fixture, verbatim
+    "mm_frame_pairs_catalog" ->
+      s"""SELECT id1, id2, hamming
+        |FROM read_parquet('$fixturesDir/mm_frame_pairs.parquet')
+        |ORDER BY id1, id2""".stripMargin,
     "mm_frame_neardups" ->
       s"""SELECT id1, id2, hamming
         |FROM read_parquet('$fixturesDir/mm_frame_pairs.parquet')

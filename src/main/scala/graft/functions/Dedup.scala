@@ -1282,7 +1282,29 @@ object Dedup {
     // sf0.1). One count materializes once; both sides then read blocks.
     val itemsP = items.persistTracked()
     itemsP.count()
-    val banded = bandedOf(itemsP, hashCols, maxHamming)
+    // KEYED BANDED CACHE (guide §2.4 "two operations keyed the same way
+    // share one exchange"): EVERY consumer of the banded frame joins or
+    // aggregates on (band_idx, band_val) — the hot-bucket histogram, the
+    // cold anti-join, BOTH sides of the candidate self-join, the
+    // hot-member semi-join. The previous shape recomputed the ×nBands
+    // explode per consumer and paid one exchange EACH (profiled at
+    // sf0.1: four identical 1.3/2.6 MB shuffle writes per quarantined
+    // run plus two 17.5 MB cold-join side shuffles on the image tier).
+    // Explode once, hash-partition once on the join key, sort within
+    // partitions, persist: the cached partitioning+ordering satisfy
+    // every downstream clustering/ordering requirement (AQE leaves
+    // cached-plan partitioning intact by default), so the self-join
+    // plans ZERO exchanges and zero sorts. Width follows the session's
+    // shuffle parallelism — scale-adaptive, not a local constant.
+    val bandKey = Seq(col("band_idx"), col("band_val"))
+    val width = items.sparkSession.sessionState.conf.numShufflePartitions
+    def keyedBanded(df: DataFrame): DataFrame =
+      bandedOf(df, hashCols, maxHamming)
+        .repartition(width, bandKey: _*)
+        .sortWithinPartitions(bandKey: _*)
+        .persistTracked()
+    val banded = keyedBanded(itemsP)
+    banded.count() // eager: concurrent self-join sides over a narrow cache
     val keep = col("doc_id") +: hashCols.map(col)
     def bandPairs(df: DataFrame, leftId: String, rightId: String): DataFrame =
       bandSide(hashCols, "l_")(df).join(
@@ -1303,24 +1325,40 @@ object Dedup {
         val coldPairs = bandPairs(
           banded.join(hotBuckets, Seq("band_idx", "band_val"), "left_anti"),
           "id1", "id2")
-        // quarantined members, one row per doc with its full hash tuple
+        // quarantined members, one row per doc with its full hash tuple.
+        // KEYED ON THE HASH TUPLE like the banded cache above: the
+        // same-tuple self-join, the rep collapse groupBy and the member
+        // expansion join are all keyed on hashCols, so one exchange at
+        // the cache fill serves all four consumers.
         val hotDocs = banded.join(hotBuckets, Seq("band_idx", "band_val"))
-          .select(keep: _*).distinct().persistTracked()
-        val tuple = struct(hashCols.map(col): _*)
-        val samePairs = hotDocs.select(tuple.as("__t"), col("doc_id").as("id1"))
-          .join(hotDocs.select(tuple.as("__t"), col("doc_id").as("id2")), "__t")
+          .select(keep: _*).distinct()
+          .repartition(width, hashCols.map(col): _*)
+          .sortWithinPartitions(hashCols.map(col): _*)
+          .persistTracked()
+        hotDocs.count() // eager: the same-tuple self-join's sides race a lazy fill
+        // same-tuple tier as a multi-column equi-join (hash columns are
+        // non-null longs, so column equality ≡ the old struct equality)
+        // — keyed on hashCols it reads the cache partitioning directly
+        val samePairs = hotDocs
+          .select((hashCols.map(col) :+ col("doc_id").as("id1")): _*)
+          .join(hotDocs.select(
+            (hashCols.map(col) :+ col("doc_id").as("id2")): _*), hashCols)
           .filter(col("id1") < col("id2"))
           .select(col("id1"), col("id2"), lit(0).as("hamming"))
         // distinct tuples, keyed by their smallest member id (unique per
-        // tuple, so rep ordering ⇔ tuple distinctness in the band join)
+        // tuple, so rep ordering ⇔ tuple distinctness in the band join);
+        // the groupBy reuses the hotDocs cache partitioning (no exchange)
+        // and its output keeps it for the member join below
         val reps = hotDocs
           .groupBy(hashCols.map(col): _*).agg(min(col("doc_id")).as("doc_id"))
           .persistTracked()
         // the rep re-band at the same bound: over-bound rep buckets (all
         // DISTINCT tuples — the collapse cannot shrink them) re-key on
-        // complement chunks instead of re-running the hot join key
-        val repBanded = bandedOf(reps, hashCols, maxHamming)
-          .persistTracked() // histogram + anti-join + hot-member join
+        // complement chunks instead of re-running the hot join key.
+        // Same keyed-cache shape: histogram + anti-join + self-join +
+        // secondary tier all cluster on the band key.
+        val repBanded = keyedBanded(reps)
+        repBanded.count() // eager: histogram + self-join sides race a lazy fill
         val repHot = repBanded.groupBy(col("band_idx"), col("band_val"))
           .agg(count(lit(1)).as("n")).filter(col("n") > mb)
           .select(col("band_idx"), col("band_val"))
@@ -1364,8 +1402,23 @@ object Dedup {
   private def secondaryRepPairs(repHotMembers: DataFrame,
       hashCols: Seq[String], maxHamming: Int, blocks: Int,
       m: Int): DataFrame = {
+    // EXACT-KEY CACHE for the chunk self-join (the keyed-banded-cache
+    // rationale one tier down): both join sides read this frame, and the
+    // planner only reuses co-partitioning when the partition keys cover
+    // ALL join keys (requireAllClusterKeysForCoPartition) — so the cut
+    // keys are the full 4-part join key. One exchange at the fill
+    // replaces one ~19 MB exchange per side (profiled at sf0.1 on
+    // mm_phash_quarantine as the two largest remaining shuffles).
+    val secKey = Seq(col("band_idx"), col("band_val"),
+      col("sec_idx"), col("sec_val"))
     val secBanded = secondaryKeyed(repHotMembers, hashCols, maxHamming,
-      blocks, m)
+        blocks, m)
+      .repartition(
+        repHotMembers.sparkSession.sessionState.conf.numShufflePartitions,
+        secKey: _*)
+      .sortWithinPartitions(secKey: _*)
+      .persistTracked()
+    secBanded.count() // eager: both self-join sides race a lazy fill
     def side(tag: String)(df: DataFrame): DataFrame =
       df.select((Seq(col("band_idx"), col("band_val"), col("sec_idx"),
         col("sec_val"), col("doc_id").as(s"${tag}id")) ++

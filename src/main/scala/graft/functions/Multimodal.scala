@@ -481,6 +481,21 @@ object Multimodal {
     phashIndexMemo.getOrElseUpdate(key, buildPhashIndex(media))
   }
 
+  /** [[phashNearDups]] served from the STANDING catalog — the 100 TB
+    * shape of a FULL-CORPUS near-dup audit: the corpus decodes once at
+    * catalog build (the standing state is 3 longs per image; at scale
+    * the decode IS the corpus-sized cost), and every subsequent full-run
+    * audit bands the cached hashes map-side. The catalog rows are
+    * exactly [[perceptualHashes]]' output, so the pair set is identical
+    * to the payload form at every `maxHamming` — the committed
+    * `mm_frame_pairs` fixture is the equality oracle verbatim. */
+  def phashNearDupsIndexed(index: PhashIndex,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.bandedHashPairs(
+      index.hashes.select(col("media_id").as("doc_id"),
+        col("ahash"), col("dhash")),
+      Seq("ahash", "dhash"), maxHamming, None)
+
   /** Decode+hash a media batch with the id-hygiene guards of every
     * standing family (a duplicated or already-indexed media_id would emit
     * duplicate pairs under two payloads claiming one key). Working-tier

@@ -454,12 +454,16 @@ object Similarity {
     * `vec_id % 5 != 0` training subset with stride 25.) */
   private def trainCoarseCentroids(c: DataFrame, nCentroids: Int,
       lloydIters: Int): DataFrame = {
+    // LAZY checkpoints (eager = false, like trainPqCodebook's): each
+    // eager cut was its own driver job; lazy ones materialize inside the
+    // first consumer's broadcast build — same truncation, two fewer
+    // serial jobs per train (the fire-day rebuild runs this in-gate)
     var centroids = c
       .orderBy(pmod(hash(col("c_id")), lit(1000000007)).asc, col("c_id").asc)
       .limit(nCentroids)
       .select((row_number().over(Window.orderBy(col("c_id"))) - 1).as("cent_id"),
         col("cv").as("centroid"))
-      .localCheckpointTracked()
+      .localCheckpointTracked(false)
     // Lloyd: assign to nearest centroid, recompute means (element-wise
     // aggregate over the vector column)
     for (_ <- 1 to lloydIters) {
@@ -475,7 +479,7 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .select(col("cent_id"), col("dims.m").as("centroid"))
-        .localCheckpointTracked()
+        .localCheckpointTracked(false)
     }
     centroids
   }
@@ -960,10 +964,14 @@ object Similarity {
     // compactIvfPqIndex maintains — not from a local constant. Integer
     // content only; row placement is result-irrelevant (suite-wide
     // partition-independence invariant).
+    // sorted within partitions on the cut key: the serve's lists⋈pivot
+    // c_id join (see ivfPqAdcScored) then reads both caches' ordering and
+    // plans no sort — the sort is paid once at build, not per serve
     val assigned = graft.GraftCaches.persistedArtifact(
       assignedFull.select(col("cent_id"), col("c_id"))
         .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
-          col("c_id")))
+          col("c_id"))
+        .sortWithinPartitions(col("c_id")))
     // PQ stage on RESIDUALS: rv = cv − centroid(cent_id)
     val resid = assignedFull.join(broadcast(centroids), Seq("cent_id"))
       .select(col("c_id"),
@@ -983,12 +991,31 @@ object Similarity {
     val crossTerms = crossTermRows(centroids, codebook, m)
       .localCheckpointTracked()
     // materialize the artifact INSIDE the build (count forces the cache),
-    // so query wall-time measures serving, not deferred training
+    // so query wall-time measures serving, not deferred training.
+    // codes.count() fills the shared lazy parents (assignedFull → csub →
+    // codes, and c underneath); assigned.count() then cuts the serving
+    // width from the filled assignedFull. The REMAINING materializations
+    // (corpus count, list-size collect, the two serving lookup pivots)
+    // are independent reads of already-filled caches — run them as
+    // concurrent jobs (guide §2.6 "overlap independent jobs") instead of
+    // four serial driver actions.
     codes.count(); assigned.count()
-    val n = c.count()
-    withServingPivot(
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fN = Future(c.count())
+      val fLs = Future(listSizesOf(assigned))
+      val fPivot = Future(pivotedCodesFrame(codes).count())
+      val fUtab = Future(pivotedCrossTerms(crossTerms).count())
+      val n = Await.result(fN, Duration.Inf)
+      val ls = Await.result(fLs, Duration.Inf)
+      Await.result(fPivot, Duration.Inf); Await.result(fUtab, Duration.Inf)
+      // fPivot/fUtab ARE withServingPivot's fills (same memo entries) —
+      // the index is construction-complete without re-counting them
       IvfPqIndex(c, centroids, assigned, codebook, codes, crossTerms, m,
-        rows = Some(n), listSizes = Some(listSizesOf(assigned))))
+        rows = Some(n), listSizes = Some(ls))
+    }
   }
 
   /** Per-centroid member counts of an assignment frame, collected to a
@@ -1015,7 +1042,15 @@ object Similarity {
     * that mints a NEW codes frame (build, load, append, remove, compact,
     * warm grow/shrink) returns through here. */
   private def withServingPivot(ix: IvfPqIndex): IvfPqIndex = {
-    pivotedCodes(ix).count()
+    // the two serving lookup artifacts are independent cache fills over
+    // already-materialized member frames — overlap them (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fills = Seq(
+      Future(pivotedCodes(ix).count()),
+      Future(pivotedCrossTerms(ix.crossTerms).count()))
+    fills.foreach(Await.result(_, Duration.Inf))
     ix
   }
 
@@ -1069,7 +1104,8 @@ object Similarity {
       // cache's partitioning — same rationale as the build-time cut
       def partWide(n: String) = graft.GraftCaches.persistedArtifact(
         spark.read.parquet(s"$path/$n").repartition(
-          spark.sessionState.conf.numShufflePartitions, col("c_id")))
+          spark.sessionState.conf.numShufflePartitions, col("c_id"))
+          .sortWithinPartitions(col("c_id")))
       val m = spark.read.parquet(s"$path/meta").head().getInt(0)
       val base = IvfPqIndex(part("corpus"), part("centroids"), partWide("assigned"),
         part("codebook"), part("codes"), part("cross_terms"), m)
@@ -1121,8 +1157,11 @@ object Similarity {
         s"ivfPqIndexAppend: $batchDups vec_id(s) appear more than once in " +
           "the append batch — duplicate ids would sum both copies' ADC " +
           "terms into one corrupted cosine; dedup the batch first")
+      // the id-clash probe reads the VECTOR-FREE inverted lists, not the
+      // corpus: same id set (both keyed by c_id over the same members),
+      // ~30× fewer bytes scanned per append at 100 TB (guide §2.3)
       val clashes = nc.select(col("c_id"))
-        .join(index.corpus.select(col("c_id")), Seq("c_id")).count()
+        .join(index.assigned.select(col("c_id")), Seq("c_id")).count()
       require(clashes == 0L,
         s"ivfPqIndexAppend: $clashes appended vec_id(s) already exist in the " +
           "index — appends must carry fresh ids (re-coding an existing id " +
@@ -1343,15 +1382,21 @@ object Similarity {
       // [[graft.functions.Dedup.compactDedupIndex]]) — the ANN members
       // especially need it, their delta lineage roots are the pruned
       // survivor epochs
-      def compacted(df: DataFrame, name: String): DataFrame =
+      // assigned and the pivot additionally sort on the cut key so the
+      // serve's lists⋈pivot join reads cached ordering (localCheckpoint
+      // preserves partitioning+ordering; the durable parquet root cannot,
+      // and delta-mode serving re-sorts — the documented trade)
+      def compacted(df: DataFrame, name: String,
+          sorted: Boolean = false): DataFrame = {
+        val cut0 = df.repartition(n, col("c_id"))
+        val cut = if (sorted) cut0.sortWithinPartitions(col("c_id")) else cut0
         durableRoot match {
-          case Some(root) => graft.GraftCaches.durableCut(
-            df.repartition(n, col("c_id")), s"$root/$name")
-          case None =>
-            graft.GraftCaches.checkpointed(df.repartition(n, col("c_id")))
+          case Some(root) => graft.GraftCaches.durableCut(cut, s"$root/$name")
+          case None => graft.GraftCaches.checkpointed(cut)
         }
+      }
       val corpus = compacted(index.corpus, "corpus")
-      val assigned = compacted(index.assigned, "assigned")
+      val assigned = compacted(index.assigned, "assigned", sorted = true)
       val codes = compacted(index.codes, "codes")
       // SERVING-PIVOT CUT: compaction leaves row content untouched, so the
       // new generation's pivot is the OLD pivot re-cut at the target width
@@ -1360,10 +1405,12 @@ object Similarity {
       // can release without stranding the pivot's lineage.
       val pivot = durableRoot match {
         case Some(root) => graft.GraftCaches.durableCut(
-          pivotedCodesFrame(index.codes).repartition(n, col("c_id")),
+          pivotedCodesFrame(index.codes).repartition(n, col("c_id"))
+            .sortWithinPartitions(col("c_id")),
           s"$root/pivot")
         case None => graft.GraftCaches.checkpointed(
-          pivotedCodesFrame(index.codes).repartition(n, col("c_id")))
+          pivotedCodesFrame(index.codes).repartition(n, col("c_id"))
+            .sortWithinPartitions(col("c_id")))
       }
       codesPivotMemo.put(codesPivotKey(codes), pivot)
       // content untouched ⇒ rows carry over; standalone cut ⇒ chain resets
@@ -2047,13 +2094,42 @@ object Similarity {
           // serving-width cut (see buildIvfPqIndex's assigned): the PQ ADC
           // kernel scans this cache unshuffled, so its parallelism is this
           // frame's width — AQE coalesces the tiny pivot shuffle to one
-          // partition otherwise. Integer content, per-row scoring.
+          // partition otherwise. Integer content, per-row scoring. Sorted
+          // on the cut key so the serve's lists⋈pivot join plans no sort.
           .repartition(
             codes.sparkSession.sessionState.conf.numShufflePartitions,
-            col("c_id"))))
+            col("c_id"))
+          .sortWithinPartitions(col("c_id"))))
 
   private def pivotedCodes(index: IvfPqIndex): DataFrame =
     pivotedCodesFrame(index.codes)
+
+  /** QUERY-INDEPENDENT pivoted cross-term lookup table (`utab`) — one
+    * `array[sub][code]` row per coarse centroid. The serve previously
+    * re-aggregated the cross-term rows into this shape PER QUERY CALL
+    * (two exchanges + two object aggregations before the broadcast —
+    * pure fixed cost, the table depends only on index state). Memoized
+    * per cross-term frame like [[codesPivotMemo]] and materialized at
+    * index construction ([[withServingPivot]]), so a serve just
+    * broadcasts the cached nCentroids-row table. Cross-terms are
+    * quantizer-tier state shared across append generations (never
+    * chained), so entries drop with the artifact tier, not per roll. */
+  private val crossTabMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), DataFrame]
+  graft.GraftCaches.onArtifactRelease(() => crossTabMemo.clear())
+
+  private def pivotedCrossTerms(crossTerms: DataFrame): DataFrame =
+    crossTabMemo.getOrElseUpdate(
+      (System.identityHashCode(crossTerms.sparkSession),
+        crossTerms.queryExecution.analyzed.semanticHash()),
+      graft.GraftCaches.persistedArtifact(
+        crossTerms
+          .groupBy(col("ut_cent_id"), col("ut_sub"))
+          .agg(array_sort(collect_list(struct(col("ut_cent"), col("ur2rn2_e9")))).as("cs"))
+          .select(col("ut_cent_id"), col("ut_sub"), col("cs.ur2rn2_e9").as("arr"))
+          .groupBy(col("ut_cent_id"))
+          .agg(array_sort(collect_list(struct(col("ut_sub"), col("arr")))).as("sa"))
+          .select(col("ut_cent_id").as("ut_cid"), col("sa.arr").as("utab"))))
 
   private def ivfPqAdcScored(queries: DataFrame, index: IvfPqIndex,
       nProbe: Int): DataFrame = {
@@ -2093,7 +2169,22 @@ object Similarity {
     // (measured 3.9× at ×30, graft.tools.AqeProbe). Broadcasting makes
     // the expansion map-side over the cached lists' own partitioning:
     // no exchange exists for AQE to mis-size.
+    // CODES-FIRST EXPANSION (guide §8 "move heavy rows once", §2.4): the
+    // previous shape expanded assigned ⋈ broadcast(probes) into |Q|-scaled
+    // candidate rows FIRST and then shuffled that expansion by c_id to
+    // reach the codes pivot — the single biggest exchange of every serve
+    // (18 MB at sf0.1 on the fixedq gates, versus a ~1 MB corpus pivot;
+    // the candidate set outgrows the corpus whenever |Q|·nProbe >
+    // nCentroids, i.e. always at scale). The inverted lists and the pivot
+    // are BOTH cached hash-partitioned and sorted on c_id at session
+    // width, so joining them first plans ZERO exchanges and zero sorts on
+    // fresh/loaded/removed/compacted generations (union-built append
+    // members lose the partitioning and re-shuffle corpus-sized frames —
+    // still strictly smaller than the expansion they replace), and the
+    // ×|Q| blow-up then runs map-side against the broadcast probe frame:
+    // no candidate-sized exchange exists anywhere in the serve.
     val candidates = index.assigned
+      .join(pivotedCodes(index), Seq("c_id"))
       .join(broadcast(probes), Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
     // PIVOTED ADC LOOKUP TABLES — one row per query / per coarse cell,
@@ -2116,15 +2207,8 @@ object Similarity {
       .groupBy(col("qt_qid"))
       .agg(array_sort(collect_list(struct(col("sub"), col("arr")))).as("sa"))
       .select(col("qt_qid"), col("sa.arr").as("qtab"))
-    val utab = index.crossTerms
-      .groupBy(col("ut_cent_id"), col("ut_sub"))
-      .agg(array_sort(collect_list(struct(col("ut_cent"), col("ur2rn2_e9")))).as("cs"))
-      .select(col("ut_cent_id"), col("ut_sub"), col("cs.ur2rn2_e9").as("arr"))
-      .groupBy(col("ut_cent_id"))
-      .agg(array_sort(collect_list(struct(col("ut_sub"), col("arr")))).as("sa"))
-      .select(col("ut_cent_id").as("ut_cid"), col("sa.arr").as("utab"))
+    val utab = pivotedCrossTerms(index.crossTerms)
     val scored = candidates
-      .join(pivotedCodes(index), Seq("c_id"))
       .join(broadcast(qtab), col("q_id") === col("qt_qid"))
       .join(broadcast(utab), col("cent_id") === col("ut_cid"))
       .select(col("q_id"), col("c_id"), col("qnorm"), col("qu_e9"), col("un2_e9"),

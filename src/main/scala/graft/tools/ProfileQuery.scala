@@ -31,6 +31,7 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val runStart = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val stageInfo = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -43,8 +44,12 @@ object ProfileQuery {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobStart.get(je.jobId)).foreach { case (t0, desc) =>
           val dt = (System.nanoTime() - t0) / 1e9
+          // start offset (since run start) exposes DRIVER-ONLY gaps
+          // between jobs — Catalyst analysis over deep lineage plans
+          val off = (t0 - runStart.get()) / 1e9
           if (dt > 0.02)
-            System.err.println(f"[prof] job ${je.jobId}%4d ${dt}%8.3f s  $desc")
+            System.err.println(
+              f"[prof] job ${je.jobId}%4d ${dt}%8.3f s @ $off%8.3f  $desc")
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -71,6 +76,7 @@ object ProfileQuery {
     names.foreach { name =>
       (1 to repeat).foreach { i =>
         System.err.println(s"\n[prof] ===== $name run $i =====")
+        runStart.set(System.nanoTime())
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
