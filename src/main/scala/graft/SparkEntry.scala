@@ -338,8 +338,10 @@ object SparkEntry {
     // decode + hash once, offline): the mm_frame_neardups line then
     // measures the daily-ingest serve — batch split/decode + band joins
     "frame_index_build" -> ((s: SparkSession, dir: String) => {
+      // splitPngFramesFor — the SAME stable plan mm_frame_neardups keys
+      // its catalog lookup with (see that gate)
       Multimodal.phashIndexFor(
-        Multimodal.splitPngFrames(
+        Multimodal.splitPngFramesFor(
           Multimodal.syntheticVideoFor(
             Tables.documents(s, dir).select(col("doc_id")))
             .filter(col("media_id") % 5 =!= 0))
@@ -352,14 +354,25 @@ object SparkEntry {
     // then measures band+verify over standing hashes — the 100 TB shape
     // of a full-run audit (mm_frame_pairs keeps pricing the cold path)
     "frame_catalog_build" -> ((s: SparkSession, dir: String) => {
-      Multimodal.phashIndexFor(
-        Multimodal.splitPngFrames(
-          Multimodal.syntheticVideoFor(
-            Tables.documents(s, dir).select(col("doc_id"))))
-          .select(col("frame_id").as("media_id"), col("payload")))
+      Multimodal.phashIndexFor(fullFrameCorpus(s, dir))
       GraftCaches.unpersistAll(blocking = true)
       ()
     }))
+
+  /** The FULL-corpus frame stream behind `frame_catalog_build` /
+    * `mm_frame_pairs_catalog`. The trailing always-true filter is the
+    * [[GraftCaches.persistedArtifactFresh]] plan-identity trick, load-
+    * bearing here: without it the catalog's cached hash frame would
+    * canonically MATCH the `mm_frame_pairs` cold gate's own in-query
+    * decode+hash subtree, and CacheManager would silently serve the cold
+    * gate's decode from the setup artifact — the cold gate must keep
+    * paying (and pricing) the full split+decode it claims to measure. */
+  private def fullFrameCorpus(s: SparkSession, dir: String): DataFrame =
+    Multimodal.splitPngFramesFor(
+      Multimodal.syntheticVideoFor(
+        Tables.documents(s, dir).select(col("doc_id"))))
+      .select(col("frame_id").as("media_id"), col("payload"))
+      .where(lit(true))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2025,12 +2038,8 @@ object SparkEntry {
     // the cold gate's exactly — the committed mm_frame_pairs fixture is
     // the equality oracle verbatim (no new fixture).
     "mm_frame_pairs_catalog" -> ((s, dir) => {
-      val frames = Multimodal.splitPngFrames(
-        Multimodal.syntheticVideoFor(
-          Tables.documents(s, dir).select(col("doc_id"))))
-        .select(col("frame_id").as("media_id"), col("payload"))
       Multimodal.phashNearDupsIndexed(
-          Multimodal.phashIndexFor(frames), maxHamming = 6)
+          Multimodal.phashIndexFor(fullFrameCorpus(s, dir)), maxHamming = 6)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -2046,8 +2055,13 @@ object SparkEntry {
     "mm_frame_neardups" -> ((s, dir) => {
       val vids = Multimodal.syntheticVideoFor(
         Tables.documents(s, dir).select(col("doc_id")))
+      // splitPngFramesFor: a STABLE frame-stream plan per video split, so
+      // phashIndexFor's semantic-hash memo actually resolves the
+      // bench-setup `frame_index_build` catalog (a fresh mapPartitions
+      // closure per call canonicalizes unequal — the gate silently
+      // rebuilt the standing catalog in-gate on every run)
       def frames(m: org.apache.spark.sql.DataFrame) =
-        Multimodal.splitPngFrames(m)
+        Multimodal.splitPngFramesFor(m)
           .select(col("frame_id").as("media_id"), col("payload"))
       val ix = Multimodal.phashIndexFor(
         frames(vids.filter(col("media_id") % 5 =!= 0)))

@@ -440,6 +440,28 @@ object Multimodal {
       .toDF("frame_id", "media_id", "frame_idx", "payload")
   }
 
+  /** STABLE-PLAN memo over [[splitPngFrames]] — identity, not caching:
+    * the container walk is a `mapPartitions` whose closure is a fresh
+    * object per call, so two constructions of the same frame stream
+    * NEVER canonicalize equal — and every downstream semantic-hash memo
+    * ([[phashIndexFor]]) silently missed, rebuilding the "standing"
+    * frame catalog in-gate on every run (the bench-setup
+    * `frame_index_build` artifact was unreachable from the gates it was
+    * built for). Returning one DataFrame object per (media plan,
+    * maxFrames) makes the downstream keys stable; the frame stream
+    * itself stays UNCACHED — cold gates still pay their full
+    * split+decode. */
+  private val frameStreamMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int), DataFrame]
+  graft.GraftCaches.onArtifactRelease(() => frameStreamMemo.clear())
+
+  def splitPngFramesFor(media: DataFrame,
+      maxFramesPerVideo: Int = 64): DataFrame =
+    frameStreamMemo.getOrElseUpdate(
+      (System.identityHashCode(media.sparkSession),
+        media.queryExecution.analyzed.semanticHash(), maxFramesPerVideo),
+      splitPngFrames(media, maxFramesPerVideo))
+
   // ------------------------------------------------- standing phash catalog
   /** STANDING PHASH CATALOG — the image tier's standing structure,
     * closing the four-family symmetry (text minhash catalog, embedding
