@@ -258,4 +258,28 @@ class MultimodalSpec extends AnyFunSuite {
       s"no cross-video frame near-dup found: $framePairs")
     graft.GraftCaches.unpersistAll(blocking = true)
   }
+
+  test("catalog-served frame audit ≡ cold payload run; frame-stream plan is stable") {
+    val vids = Multimodal.syntheticVideoFor(
+      spark.range(0, 8).select(col("id").as("doc_id")))
+    // splitPngFramesFor returns ONE plan object per (media plan, cap):
+    // mapPartitions closures are fresh per call, so without the memo two
+    // constructions never canonicalize equal and every downstream
+    // semantic-hash memo (the standing catalog) silently misses
+    val f1 = Multimodal.splitPngFramesFor(vids)
+    val f2 = Multimodal.splitPngFramesFor(vids)
+    assert(f1 eq f2, "frame-stream plan must be identity-stable per media plan")
+    val frames = f1.select(col("frame_id").as("media_id"), col("payload"))
+    // the catalog-served audit must equal the cold payload run exactly
+    // (catalog rows ARE the hash pass's output) — the closed-form oracle
+    // mm_frame_pairs_catalog rides
+    val cold = Multimodal.phashNearDups(frames, maxHamming = 6)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val served = Multimodal.phashNearDupsIndexed(
+        Multimodal.phashIndexFor(frames), maxHamming = 6)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(served == cold,
+      s"catalog-served pair set diverges: ${(served diff cold) ++ (cold diff served)}")
+    graft.GraftCaches.unpersistAll(blocking = true)
+  }
 }
